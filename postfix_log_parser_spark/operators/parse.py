@@ -1,0 +1,309 @@
+"""Stage 1 — per-line parse: raw text DataFrame → typed parsed-line DataFrame.
+
+Re-expresses the reference's ``feed_line`` admission gates and per-line
+scalar transforms (``lognormalizer/parse.py:380-423``) as pure Catalyst
+expressions — a narrow map with whole-stage codegen, no shuffle, no Python
+on the hot path.  The single Python touchpoint is a vectorized pandas UDF
+for MIME subject decoding (``parse.py:319-326``), applied only to the rare
+``warning: header Subject:`` lines.
+
+Operators covered (SURVEY.md §2 ids):
+  F1 min-arity, F2 timestamp-validity, F3 queue-id, F4 code validators
+  P1 tokenize, P2 k=v extraction, P3 status-description, P7/P8 subject,
+  P9 subject short-circuit, P10 ISO timestamp.
+Fault prediction (Q12): per-row exceptions of the reference are encoded as
+predicates producing ``kind='fault'`` + ``fault_reason`` (SURVEY.md §7.4).
+
+Reference control-flow facts this stage preserves:
+  * the dovecot handler runs before the timestamp gate and ALWAYS returns
+    False (``parse.py:362-378``) — a dovecot line still flows through the
+    F2/F3 gates (and is dropped there in practice, legacy syslog ts);
+  * a line faulting inside subject parsing was already appended to raw_log
+    and had its timestamp folded (``parse.py:409-417``), so it counts as
+    ``admitted`` here;
+  * an ``Info:``-at-token-4 line that does not complete the dovecot shape
+    either raises IndexError (short line → fault) or falls through to the
+    normal gates.
+"""
+
+from __future__ import annotations
+
+import email.header
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def with_seq(df: DataFrame, line_col: str = "value") -> DataFrame:
+    """Attach a globally ordered sequence number to each input line.
+
+    Line order is part of the reference's semantics (last-wins folds,
+    raw_log order, first-timestamp — quirks Q1-Q3), so the scan must carry
+    an explicit ordering.  ``monotonically_increasing_id`` is
+    order-preserving for an in-order narrow scan (partition-prefixed ids,
+    files assigned to partitions in order), which is exactly the
+    single-log-replay case; multi-file inputs at scale should instead sort
+    by an explicit ``(file, offset)`` — see ``sources.text.read_text``.
+    """
+    if "seq" in df.columns:
+        return df
+    return df.withColumn("seq", F.monotonically_increasing_id())
+
+
+# a queue id is 11 uppercase-hex chars followed by ':' (parse.py:237-256, Q10)
+_QUEUE_ID_RE = "^[0-9A-F]{11}:$"
+
+def _empty_str_map() -> Column:
+    return F.expr("map()").cast("map<string,string>")
+
+
+def _kv_entries(tokens: Column) -> Column:
+    """P2 — every token containing '=' → struct(name, value); value has
+    trailing commas stripped (``parse.py:286-303``).  Split on the FIRST
+    '=': ``a=b=c`` → (a, ``b=c``)."""
+    return F.transform(
+        F.filter(tokens, lambda t: F.instr(t, "=") > 0),
+        lambda t: F.struct(
+            F.substring_index(t, "=", 1).alias("name"),
+            F.regexp_replace(
+                F.substring(t, F.instr(t, "=") + 1, F.length(t)), ",+$", ""
+            ).alias("value"),
+        ),
+    )
+
+
+def _last_wins_map(entries: Column) -> Column:
+    """Fold k=v entries into a map with last-wins per key, excluding 'to'
+    (which accumulates, quirk Q1).  Implemented as a first-seen fold over
+    the reversed entry list with disjoint-key ``map_concat`` so it does not
+    depend on the session's ``spark.sql.mapKeyDedupPolicy``."""
+    non_to = F.filter(entries, lambda e: e["name"] != "to")
+    return F.aggregate(
+        F.reverse(non_to),
+        _empty_str_map(),
+        lambda acc, e: F.when(
+            F.array_contains(F.map_keys(acc), e["name"]), acc
+        ).otherwise(F.map_concat(acc, F.create_map(e["name"], e["value"]))),
+    )
+
+
+def _status_description(tokens: Column) -> Column:
+    """P3 — join all tokens after the LAST ``status=`` token index, then
+    lstrip '(' / rstrip ')' (``parse.py:289, 296-297, 305-308``).  The
+    index is over the FULL token list; index 0 is skipped by the
+    reference's falsy ``if status_idx:`` check (quirk Q7)."""
+    n = F.size(tokens)
+    status_idx = F.aggregate(
+        F.sequence(F.lit(0), F.greatest(n - F.lit(1), F.lit(0))),
+        F.lit(-1),
+        lambda acc, i: F.when(
+            (F.instr(F.coalesce(F.get(tokens, i), F.lit("")), "=") > 0)
+            & (F.substring_index(F.get(tokens, i), "=", 1) == "status"),
+            i,
+        ).otherwise(acc),
+    )
+    joined = F.concat_ws(
+        " ", F.slice(tokens, status_idx + F.lit(2), n - status_idx - F.lit(1))
+    )
+    trimmed = F.regexp_replace(F.regexp_replace(joined, r"^\(+", ""), r"\)+$", "")
+    return F.when(status_idx > 0, trimmed).otherwise(F.lit(None).cast("string"))
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("subject", T.StringType(), True),
+            T.StructField("error", T.StringType(), True),
+        ]
+    )
+)
+def _decode_mime_subject(token: pd.Series) -> pd.DataFrame:
+    """P7 — MIME encoded-word decode of the first token after ``Subject:``
+    when it starts with ``=?UTF-8`` (``parse.py:324-326``).  Decodes ONLY
+    the first encoded word, like the reference.  Any exception maps to the
+    fault channel (quirk Q12).  Null inputs (non-MIME rows) fast-path to
+    null output, so this stays cheap even though the plan evaluates the
+    UDF column for every row."""
+    subjects: list[str | None] = []
+    errors: list[str | None] = []
+    for tok in token:
+        if tok is None:
+            subjects.append(None)
+            errors.append(None)
+            continue
+        try:
+            decoded, encoding = email.header.decode_header(tok)[0]
+            subjects.append(decoded.decode(encoding))
+            errors.append(None)
+        except Exception as exc:  # noqa: BLE001 - reference catches everything
+            subjects.append(None)
+            errors.append(f"{type(exc).__name__}: {exc}")
+    return pd.DataFrame({"subject": subjects, "error": errors})
+
+
+def _ascii_subject(payload: Column) -> Column:
+    """P8 — accumulate tokens after ``Subject:`` until a pair
+    ``('from', X)`` with ``X.endswith(';')``; unterminated subjects drop
+    the final token because ``pairwise`` exhausts (``parse.py:327-335``,
+    quirk Q11).  ``payload`` is tokens[4:]; the scan runs over payload[3:]."""
+    sub = F.slice(payload, 4, F.greatest(F.size(payload) - F.lit(3), F.lit(0)))
+    m = F.size(sub)
+    first_break = F.when(
+        m >= 2,
+        F.aggregate(
+            F.sequence(F.lit(0), F.greatest(m - F.lit(2), F.lit(0))),
+            F.lit(-1),
+            lambda acc, i: F.when(
+                (acc == -1)
+                & (F.get(sub, i) == "from")
+                & F.get(sub, i + F.lit(1)).endswith(";"),
+                i,
+            ).otherwise(acc),
+        ),
+    ).otherwise(F.lit(-1))
+    take = F.when(first_break >= 0, first_break).otherwise(
+        F.greatest(m - F.lit(1), F.lit(0))
+    )
+    return F.concat_ws(" ", F.slice(sub, 1, take))
+
+
+def parse_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """Parse raw log lines into the ``schema.PARSED_SCHEMA`` DataFrame.
+
+    Input: a DataFrame with a string column ``line_col`` (and optionally a
+    precomputed ``seq`` long column).  Pure narrow transformation — no
+    shuffle; scales linearly with input partitions.
+    """
+    df = with_seq(lines, line_col)
+    raw = F.trim(F.col(line_col))
+
+    df = df.select("seq", raw.alias("line"), F.split(raw, r"\s+").alias("tokens"))
+    tokens = F.col("tokens")
+    n = F.size(tokens)
+
+    def t(i: int) -> Column:  # 0-based token access, NULL out-of-bounds
+        return F.get(tokens, i)
+
+    # ---- dovecot shape check (runs BEFORE timestamp/queue-id gates).
+    # Short-circuit chain with IndexError parity (Q8): accessing tokens[k]
+    # past the end faults the whole line.
+    is_info = t(4) == "Info:"
+    dovecot_fault = is_info & (
+        (n == 5)
+        | ((n == 6) & (t(5) == "sieve:"))
+        | ((n == 7) & (t(5) == "sieve:") & t(6).startswith("msgid="))
+        | (
+            (n == 8)
+            & (t(5) == "sieve:")
+            & t(6).startswith("msgid=")
+            & (t(7) == "fileinto")
+        )
+    )
+    is_dovecot = (
+        (n >= 9)
+        & is_info
+        & (t(5) == "sieve:")
+        & t(6).startswith("msgid=")
+        & (t(7) == "fileinto")
+        & (t(8) == "action:")
+    )
+    # msgid token: part after first '=', trailing char dropped (keeps the
+    # angle brackets — parse.py:370-371, Q8)
+    msgid_raw = F.substring(t(6), F.instr(t(6), "=") + 1, F.length(t(6)))
+    dovecot_msgid = F.substring(msgid_raw, 1, F.length(msgid_raw) - 1)
+    dovecot_action = F.concat_ws(
+        " ", F.slice(tokens, 10, F.greatest(n - F.lit(9), F.lit(0)))
+    )
+
+    # ---- admission gates (F1-F3); dovecot handling does not gate — the
+    # reference handler always returns False and the line flows on.
+    ts = F.try_to_timestamp(t(0))  # F2/P10: null instead of raising
+    qid_ok = t(3).rlike(_QUEUE_ID_RE)  # F3/Q10
+    queue_id = F.substring(t(3), 1, 11)
+    admitted = (n >= 5) & ~dovecot_fault & ts.isNotNull() & qid_ok
+
+    payload = F.slice(tokens, 5, F.greatest(n - F.lit(4), F.lit(0)))
+
+    def p(i: int) -> Column:
+        return F.get(payload, i)
+
+    # ---- payload classification (parse.py:341-360)
+    is_removed = p(0) == "removed"
+    warn0 = p(0) == "warning:"
+    subj_head = warn0 & (p(1) == "header") & (p(2) == "Subject:")
+    # IndexError parity inside _try_to_parse_subject (parse.py:319-324)
+    subject_fault = (
+        (warn0 & (F.size(payload) < 2))
+        | (warn0 & (p(1) == "header") & (F.size(payload) < 3))
+        | (subj_head & (F.size(payload) < 4))
+    )
+    is_subject = subj_head & (F.size(payload) >= 4)
+    is_mime_subject = is_subject & p(3).startswith("=?UTF-8")
+
+    entries = _kv_entries(tokens)
+    fields_map = _last_wins_map(entries)
+    to_list = F.transform(
+        F.filter(entries, lambda e: e["name"] == "to"), lambda e: e["value"]
+    )
+    status_desc = _status_description(tokens)
+
+    kind = (
+        F.when(n < 5, F.lit("dropped"))
+        .when(dovecot_fault, F.lit("fault"))
+        .when(is_dovecot, F.lit("dovecot"))
+        .when(ts.isNull() | ~qid_ok, F.lit("dropped"))
+        .when(is_removed, F.lit("removed"))
+        .when(subject_fault, F.lit("fault"))
+        .when(is_subject, F.lit("subject"))
+        .otherwise(F.lit("field"))
+    )
+
+    # an admitted line folds k=v fields unless it is removed/subject/fault
+    # (parse.py:417-420; P9 subject short-circuit)
+    folds_fields = admitted & kind.isin("field", "dovecot")
+
+    parsed = df.select(
+        "seq",
+        "line",
+        kind.alias("kind"),
+        F.when(n >= 5, ts).alias("timestamp"),
+        F.when((n >= 5) & qid_ok, queue_id).alias("queue_id"),
+        F.when(folds_fields, fields_map).alias("fields"),
+        F.when(folds_fields, to_list).alias("to_list"),
+        F.when(folds_fields, status_desc).alias("status_description"),
+        F.when(kind == "subject", is_mime_subject).alias("_is_mime"),
+        F.when(is_mime_subject, p(3)).alias("_subj_tok"),
+        F.when(kind == "subject", _ascii_subject(payload)).alias("_ascii_subject"),
+        F.when(kind == "dovecot", dovecot_msgid).alias("dovecot_msgid"),
+        F.when(kind == "dovecot", dovecot_action).alias("dovecot_action"),
+        F.when(dovecot_fault, F.lit("IndexError: dovecot-shaped line too short"))
+        .when(subject_fault, F.lit("IndexError: subject header line too short"))
+        .alias("fault_reason"),
+        admitted.alias("admitted"),
+    )
+
+    # ---- MIME subject decode: vectorized pandas UDF, non-null input only
+    # on the rare MIME-subject rows (P7).  ASCII subjects are fully native.
+    parsed = parsed.withColumn("_mime", _decode_mime_subject(F.col("_subj_tok")))
+    mime_fault = F.col("_mime")["error"].isNotNull() & F.col("_subj_tok").isNotNull()
+    parsed = parsed.select(
+        "seq",
+        "line",
+        F.when(mime_fault, F.lit("fault")).otherwise(F.col("kind")).alias("kind"),
+        "timestamp",
+        "queue_id",
+        "fields",
+        "to_list",
+        "status_description",
+        F.when(F.col("_is_mime"), F.col("_mime")["subject"])
+        .when(F.col("_is_mime") == F.lit(False), F.col("_ascii_subject"))
+        .alias("subject"),
+        "dovecot_msgid",
+        "dovecot_action",
+        F.coalesce(F.col("fault_reason"), F.when(mime_fault, F.col("_mime")["error"]))
+        .alias("fault_reason"),
+        "admitted",
+    )
+    return parsed

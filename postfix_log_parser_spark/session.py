@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the local[32] test harness but every setting is the one you'd
+want on a 1000-executor cluster too: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), Arrow for the few Python stages,
+UTC session time so timestamps round-trip deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "postfix_log_parser_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-created session.
+
+    The driver harness creates its own SparkSession; the parser depends on
+    a couple of runtime-settable confs (map dedup policy for last-wins k=v
+    folding, UTC timestamps for deterministic comparisons) that we set
+    defensively on every entry point.
+    """
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:  # pragma: no cover - conf may be static on some builds
+        pass
+    return spark
