@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship star-join query on sf0.001.
+``queries()`` exposes every driver-checked operator query:
+
+* q01-q17 — analytics layer (aggregation / joins / windows / top-k /
+  grouping sets / set ops / sessionization / as-of / JSON / approx),
+* q20-q31 — LLM-pipeline extensions (dedup exact / n-gram Jaccard /
+  MinHash-LSH / SimHash / embedding near-dup, ANN brute-force + LSH,
+  text quality / lang-ID / tokens / fingerprints, multimodal),
+* q40-q42 — the postfix parse→sessionize pipeline itself, oracle-checked
+  against literal expected rows derived from the reference's golden tests
+  (``lognormalizer/parse_test.py:26-277``).
+
+``oracle_sql()`` returns the DuckDB twin for every query except
+q15_approx_distinct (HLL sketch — algorithm-specific, rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +22,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from postfix_log_parser_spark.analytics import (
+    ANALYTICS_ORACLES,
+    ANALYTICS_QUERIES,
+    q02_revenue_by_nation,
+)
+from postfix_log_parser_spark.ext import EXT_ORACLES, EXT_QUERIES
+from postfix_log_parser_spark.logquery import LOG_ORACLES, LOG_QUERIES
+from postfix_log_parser_spark.session import tune_session
+
+_SF001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tune_session(spark)
+    return q02_revenue_by_nation(spark, _SF001)
+
+
+def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(tune_session(spark), sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator family (SURVEY.md §2 + ext)."""
+    merged = {**ANALYTICS_QUERIES, **EXT_QUERIES, **LOG_QUERIES}
+    return {name: _tuned(fn) for name, fn in merged.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per query (q15 intentionally omitted)."""
+    return {**ANALYTICS_ORACLES, **EXT_ORACLES, **LOG_ORACLES}

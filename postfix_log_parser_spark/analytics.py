@@ -1,0 +1,608 @@
+"""Analytics layer — the reference's "second half".
+
+The reference delegates all analytics to ClickHouse SQL over the ``events``
+table (``lognormalizer/parse.py:27-54``: the MergeTree DDL is the entire
+query surface).  Here that half is native Spark SQL / DataFrame over the
+events schema plus the driver's TPC-H-ish testdata tables.
+
+Every query below is a ``(spark, sf_dir) -> DataFrame`` callable paired
+with a DuckDB oracle SQL string (``ORACLES``) — the driver runs both and
+compares row-count + schema + order-insensitive value hash.
+
+Scale discipline (100 TB design notes, per query):
+
+* dimension tables (region/nation) are explicitly ``broadcast()`` — no
+  shuffle for the dim side of star joins;
+* aggregates are expressed declaratively so Catalyst does partial
+  (map-side) aggregation before the exchange;
+* window functions always ``partitionBy`` — there is no global
+  ``Window.orderBy`` anywhere in this engine;
+* double-typed aggregates are ``round()``-ed in-query: summation order
+  differs across partitionings, so emitting raw doubles would make the
+  result non-deterministic at scale.  Rounding is part of the query
+  contract, not a test hack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long
+        # (spark.sql.legacy.parquet.nanosAsLong); truncate to micros, the
+        # same conversion DuckDB applies.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views (EP3 equivalent)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (hash aggregate with partial agg; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-31")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — star join: fact shuffles, dims broadcast (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q02_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — top-k via ranked window (deterministic tie-break on key)
+# ---------------------------------------------------------------------------
+
+def q03_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    # rank over a single ordered partition of an already-aggregated tiny
+    # input (|customers with orders|); at 100 TB this input is the
+    # aggregate output, not the fact table, and a top-k via
+    # orderBy(...).limit(k) lets Spark use TakeOrderedAndProject
+    # (per-partition heaps, no global sort).  We still need row_number for
+    # the rank column, so limit first, then rank the k survivors.
+    topk = rev.orderBy(F.col("revenue").desc(), F.col("o_custkey")).limit(10)
+    ranked = topk.withColumn("rank", F.row_number().over(w))
+    return ranked.join(customer, ranked.o_custkey == customer.c_custkey).select(
+        "rank",
+        F.col("o_custkey").alias("custkey"),
+        "c_name",
+        "revenue",
+        "n_orders",
+    )
+
+
+_Q03_SQL = """
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), topk AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rank
+  FROM rev ORDER BY revenue DESC, o_custkey LIMIT 10
+)
+SELECT rank, o_custkey AS custkey, c_name, revenue, n_orders
+FROM topk JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — existential semi join (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    qualified = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q04_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 / q06 — grouping sets (ROLLUP / CUBE)
+# ---------------------------------------------------------------------------
+
+def q05_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    return (
+        j.rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            (F.grouping("c_mktsegment") * 2 + F.grouping("o_orderstatus")).alias("grp"),
+        )
+        .select("c_mktsegment", "o_orderstatus", "n_orders", "total_price", "grp")
+    )
+
+
+_Q05_SQL = """
+SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       grouping(c_mktsegment) * 2 + grouping(o_orderstatus) AS grp
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+"""
+
+
+def q06_returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("grp"),
+        )
+        .select("l_returnflag", "l_linestatus", "n", "sum_qty", "grp")
+    )
+
+
+_Q06_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS grp
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 / q08 / q09 — window functions (always partitioned)
+# ---------------------------------------------------------------------------
+
+def q07_top3_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "rn", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+_Q07_SQL = """
+SELECT n_name, rn, c_custkey, round(c_acctbal, 2) AS acctbal
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rn <= 3
+"""
+
+
+def q08_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+_Q08_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders WHERE o_custkey < 200
+"""
+
+
+def q09_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 3).alias("delta"),
+    )
+
+
+_Q09_SQL = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), 3) AS delta
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — gap-based sessionization over the events stream table
+# ---------------------------------------------------------------------------
+
+def q10_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        ev.withColumn("sid", F.sum(is_new).over(wsum))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.avg("n_events"), 3).alias("avg_session_events"),
+    )
+
+
+_Q10_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), grouped AS (
+  SELECT user_id, sid, count(*) AS n_events FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+       round(avg(n_events), 3) AS avg_session_events
+FROM grouped GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — tumbling time-window aggregation (batch twin of the streaming agg)
+# ---------------------------------------------------------------------------
+
+def q11_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_ts"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_Q11_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       event_type, count(*) AS n,
+       round(avg(value), 4) AS avg_value,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — anti join; q13 — set operations
+# ---------------------------------------------------------------------------
+
+def q12_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders in 1995 (every customer has
+    *some* order in the testdata, so the window makes it non-trivial)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_Q12_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+"""
+
+
+def q13_nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    cust_nations = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("n_name")
+    supp_nations = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("n_name")
+    both = cust_nations.intersect(supp_nations).select(
+        F.lit("both").alias("tag"), "n_name"
+    )
+    cust_only = cust_nations.subtract(supp_nations).select(
+        F.lit("cust_only").alias("tag"), "n_name"
+    )
+    return both.unionAll(cust_only)
+
+
+_Q13_SQL = """
+WITH cn AS (SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+     sn AS (SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT 'both' AS tag, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+UNION ALL
+SELECT 'cust_only' AS tag, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — string/regexp scalar functions; q15 — approx distinct (rows-only)
+# ---------------------------------------------------------------------------
+
+def q14_brand_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count_distinct(F.col("p_type")).alias("n_types"),
+        F.max(F.length("p_name")).cast("long").alias("max_name_len"),
+        F.sum(F.when(F.col("p_name").rlike("[aeiou]{2}"), 1).otherwise(0)).alias(
+            "n_double_vowel"
+        ),
+        F.min(F.upper(F.substring("p_name", 1, 3))).alias("min_prefix"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+_Q14_SQL = """
+SELECT p_brand,
+       count(DISTINCT p_type) AS n_types,
+       CAST(max(length(p_name)) AS BIGINT) AS max_name_len,
+       CAST(sum(CASE WHEN regexp_matches(p_name, '[aeiou]{2}') THEN 1 ELSE 0 END) AS BIGINT) AS n_double_vowel,
+       min(upper(substr(p_name, 1, 3))) AS min_prefix,
+       count(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+
+def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch counts — algorithm-specific, so no exact DuckDB oracle
+    (driver records the weaker rows-only check).  A pytest asserts the
+    estimates are within 5% of exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — JSON extraction from the events props column
+# ---------------------------------------------------------------------------
+
+def q16_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 3).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k > 50, 1)).alias("n_gt50"),
+    )
+
+
+_Q16_SQL = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                  THEN 1 END) AS n_gt50
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — as-of join (purchase → most recent prior signup of the same user)
+# ---------------------------------------------------------------------------
+
+def q17_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a single partitioned window pass: union the
+    two event kinds, carry the last signup time forward, keep purchases.
+    One shuffle on user_id — the scalable shape (vs join+re-agg which
+    shuffles twice and explodes on skewed users)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.unix_micros(F.col("ts"))),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("signup_us", last_signup)
+        .filter((F.col("event_type") == "purchase") & F.col("signup_us").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_micros(F.col("ts")) - F.col("signup_us")).alias("us_since_signup"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(s.ts) AS us_since_signup
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+ANALYTICS_QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_top_customers": q03_top_customers,
+    "q04_order_priority": q04_order_priority,
+    "q05_segment_rollup": q05_segment_rollup,
+    "q06_returnflag_cube": q06_returnflag_cube,
+    "q07_top3_per_nation": q07_top3_per_nation,
+    "q08_running_total": q08_running_total,
+    "q09_event_deltas": q09_event_deltas,
+    "q10_event_sessions": q10_event_sessions,
+    "q11_hourly_events": q11_hourly_events,
+    "q12_customers_without_orders": q12_customers_without_orders,
+    "q13_nation_setops": q13_nation_setops,
+    "q14_brand_strings": q14_brand_strings,
+    "q15_approx_distinct": q15_approx_distinct,
+    "q16_json_props": q16_json_props,
+    "q17_asof_signup": q17_asof_signup,
+}
+
+ANALYTICS_ORACLES = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q02_revenue_by_nation": _Q02_SQL,
+    "q03_top_customers": _Q03_SQL,
+    "q04_order_priority": _Q04_SQL,
+    "q05_segment_rollup": _Q05_SQL,
+    "q06_returnflag_cube": _Q06_SQL,
+    "q07_top3_per_nation": _Q07_SQL,
+    "q08_running_total": _Q08_SQL,
+    "q09_event_deltas": _Q09_SQL,
+    "q10_event_sessions": _Q10_SQL,
+    "q11_hourly_events": _Q11_SQL,
+    "q12_customers_without_orders": _Q12_SQL,
+    "q13_nation_setops": _Q13_SQL,
+    "q14_brand_strings": _Q14_SQL,
+    # q15: intentionally no oracle (approximate sketch)
+    "q16_json_props": _Q16_SQL,
+    "q17_asof_signup": _Q17_SQL,
+}

@@ -1,0 +1,36 @@
+"""LLM-training-data pipeline extensions (north-star operators).
+
+These are first-class engine components beyond the reference's own scope:
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search over embeddings, text analysis, and multimodal
+column plumbing — all designed scale-first (bucketed joins, no all-pairs
+on the scale path, no collect loops).
+"""
+
+from postfix_log_parser_spark.ext.dedup import DEDUP_ORACLES, DEDUP_QUERIES
+from postfix_log_parser_spark.ext.multimodal import (
+    MULTIMODAL_ORACLES,
+    MULTIMODAL_QUERIES,
+)
+from postfix_log_parser_spark.ext.similarity import (
+    SIMILARITY_ORACLES,
+    SIMILARITY_QUERIES,
+)
+from postfix_log_parser_spark.ext.textstats import (
+    TEXTSTATS_ORACLES,
+    TEXTSTATS_QUERIES,
+)
+
+EXT_QUERIES = {
+    **DEDUP_QUERIES,
+    **SIMILARITY_QUERIES,
+    **TEXTSTATS_QUERIES,
+    **MULTIMODAL_QUERIES,
+}
+
+EXT_ORACLES = {
+    **DEDUP_ORACLES,
+    **SIMILARITY_ORACLES,
+    **TEXTSTATS_ORACLES,
+    **MULTIMODAL_ORACLES,
+}

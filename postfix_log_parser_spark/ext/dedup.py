@@ -1,0 +1,478 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five dedup strategies, each scale-first:
+
+* exact        — hash group-by on content (one shuffle, map-side partial);
+* n-gram Jaccard — shingle-explode + equi-join on shingle (never all-pairs;
+                 the join key is the shingle, so candidate generation is
+                 output-proportional);
+* MinHash-LSH  — banded signature buckets (candidates come from band-key
+                 equi-joins, verified with exact Jaccard);
+* SimHash      — 60-bit fingerprints + Hamming distance;
+* embedding cosine — near-dup pairs above a cosine threshold (brute-force
+                 here; the bucketed scale path lives in ext.similarity).
+
+Portability contract: every hash is md5-derived (``md5`` is bit-identical
+in Spark and DuckDB), so the DuckDB oracles mirror the computation exactly
+— including LSH false negatives, which are therefore identical on both
+sides rather than a source of flakiness.
+
+The sf0.01 documents table has no true near-dups, so the near-dup queries
+union in deterministic perturbed copies (``doc_id + 100000``, text plus a
+suffix) — same augmentation in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_MINHASH = 8          # minhash permutations
+N_BANDS = 4            # LSH bands (2 rows per band)
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SIMHASH_BITS = 60      # bits taken from the 15-hex-char md5 prefix
+
+
+def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared text → words / shingles expressions (all JVM-side)
+# ---------------------------------------------------------------------------
+
+def words_of(text: Column) -> Column:
+    """Lowercased alnum word list (empty tokens filtered)."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda w: w != F.lit("")
+    )
+
+
+def shingles_of(words: Column) -> Column:
+    """Distinct word-3-gram shingles."""
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(3)),
+        lambda i: F.concat_ws(
+            " ", F.get(words, i), F.get(words, i + F.lit(1)), F.get(words, i + F.lit(2))
+        ),
+    )
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long — the portable hash
+    shared with the DuckDB oracles (``CAST('0x' || substr(md5(x),1,15) AS
+    BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_DUCK_WORDS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w != '')"
+)
+
+# words -> distinct 3-gram shingles (DuckDB lists are 1-based)
+_DUCK_SHINGLES = (
+    "CASE WHEN len(words) >= 3 THEN list_distinct(list_transform("
+    "range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]"
+    ")) ELSE [] END"
+)
+
+
+def _duck_md5_long(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# augmented docs: every 25th doc gets a perturbed near-copy at id+100000
+_AUG_SQL = """
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' nearly duplicate suffix pad' AS text, source
+  FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text", "source")
+    near = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" nearly duplicate suffix pad")).alias("text"),
+            "source",
+        )
+    )
+    return docs.unionAll(near)
+
+
+# ---------------------------------------------------------------------------
+# q20 — exact dedup (content hash group-by)
+# ---------------------------------------------------------------------------
+
+def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: md5(content) grouping, canonical = min id.
+
+    At 100 TB this is one hash-partitioned shuffle on a 128-bit key with
+    map-side partial aggregation — the canonical exact-dedup plan.  (We
+    also union in literal copies so the query demonstrably groups >1.)"""
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return (
+        docs.unionAll(dup)
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
+_Q20_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+)
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM all_docs GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21 — n-gram Jaccard near-dup via shingle equi-join
+# ---------------------------------------------------------------------------
+
+def q21_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with word-3-gram Jaccard >= 0.3.
+
+    Candidates come from a shingle equi-join (shuffle keyed on shingle),
+    NOT an all-pairs cross join: cost is proportional to shared-shingle
+    pairs.  Hot shingles (stop-phrase skew) would be salted/filtered at
+    scale — here a document-frequency cap drops shingles appearing in >5%
+    of docs, which both bounds skew and removes non-discriminative keys."""
+    docs = _augmented(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(shingles_of(words_of(F.col("text")))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    n_docs = docs.count()
+    df_cap = int(n_docs * 0.05)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jacc = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jacc, 3))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_Q21_SQL = f"""
+WITH all_docs AS ({_AUG_SQL}),
+tok AS (
+  SELECT doc_id, {_DUCK_SHINGLES.replace('words', _DUCK_WORDS)} AS shingles
+  FROM all_docs
+),
+sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) > (SELECT CAST(floor(count(*) * 0.05) AS BIGINT) FROM all_docs)
+),
+cold AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 3) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 3) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 — MinHash + banded LSH near-dup
+# ---------------------------------------------------------------------------
+
+def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5-derived permutations), 4 bands × 2 rows;
+    candidate pairs from band-key equi-joins, verified with exact Jaccard
+    >= 0.5 on the full shingle sets.
+
+    Scale shape: signature computation is one shuffle (explode shingles →
+    groupBy doc, min per permutation); candidate generation is an
+    equi-join on (band_idx, band_key) — output-proportional, never
+    all-pairs.  False negatives are a property of the (deterministic)
+    hash family, identical in the oracle."""
+    docs = _augmented(spark, sf_dir)
+    with_sh = docs.select(
+        "doc_id", shingles_of(words_of(F.col("text"))).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    exploded = with_sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(md5_long(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"b{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *[F.col(f"h{i}") for i in range(N_MINHASH)], *band_keys)
+    bands = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = with_sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = with_sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jacc = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(jacc, 3))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _q22_sql() -> str:
+    mins = ",\n         ".join(
+        f"min({_duck_md5_long(f'''CAST({i} AS VARCHAR) || '|' || sh''')}) AS h{i}"
+        for i in range(N_MINHASH)
+    )
+    bands = ", ".join(
+        "md5("
+        + " || '_' || ".join(
+            f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        + f") AS b{b}"
+        for b in range(N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM banded"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH all_docs AS ({_AUG_SQL}),
+tok AS (
+  SELECT doc_id, {_DUCK_SHINGLES.replace('words', _DUCK_WORDS)} AS shingles
+  FROM all_docs
+),
+with_sh AS (SELECT * FROM tok WHERE len(shingles) > 0),
+exploded AS (SELECT doc_id, unnest(shingles) AS sh FROM with_sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM exploded GROUP BY doc_id
+),
+banded AS (SELECT *, {bands} FROM sig),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))), 3) AS jaccard
+FROM cand
+JOIN with_sh a ON a.doc_id = id_a
+JOIN with_sh b ON b.doc_id = id_b
+WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))), 3) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# q23 — SimHash fingerprints + Hamming-distance histogram
+# ---------------------------------------------------------------------------
+
+def q23_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document; output = histogram of pairwise Hamming
+    distances among doc_id < 200 (near-dups cluster at low distance).
+
+    The per-doc fingerprint is one shuffle (explode distinct words →
+    groupBy doc with 60 conditional sums).  The pairwise stage here is a
+    bounded all-pairs for the histogram; at scale, pairs come from
+    band-prefix buckets (split the 60 bits into 4 × 15-bit keys — any pair
+    within Hamming distance 3 shares at least one key)."""
+    docs = _load_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    w = docs.select(
+        "doc_id", F.explode(F.array_distinct(words_of(F.col("text")))).alias("w")
+    ).withColumn("x", md5_long(F.col("w")))
+    bit_sums = w.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    fp = bit_sums.select("doc_id", simhash.alias("simhash"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _q23_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(((x >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+w AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_WORDS})) AS w FROM docs
+),
+hashed AS (SELECT doc_id, {_duck_md5_long('w')} AS x FROM w),
+bit_sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, {assemble} AS simhash FROM bit_sums)
+SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+       count(*) AS n_pairs
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q24 — embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+def q24_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of embeddings with cosine >= 0.45 (the testdata has no true
+    embedding dups, so this surfaces the top tail of the random cosine
+    distribution).  Brute-force O(n^2) here for the exact answer; the
+    bucketed LSH scale path is ``ext.similarity.q26_ann_lsh``.  Dot
+    products are computed in double on both engines (sequential fold) so
+    values agree bit-for-bit."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = emb.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    a = norm.alias("a")
+    b = norm.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", F.round(cos, 3))
+        .filter(F.col("cosine") >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
+_Q24_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+             / (a.nrm * b.nrm), 3) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+            / (a.nrm * b.nrm), 3) >= 0.45
+"""
+
+
+DEDUP_QUERIES = {
+    "q20_dedup_exact": q20_dedup_exact,
+    "q21_dedup_ngram_jaccard": q21_dedup_ngram_jaccard,
+    "q22_dedup_minhash_lsh": q22_dedup_minhash_lsh,
+    "q23_dedup_simhash": q23_dedup_simhash,
+    "q24_embed_neardup": q24_embed_neardup,
+}
+
+DEDUP_ORACLES = {
+    "q20_dedup_exact": _Q20_SQL,
+    "q21_dedup_ngram_jaccard": _Q21_SQL,
+    "q22_dedup_minhash_lsh": _q22_sql(),
+    "q23_dedup_simhash": _q23_sql(),
+    "q24_embed_neardup": _Q24_SQL,
+}

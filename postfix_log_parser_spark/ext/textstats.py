@@ -1,0 +1,217 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language ID (marker-word heuristic), quality scoring (length / word /
+stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (normalized-content hash).  Everything is a pure
+Catalyst expression (split / filter / transform / regexp) — no Python on
+the hot path, so these scale as narrow maps + one aggregation shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postfix_log_parser_spark.ext.dedup import _DUCK_WORDS, words_of
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# marker words per language for the n-gram/stopword language-ID heuristic;
+# checked in preference order (en, de, fr, es) with >0 score required.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "de": ("der", "die", "das", "und", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "une"),
+    "es": ("el", "los", "las", "y", "una", "por"),
+}
+
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _count_in(words, vocab: tuple[str, ...]):
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def _duck_count_in(vocab: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in vocab)
+    return f"len(list_filter(words, w -> list_contains([{lst}], w)))"
+
+
+# ---------------------------------------------------------------------------
+# q27 — quality scoring aggregated per language label
+# ---------------------------------------------------------------------------
+
+def q27_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("words", words_of(F.col("text")))
+    n_words = F.size("words")
+    word_chars = F.aggregate(
+        F.transform(F.col("words"), F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    stop_ratio = _count_in(F.col("words"), STOPWORDS) / n_words
+    per_doc = docs.select(
+        "lang",
+        n_words.alias("n_words"),
+        (word_chars / n_words).alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        F.length("text").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_words"), 3).alias("avg_words"),
+        F.round(F.avg("avg_word_len"), 4).alias("avg_word_len"),
+        F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+    )
+
+
+_Q27_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(words) AS n_words,
+         list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words) AS avg_word_len,
+         {_duck_count_in(STOPWORDS)}::DOUBLE / len(words) AS stop_ratio,
+         length(text) AS n_chars
+  FROM (SELECT lang, text, {_DUCK_WORDS} AS words FROM documents)
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_words), 3) AS avg_words,
+       round(avg(avg_word_len), 4) AS avg_word_len,
+       round(avg(stop_ratio), 4) AS avg_stop_ratio,
+       round(avg(n_chars), 3) AS avg_chars
+FROM per_doc GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q28 — language-ID heuristic (marker-word argmax, fixed preference order)
+# ---------------------------------------------------------------------------
+
+def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("words", words_of(F.col("text")))
+    scores = {
+        lang: _count_in(F.col("words"), markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= F.greatest(s["de"], s["fr"], s["es"])) & (s["en"] > 0), "en"
+        )
+        .when((s["de"] >= F.greatest(s["fr"], s["es"])) & (s["de"] > 0), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("unknown")
+    )
+    return (
+        docs.select(
+            "lang", *[scores[lang].alias(f"s_{lang}") for lang in LANG_MARKERS]
+        )
+        .withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q28_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+         {_duck_count_in(LANG_MARKERS['en'])} AS s_en,
+         {_duck_count_in(LANG_MARKERS['de'])} AS s_de,
+         {_duck_count_in(LANG_MARKERS['fr'])} AS s_fr,
+         {_duck_count_in(LANG_MARKERS['es'])} AS s_es
+  FROM (SELECT lang, {_DUCK_WORDS} AS words FROM documents)
+)
+SELECT lang,
+       CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+            WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+            WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'unknown' END AS predicted,
+       count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+def q29_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    bpe_tokens = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), F.lit(0))
+    )
+    return (
+        docs.select("source", ws_tokens.alias("ws"), bpe_tokens.alias("bpe"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(F.avg("bpe"), 3).alias("avg_bpe_tokens"),
+        )
+    )
+
+
+_Q29_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+       round(avg(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))), 3) AS avg_bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q30 — document fingerprinting (normalized-content hash)
+# ---------------------------------------------------------------------------
+
+def q30_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    fp = F.substring(F.md5(normalized), 1, 16)
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("fp")).alias("n_distinct_fp"),
+            F.min("fp").alias("min_fp"),
+        )
+    )
+
+
+_Q30_SQL = """
+WITH fps AS (
+  SELECT source,
+         substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fp
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT fp) AS n_distinct_fp,
+       min(fp) AS min_fp
+FROM fps GROUP BY source
+"""
+
+
+TEXTSTATS_QUERIES = {
+    "q27_text_quality": q27_text_quality,
+    "q28_lang_id": q28_lang_id,
+    "q29_token_stats": q29_token_stats,
+    "q30_fingerprint": q30_fingerprint,
+}
+
+TEXTSTATS_ORACLES = {
+    "q27_text_quality": _Q27_SQL,
+    "q28_lang_id": _Q28_SQL,
+    "q29_token_stats": _Q29_SQL,
+    "q30_fingerprint": _Q30_SQL,
+}

@@ -1,0 +1,232 @@
+"""Driver-checked queries over the postfix parse→sessionize pipeline.
+
+The reference's behavioral contract is its 7 golden fixtures
+(``lognormalizer/parse_test.py:26-277``).  These queries run the fixtures
+through the real engine (``parse_lines`` → ``sessionize``) and project
+deterministic scalar columns; the DuckDB oracles are literal VALUES rows
+derived from the reference's asserted outputs — so the driver's oracle
+harness verifies the full parser surface (F1-F4, P1-P12, A1-A2, J1, S4),
+not just the analytics layer.
+
+Fixture log lines are quoted from the reference tests (MIT-licensed),
+same as ``tests/test_golden.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postfix_log_parser_spark.operators.parse import parse_lines
+from postfix_log_parser_spark.operators.sessionize import sessionize
+from postfix_log_parser_spark.sources.text import lines_df
+
+BASIC = """\
+2024-04-09T20:22:42.548478+03:00 localhost postfix/submission/smtpd[2182082]: 85C6C10208A: client=mail.localhost[192.168.0.1], sasl_method=PLAIN, sasl_username=user@localhost
+2024-04-09T20:22:42.596265+03:00 localhost postfix/cleanup[2182089]: 85C6C10208A: message-id=<214b89-66157980-3-dc1e520@120925011>
+2024-04-09T20:22:42.736487+03:00 localhost postfix/qmgr[837]: 85C6C10208A: from=<user@localhost>, size=952, nrcpt=1 (queue active)
+2024-04-09T20:22:42.736796+03:00 localhost postfix/submission/smtpd[2182082]: disconnect from mail.localhost[192.168.0.1] ehlo=2 starttls=1 auth=1 mail=1 rcpt=1 data=1 quit=1 commands=8
+2024-04-09T20:22:43.039303+03:00 localhost postfix/lmtp[2182091]: 85C6C10208A: to=<user@localhost>, relay=mail.localhost[private/dovecot-lmtp], delay=0.55, delays=0.25/0.02/0.02/0.27, dsn=2.0.0, status=sent (250 2.0.0 <user@localhost> VB7QLWJ5FWbMSyEA0J78UA Saved)
+2024-04-09T20:22:43.039628+03:00 localhost postfix/qmgr[837]: 85C6C10208A: removed"""
+
+MIXED = """\
+2024-04-09T20:22:42.305279+03:00 localhost postfix/submission/smtpd[2182082]: connect from mail.localhost[192.168.0.1]
+2024-04-09T20:22:42.548478+03:00 localhost postfix/submission/smtpd[2182082]: 85C6C10208A: client=mail.localhost[192.168.0.1], sasl_method=PLAIN, sasl_username=user@localhost
+2024-04-09T20:25:02.187267+03:00 localhost postfix/pickup[2181174]: 2D7291020EE: uid=0 from=<root>
+2024-04-09T20:22:42.596265+03:00 localhost postfix/cleanup[2182089]: 85C6C10208A: message-id=<214b89-66157980-3-dc1e520@120925011>
+2024-04-09T20:25:02.207945+03:00 localhost postfix/cleanup[2182115]: 2D7291020EE: message-id=<20240409172502.2D7291020EE@mail.localhost>
+2024-04-09T20:22:42.736487+03:00 localhost postfix/qmgr[837]: 85C6C10208A: from=<user@localhost>, size=952, nrcpt=1 (queue active)
+2024-04-09T20:25:02.483114+03:00 localhost postfix/qmgr[837]: 2D7291020EE: from=<root@localhost>, size=732, nrcpt=1 (queue active)
+2024-04-09T20:22:42.736796+03:00 localhost postfix/submission/smtpd[2182082]: disconnect from mail.localhost[192.168.0.1] ehlo=2 starttls=1 auth=1 mail=1 rcpt=1 data=1 quit=1 commands=8
+2024-04-09T20:25:02.134775+03:00 localhost fetchmail-all[2182112]: Please create: /var/lock/fetchmail
+2024-04-09T20:22:43.039303+03:00 localhost postfix/lmtp[2182091]: 85C6C10208A: to=<user@localhost>, relay=mail.localhost[private/dovecot-lmtp], delay=0.55, delays=0.25/0.02/0.02/0.27, dsn=2.0.0, status=sent (250 2.0.0 <user@localhost> VB7QLWJ5FWbMSyEA0J78UA Saved)
+2024-04-09T20:22:43.039628+03:00 localhost postfix/qmgr[837]: 85C6C10208A: removed
+2024-04-09T20:25:02.558830+03:00 localhost postfix/lmtp[2182117]: 2D7291020EE: to=<root@localhost>, orig_to=<root>, relay=mail.localhost[private/dovecot-lmtp], delay=0.4, delays=0.33/0.02/0.02/0.04, dsn=5.1.1, status=bounced (host mail.localhost[private/dovecot-lmtp] said: 550 5.1.1 <root@localhost> User doesn't exist: root@localhost (in reply to RCPT TO command))
+2024-04-09T20:25:02.570564+03:00 localhost postfix/qmgr[837]: 2D7291020EE: removed"""
+
+SUBJECT = """\
+2024-05-10T14:21:02.940024+03:00 localhost postfix/smtpd[96814]: E54DD102A90: client=mail-lf1-f47.google.com[209.85.167.47]
+2024-05-10T14:21:02.943156+03:00 localhost postfix/cleanup[96830]: E54DD102A90: message-id=<c6817a87-5fd4-4702-a784-ad400bbd9641@gmail.com>
+2024-05-10T14:21:02.943386+03:00 localhost postfix/cleanup[96830]: E54DD102A90: warning: header Subject: =?UTF-8?B?dGVzdCAtINCi0LXRgdGC?= from mail-lf1-f47.google.com[209.85.167.47]; from=<example@gmail.com> to=<max1@localhost> proto=ESMTP helo=<mail-lf1-f47.google.com>
+2024-05-10T14:21:03.771707+03:00 localhost postfix/qmgr[96647]: E54DD102A90: from=<example@gmail.com>, size=3089, nrcpt=1 (queue active)
+2024-05-10T14:21:03.797619+03:00 localhost postfix/smtpd[96814]: disconnect from mail-lf1-f47.google.com[209.85.167.47] ehlo=2 starttls=1 mail=1 rcpt=1 bdat=1 quit=1 commands=7
+2024-05-10T14:21:04.415129+03:00 localhost postfix/lmtp[96831]: E54DD102A90: to=<max1@localhost>, relay=mail.localhost[private/dovecot-lmtp], delay=1.5, delays=0.89/0.02/0.02/0.61, dsn=2.0.0, status=sent (250 2.0.0 <max1@localhost> 8lAxMB8DPmZAegEA0J78UA Saved)
+2024-05-10T14:21:04.415641+03:00 localhost postfix/qmgr[96647]: E54DD102A90: removed"""
+
+ASCII_SUBJECT = """\
+2024-05-12T00:05:01.479974+03:00 localhost postfix/pickup[12895]: 74F8A1019D1: uid=0 from=<root>
+2024-05-12T00:05:01.505890+03:00 localhost postfix/cleanup[13779]: 74F8A1019D1: warning: header Subject: Cron <root@test3-stack> /usr/bin/sudo -H -u vmail /var/www/postfixadmin/ADDITIONS/fetchmail.pl from local; from=<root@localhost> to=<root@localhost>
+2024-05-12T00:05:01.506337+03:00 localhost postfix/cleanup[13779]: 74F8A1019D1: message-id=<20240511210501.74F8A1019D1@mail.localhost>
+2024-05-12T00:05:01.565946+03:00 localhost postfix/qmgr[7094]: 74F8A1019D1: from=<root@localhost>, size=732, nrcpt=1 (queue active)
+2024-05-12T00:05:01.657364+03:00 localhost postfix/lmtp[13781]: 74F8A1019D1: to=<root@localhost>, orig_to=<root>, relay=mail.localhost[private/dovecot-lmtp], delay=0.21, delays=0.12/0.02/0.02/0.05, dsn=5.1.1, status=bounced (host mail.localhost[private/dovecot-lmtp] said: 550 5.1.1 <root@localhost> User doesn't exist: root@localhost (in reply to RCPT TO command))
+2024-05-12T00:05:01.663062+03:00 localhost postfix/bounce[13785]: 74F8A1019D1: sender non-delivery notification: A08BD101F4A
+2024-05-12T00:05:01.663913+03:00 localhost postfix/qmgr[7094]: 74F8A1019D1: removed"""
+
+DOVECOT = """\
+2024-04-30T15:09:26.900515+03:00 localhost postfix/smtpd[2799418]: DBC88100165: client=unknown[91.215.169.237]
+2024-04-30T15:09:27.061817+03:00 localhost postfix/cleanup[2799490]: DBC88100165: message-id=<2cd16c8571abc90a2986ef44b051ebe1d44c9c29@vrufa.ru>
+2024-04-30T15:09:27.357334+03:00 localhost postfix/qmgr[837]: DBC88100165: from=<mishin@vrufa.ru>, size=3132, nrcpt=1 (queue active)
+2024-04-30T15:09:27.416842+03:00 localhost postfix/smtpd[2799418]: disconnect from unknown[91.215.169.237] ehlo=2 starttls=1 mail=1 rcpt=1 data=1 quit=1 commands=7
+2024-04-30T15:09:27.510034+03:00 localhost postfix/lmtp[2799491]: DBC88100165: to=<admin@localhost>, relay=mail.localhost[private/dovecot-lmtp], delay=0.71, delays=0.56/0.01/0.02/0.12, dsn=2.0.0, status=sent (250 2.0.0 <admin@localhost> N2hLF3ffMGaEtyoA0J78UA Saved)
+Apr 30 15:09:27 lmtp(admin@localhost)<2799492><N2hLF3ffMGaEtyoA0J78UA>: Info: sieve: msgid=<2cd16c8571abc90a2986ef44b051ebe1d44c9c29@vrufa.ru>: fileinto action: stored mail into mailbox 'Junk'
+2024-04-30T15:09:27.510457+03:00 localhost postfix/qmgr[837]: DBC88100165: removed"""
+
+MULTIPLE_TO = """\
+2024-05-11T19:19:29.118301+03:00 test3-stack postfix/smtpd[7113]: 1CC191002F0: client=unknown[209.85.208.172]
+2024-05-11T19:19:29.128386+03:00 test3-stack postfix/cleanup[7121]: 1CC191002F0: message-id=<1f9d20ee-0fb7-430f-b8ca-fa8b78e7a333@gmail.com>
+2024-05-11T19:19:29.128767+03:00 test3-stack postfix/cleanup[7121]: 1CC191002F0: warning: header Subject: =?UTF-8?B?dGVzdDIgLSDQotC10YHRgjI=?= from unknown[209.85.208.172]; from=<example@gmail.com> to=<max2@localhost> proto=ESMTP helo=<mail-lj1-f172.google.com>
+2024-05-11T19:19:29.252088+03:00 test3-stack postfix/qmgr[7094]: 1CC191002F0: from=<example@gmail.com>, size=3140, nrcpt=2 (queue active)
+2024-05-11T19:19:30.108425+03:00 test3-stack postfix/lmtp[7122]: 1CC191002F0: to=<max1@localhost>, relay=mail.localhost[private/dovecot-lmtp], delay=1.1, delays=0.25/0.02/0.03/0.81, dsn=2.0.0, status=sent (250 2.0.0 <max1@localhost> Ck2hEZGaP2bTGwAA0J78UA Saved)
+2024-05-11T19:19:30.109424+03:00 test3-stack postfix/lmtp[7122]: 1CC191002F0: to=<max2@localhost>, relay=mail.localhost[private/dovecot-lmtp], delay=1.1, delays=0.25/0.02/0.03/0.81, dsn=2.0.0, status=sent (250 2.0.0 <max2@localhost> Ck2hEZGaP2bTGwAA0J78UA:R2 Saved)
+2024-05-11T19:19:30.109590+03:00 test3-stack postfix/qmgr[7094]: 1CC191002F0: removed"""
+
+CLEANUP = """\
+2024-04-09T20:22:42.548478+03:00 localhost postfix/submission/smtpd[2182082]: 85C6C10208A: client=mail.localhost[192.168.0.1], sasl_method=PLAIN, sasl_username=user@localhost
+2024-04-09T20:22:42.596265+03:00 localhost postfix/cleanup[2182089]: 85C6C10208A: message-id=<214b89-66157980-3-dc1e520@120925011>
+2024-04-09T20:22:42.736487+03:00 localhost postfix/qmgr[837]: 85C6C10208A: from=<user@localhost>, size=952, nrcpt=1 (queue active)
+2024-04-09T20:22:42.736796+03:00 localhost postfix/submission/smtpd[2182082]: disconnect from mail.localhost[192.168.0.1] ehlo=2 starttls=1 auth=1 mail=1 rcpt=1 data=1 quit=1 commands=8
+2024-04-09T20:22:43.039303+03:00 localhost postfix/lmtp[2182091]: 85C6C10208A: to=<user@localhost>, relay=mail.localhost[private/dovecot-lmtp], delay=0.55, delays=0.25/0.02/0.02/0.27, dsn=2.0.0, status=sent (250 2.0.0 <user@localhost> VB7QLWJ5FWbMSyEA0J78UA Saved)
+LINE"""
+
+# fault-inducing lines: Q4 KeyError (removed with missing required fields)
+# and Q8 IndexError (dovecot-shaped line with < 9 tokens)
+FAULTS = """\
+2024-04-09T20:22:42.000001+03:00 localhost postfix/qmgr[837]: AAAAAAAAAAA: from=<x@y>, size=1, nrcpt=1 (queue active)
+2024-04-09T20:22:42.000002+03:00 localhost postfix/qmgr[837]: AAAAAAAAAAA: removed
+Apr 30 15:09:27 lmtp(admin@localhost)<2799492><N2hLF3ffMGaEtyoA0J78UA>: Info: sieve:
+2024-04-09T20:22:43.000003+03:00 localhost postfix/qmgr[837]: BBBBBBBBBBB: removed"""
+
+ALL_EVENTS_FIXTURE = "\n".join(
+    [BASIC, MIXED, SUBJECT, ASCII_SUBJECT, DOVECOT, MULTIPLE_TO]
+)
+
+
+def _run(spark: SparkSession, text: str):
+    parsed = parse_lines(lines_df(spark, text.splitlines()))
+    return sessionize(parsed)
+
+
+def q40_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-pipeline events over the concatenated golden fixtures."""
+    events, _faults, _state = _run(spark, ALL_EVENTS_FIXTURE)
+    return events.select(
+        "queue_id",
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_utc"),
+        "domain_from",
+        F.concat_ws(",", "domains_to").alias("domains_to_csv"),
+        "message_from",
+        F.concat_ws(",", "message_to").alias("message_to_csv"),
+        "message_id",
+        "message_subject",
+        "status",
+        "status_code",
+        "status_postfix_code",
+        "status_description",
+        "client",
+        "orig_to",
+        "dovecot_fileinto_action",
+        "dsn",
+        "nrcpt",
+        F.col("size").alias("msg_size"),
+        F.size("raw_log").alias("n_raw"),
+    )
+
+
+_Q40_SQL = """
+SELECT * FROM (VALUES
+  ('85C6C10208A', '2024-04-09 17:22:42.548478', 'localhost', 'localhost',
+   'user@localhost', 'user@localhost', '214b89-66157980-3-dc1e520@120925011',
+   CAST(NULL AS VARCHAR), 'sent', CAST(250 AS INTEGER), '2.0.0',
+   '250 2.0.0 <user@localhost> VB7QLWJ5FWbMSyEA0J78UA Saved',
+   'mail.localhost[192.168.0.1]', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   '2.0.0', '1', '952', CAST(5 AS INTEGER)),
+  ('85C6C10208A', '2024-04-09 17:22:42.548478', 'localhost', 'localhost',
+   'user@localhost', 'user@localhost', '214b89-66157980-3-dc1e520@120925011',
+   CAST(NULL AS VARCHAR), 'sent', CAST(250 AS INTEGER), '2.0.0',
+   '250 2.0.0 <user@localhost> VB7QLWJ5FWbMSyEA0J78UA Saved',
+   'mail.localhost[192.168.0.1]', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   '2.0.0', '1', '952', CAST(5 AS INTEGER)),
+  ('2D7291020EE', '2024-04-09 17:25:02.187267', 'localhost', 'localhost',
+   'root@localhost', 'root@localhost', '20240409172502.2D7291020EE@mail.localhost',
+   CAST(NULL AS VARCHAR), 'bounced', CAST(550 AS INTEGER), '5.1.1',
+   'host mail.localhost[private/dovecot-lmtp] said: 550 5.1.1 <root@localhost> User doesn''t exist: root@localhost (in reply to RCPT TO command',
+   CAST(NULL AS VARCHAR), '<root>', CAST(NULL AS VARCHAR),
+   '5.1.1', '1', '732', CAST(5 AS INTEGER)),
+  ('E54DD102A90', '2024-05-10 11:21:02.940024', 'gmail.com', 'localhost',
+   'example@gmail.com', 'max1@localhost', 'c6817a87-5fd4-4702-a784-ad400bbd9641@gmail.com',
+   'test - Тест', 'sent', CAST(250 AS INTEGER), '2.0.0',
+   '250 2.0.0 <max1@localhost> 8lAxMB8DPmZAegEA0J78UA Saved',
+   'mail-lf1-f47.google.com[209.85.167.47]', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   '2.0.0', '1', '3089', CAST(6 AS INTEGER)),
+  ('74F8A1019D1', '2024-05-11 21:05:01.479974', 'localhost', 'localhost',
+   'root@localhost', 'root@localhost', '20240511210501.74F8A1019D1@mail.localhost',
+   'Cron <root@test3-stack> /usr/bin/sudo -H -u vmail /var/www/postfixadmin/ADDITIONS/fetchmail.pl',
+   'bounced', CAST(550 AS INTEGER), '5.1.1',
+   'host mail.localhost[private/dovecot-lmtp] said: 550 5.1.1 <root@localhost> User doesn''t exist: root@localhost (in reply to RCPT TO command',
+   CAST(NULL AS VARCHAR), '<root>', CAST(NULL AS VARCHAR),
+   '5.1.1', '1', '732', CAST(7 AS INTEGER)),
+  ('DBC88100165', '2024-04-30 12:09:26.900515', 'vrufa.ru', 'localhost',
+   'mishin@vrufa.ru', 'admin@localhost', '2cd16c8571abc90a2986ef44b051ebe1d44c9c29@vrufa.ru',
+   CAST(NULL AS VARCHAR), 'sent', CAST(250 AS INTEGER), '2.0.0',
+   '250 2.0.0 <admin@localhost> N2hLF3ffMGaEtyoA0J78UA Saved',
+   'unknown[91.215.169.237]', CAST(NULL AS VARCHAR), 'stored mail into mailbox ''Junk''',
+   '2.0.0', '1', '3132', CAST(5 AS INTEGER)),
+  ('1CC191002F0', '2024-05-11 16:19:29.118301', 'gmail.com', 'localhost',
+   'example@gmail.com', 'max1@localhost,max2@localhost', '1f9d20ee-0fb7-430f-b8ca-fa8b78e7a333@gmail.com',
+   'test2 - Тест2', 'sent', CAST(250 AS INTEGER), '2.0.0',
+   '250 2.0.0 <max2@localhost> Ck2hEZGaP2bTGwAA0J78UA:R2 Saved',
+   'unknown[209.85.208.172]', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   '2.0.0', '2', '3140', CAST(7 AS INTEGER))
+) AS t(queue_id, ts_utc, domain_from, domains_to_csv, message_from,
+       message_to_csv, message_id, message_subject, status, status_code,
+       status_postfix_code, status_description, client, orig_to,
+       dovecot_fileinto_action, dsn, nrcpt, msg_size, n_raw)
+"""
+
+
+def q41_log_faults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault side-channel (S4/Q4/Q8/Q12): reason histogram."""
+    _events, faults, _state = _run(spark, FAULTS)
+    return faults.groupBy("fault_reason").agg(F.count(F.lit(1)).alias("n"))
+
+
+_Q41_SQL = """
+SELECT * FROM (VALUES
+  ('KeyError: ''to''', CAST(1 AS BIGINT)),
+  ('KeyError: ''from''', CAST(1 AS BIGINT)),
+  ('IndexError: dovecot-shaped line too short', CAST(1 AS BIGINT))
+) AS t(fault_reason, n)
+"""
+
+
+def q42_log_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual open-session state (A1 without completion; Q4 keeps the
+    session open after a failed finalization)."""
+    _events, _faults, state = _run(spark, CLEANUP + "\n" + FAULTS)
+    return state.select(
+        "queue_id",
+        F.size("raw_log").alias("n_raw"),
+        F.try_element_at(F.col("fields"), F.lit("from")).alias("from_field"),
+    )
+
+
+_Q42_SQL = """
+SELECT * FROM (VALUES
+  ('85C6C10208A', CAST(4 AS INTEGER), '<user@localhost>'),
+  ('AAAAAAAAAAA', CAST(2 AS INTEGER), '<x@y>'),
+  ('BBBBBBBBBBB', CAST(1 AS INTEGER), CAST(NULL AS VARCHAR))
+) AS t(queue_id, n_raw, from_field)
+"""
+
+
+LOG_QUERIES = {
+    "q40_log_events": q40_log_events,
+    "q41_log_faults": q41_log_faults,
+    "q42_log_state": q42_log_state,
+}
+
+LOG_ORACLES = {
+    "q40_log_events": _Q40_SQL,
+    "q41_log_faults": _Q41_SQL,
+    "q42_log_state": _Q42_SQL,
+}

@@ -26,6 +26,7 @@ def get_spark(app_name: str = "postfix_log_parser_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
@@ -44,6 +45,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:  # pragma: no cover - conf may be static on some builds
