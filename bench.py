@@ -1,0 +1,169 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS], plus parse→sessionize throughput on a
+synthetic postfix log scaled to the testdata size.
+
+Prints ONE JSON line:
+  {"metric": "bench_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, "parse_lines_per_sec": N}
+
+Queries are materialized with a noop write (full execution, no driver
+collect).  Synthetic log: interleaved sessions built from the golden
+fixture patterns (FIXTURES.md), ~5 lines/session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from postfix_log_parser_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: every driver query family, ordered cheap->expensive
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_customers",
+    "q04_order_priority",
+    "q05_segment_rollup",
+    "q06_returnflag_cube",
+    "q07_top3_per_nation",
+    "q08_running_total",
+    "q09_event_deltas",
+    "q10_event_sessions",
+    "q11_hourly_events",
+    "q12_customers_without_orders",
+    "q13_nation_setops",
+    "q14_brand_strings",
+    "q15_approx_distinct",
+    "q16_json_props",
+    "q17_asof_signup",
+    "q20_dedup_exact",
+    "q21_dedup_ngram_jaccard",
+    "q22_dedup_minhash_lsh",
+    "q23_dedup_simhash",
+    "q24_embed_neardup",
+    "q25_ann_bruteforce",
+    "q26_ann_lsh",
+    "q27_text_quality",
+    "q28_lang_id",
+    "q29_token_stats",
+    "q30_fingerprint",
+    "q31_multimodal_features",
+    "q40_log_events",
+    "q41_log_faults",
+    "q42_log_state",
+]
+
+
+def synth_log_lines(n_sessions: int) -> list[str]:
+    """Deterministic synthetic postfix log: interleaved 5-line sessions in
+    the golden-fixture shape (client / message-id / from / to / removed),
+    with a sprinkle of noise and dovecot lines."""
+    lines: list[str] = []
+    base_us = 0
+    for i in range(n_sessions):
+        qid = f"{i:011X}"[-11:]
+        # keep it uppercase hex, 11 chars
+        qid = format(i % (16**11), "011X")
+        t = lambda k: (  # noqa: E731
+            f"2024-04-09T20:{(base_us // 60000000) % 40 + 10:02d}:"
+            f"{(base_us // 1000000) % 60:02d}."
+            f"{base_us % 1000000:06d}+03:00"
+        )
+        u = i % 97
+        lines.append(
+            f"{t(0)} localhost postfix/smtpd[100]: {qid}: "
+            f"client=host{u}.example.com[10.0.0.{u % 250}], sasl_method=PLAIN"
+        )
+        lines.append(
+            f"{t(1)} localhost postfix/cleanup[101]: {qid}: "
+            f"message-id=<msg-{i}@example.com>"
+        )
+        lines.append(
+            f"{t(2)} localhost postfix/qmgr[102]: {qid}: "
+            f"from=<sender{u}@domain{u % 13}.com>, size={900 + u}, nrcpt=1 (queue active)"
+        )
+        if i % 17 == 0:
+            lines.append(
+                f"{t(3)} localhost postfix/smtpd[100]: disconnect from "
+                f"host{u}.example.com[10.0.0.{u % 250}] commands=8"
+            )
+        lines.append(
+            f"{t(4)} localhost postfix/lmtp[103]: {qid}: "
+            f"to=<rcpt{u}@dest{u % 7}.org>, relay=mail.localhost[private/dovecot-lmtp], "
+            f"delay=0.5, delays=0.2/0.1/0.1/0.1, dsn=2.0.0, status=sent "
+            f"(250 2.0.0 <rcpt{u}@dest{u % 7}.org> ok Saved)"
+        )
+        if i % 29 == 0:
+            lines.append(
+                "Apr 30 15:09:27 lmtp(x)<1><y>: Info: sieve: "
+                f"msgid=<msg-{i}@example.com>: fileinto action: stored mail into mailbox 'Inbox'"
+            )
+        lines.append(f"{t(5)} localhost postfix/qmgr[102]: {qid}: removed")
+        base_us += 1_000_037
+    return lines
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    # warm up the JVM / executor pool
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # parse→sessionize throughput on a synthetic log scaled with sf
+    n_sessions = max(2000, int(200_000 * sf))
+    log_lines = synth_log_lines(n_sessions)
+    tmp = tempfile.mkdtemp(prefix="bench_log_")
+    try:
+        path = os.path.join(tmp, "mail.log")
+        with open(path, "w") as fh:
+            fh.write("\n".join(log_lines))
+        from postfix_log_parser_spark.operators.parse import parse_lines
+        from postfix_log_parser_spark.operators.sessionize import sessionize
+        from postfix_log_parser_spark.sources.text import read_text
+
+        t0 = time.time()
+        parsed = parse_lines(read_text(spark, path))
+        events, faults, state = sessionize(parsed)
+        events.write.format("noop").mode("overwrite").save()
+        parse_sec = time.time() - t0
+        timings["parse_sessionize"] = round(parse_sec, 3)
+        lines_per_sec = round(len(log_lines) / parse_sec, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "parse_lines_per_sec": lines_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
