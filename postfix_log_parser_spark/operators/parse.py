@@ -41,11 +41,10 @@ def with_seq(df: DataFrame, line_col: str = "value") -> DataFrame:
 
     Line order is part of the reference's semantics (last-wins folds,
     raw_log order, first-timestamp — quirks Q1-Q3), so the scan must carry
-    an explicit ordering.  ``monotonically_increasing_id`` is
-    order-preserving for an in-order narrow scan (partition-prefixed ids,
-    files assigned to partitions in order), which is exactly the
-    single-log-replay case; multi-file inputs at scale should instead sort
-    by an explicit ``(file, offset)`` — see ``sources.text.read_text``.
+    an explicit ordering.  ``sources.text.read_text`` provides a
+    deterministic (file, in-file position) ``seq`` without shuffling the
+    data; this fallback (``monotonically_increasing_id``) is only for ad
+    hoc DataFrames whose scan order is already the intended order.
     """
     if "seq" in df.columns:
         return df
@@ -177,7 +176,10 @@ def parse_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
     shuffle; scales linearly with input partitions.
     """
     df = with_seq(lines, line_col)
-    raw = F.trim(F.col(line_col))
+    # Python str.strip() semantics: trim whitespace RUNS from both ends
+    # (F.trim strips only ASCII spaces; a leading tab would otherwise
+    # yield an empty first token and shift every index)
+    raw = F.regexp_replace(F.col(line_col), r"^\s+|\s+$", "")
 
     df = df.select("seq", raw.alias("line"), F.split(raw, r"\s+").alias("tokens"))
     tokens = F.col("tokens")
@@ -219,7 +221,11 @@ def parse_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
 
     # ---- admission gates (F1-F3); dovecot handling does not gate — the
     # reference handler always returns False and the line flows on.
-    ts = F.try_to_timestamp(t(0))  # F2/P10: null instead of raising
+    # F2/P10: null instead of raising.  try_to_timestamp alone is laxer
+    # than datetime.fromisoformat (it accepts bare "2024" / "2024-04"),
+    # so gate on the ISO date shape first.
+    ts_shape = t(0).rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}(T.+)?$")
+    ts = F.when(ts_shape, F.try_to_timestamp(t(0)))
     qid_ok = t(3).rlike(_QUEUE_ID_RE)  # F3/Q10
     queue_id = F.substring(t(3), 1, 11)
     admitted = (n >= 5) & ~dovecot_fault & ts.isNotNull() & qid_ok
@@ -284,26 +290,56 @@ def parse_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
         admitted.alias("admitted"),
     )
 
-    # ---- MIME subject decode: vectorized pandas UDF, non-null input only
-    # on the rare MIME-subject rows (P7).  ASCII subjects are fully native.
-    parsed = parsed.withColumn("_mime", _decode_mime_subject(F.col("_subj_tok")))
-    mime_fault = F.col("_mime")["error"].isNotNull() & F.col("_subj_tok").isNotNull()
-    parsed = parsed.select(
+    # ---- MIME subject decode (P7): the pandas UDF runs ONLY on the rare
+    # MIME-subject branch — the hot path (everything else, including ASCII
+    # subjects) never crosses the Arrow/Python boundary.  The branch
+    # filter is evaluated from the cheap token expressions, so the full
+    # projection runs once per surviving row.
+    common = [
         "seq",
         "line",
-        F.when(mime_fault, F.lit("fault")).otherwise(F.col("kind")).alias("kind"),
         "timestamp",
         "queue_id",
         "fields",
         "to_list",
         "status_description",
-        F.when(F.col("_is_mime"), F.col("_mime")["subject"])
-        .when(F.col("_is_mime") == F.lit(False), F.col("_ascii_subject"))
-        .alias("subject"),
         "dovecot_msgid",
         "dovecot_action",
-        F.coalesce(F.col("fault_reason"), F.when(mime_fault, F.col("_mime")["error"]))
-        .alias("fault_reason"),
         "admitted",
+    ]
+    hot = parsed.filter(F.col("_subj_tok").isNull()).select(
+        *common,
+        F.col("kind"),
+        F.when(F.col("_is_mime") == F.lit(False), F.col("_ascii_subject")).alias(
+            "subject"
+        ),
+        F.col("fault_reason"),
     )
-    return parsed
+    mime = parsed.filter(F.col("_subj_tok").isNotNull()).withColumn(
+        "_mime", _decode_mime_subject(F.col("_subj_tok"))
+    )
+    mime_fault = F.col("_mime")["error"].isNotNull()
+    mime = mime.select(
+        *common,
+        F.when(mime_fault, F.lit("fault")).otherwise(F.col("kind")).alias("kind"),
+        F.when(~mime_fault, F.col("_mime")["subject"]).alias("subject"),
+        F.coalesce(
+            F.col("fault_reason"), F.when(mime_fault, F.col("_mime")["error"])
+        ).alias("fault_reason"),
+    )
+    order = [
+        "seq",
+        "line",
+        "kind",
+        "timestamp",
+        "queue_id",
+        "fields",
+        "to_list",
+        "status_description",
+        "subject",
+        "dovecot_msgid",
+        "dovecot_action",
+        "fault_reason",
+        "admitted",
+    ]
+    return hot.unionByName(mime).select(*order)

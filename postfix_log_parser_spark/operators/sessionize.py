@@ -549,7 +549,7 @@ def sessionize(
 
     * ``events`` — the 22-column `EVENTS_SCHEMA` DataFrame, one row per
       completed session (quirk Q5: rows may carry NULL status codes; the
-      sink projection routes those to faults — see ``sources.sinks``).
+      sink projection routes those to faults — see ``sinks.route_sink_faults``).
     * ``faults`` — (line, fault_reason, queue_id): every line the reference
       would route to ``on_fault`` (quirk Q12).
     * ``state`` — residual open sessions (the reference's ``parser.state``)

@@ -23,6 +23,14 @@ def get_spark(app_name: str = "postfix_log_parser_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-mode scan parallelism: the bench logs are ~15 MB, which is
+        # ONE split at the 128 MB default — keep splits small so all 32
+        # cores engage.  On a real cluster leave the default (128 MB).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
