@@ -168,12 +168,18 @@ def _ascii_subject(payload: Column) -> Column:
     return F.concat_ws(" ", F.slice(sub, 1, take))
 
 
-def parse_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
+def parse_lines(
+    lines: DataFrame,
+    line_col: str = "value",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Parse raw log lines into the ``schema.PARSED_SCHEMA`` DataFrame.
 
     Input: a DataFrame with a string column ``line_col`` (and optionally a
     precomputed ``seq`` long column).  Pure narrow transformation — no
-    shuffle; scales linearly with input partitions.
+    shuffle; scales linearly with input partitions.  ``passthrough`` names
+    extra input columns to carry through unchanged (used by the streaming
+    path for its locally-resolved dovecot key).
     """
     df = with_seq(lines, line_col)
     # Python str.strip() semantics: trim whitespace RUNS from both ends
@@ -181,7 +187,9 @@ def parse_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
     # yield an empty first token and shift every index)
     raw = F.regexp_replace(F.col(line_col), r"^\s+|\s+$", "")
 
-    df = df.select("seq", raw.alias("line"), F.split(raw, r"\s+").alias("tokens"))
+    df = df.select(
+        "seq", *passthrough, raw.alias("line"), F.split(raw, r"\s+").alias("tokens")
+    )
     tokens = F.col("tokens")
     n = F.size(tokens)
 
@@ -272,6 +280,7 @@ def parse_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
 
     parsed = df.select(
         "seq",
+        *passthrough,
         "line",
         kind.alias("kind"),
         F.when(n >= 5, ts).alias("timestamp"),
@@ -297,6 +306,7 @@ def parse_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
     # projection runs once per surviving row.
     common = [
         "seq",
+        *passthrough,
         "line",
         "timestamp",
         "queue_id",
@@ -329,6 +339,7 @@ def parse_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
     )
     order = [
         "seq",
+        *passthrough,
         "line",
         "kind",
         "timestamp",

@@ -1,0 +1,157 @@
+"""Streaming sessionizer tests (SURVEY.md §5.2 step 4): batch/stream
+equivalence on fixture replays, cross-micro-batch session state, and
+event-time TTL eviction (A3)."""
+
+import pytest
+
+from postfix_log_parser_spark import parse_lines, sessionize
+from postfix_log_parser_spark.sources.text import lines_df
+from postfix_log_parser_spark.streaming import (
+    sessionize_stream,
+    stream_events,
+    stream_faults,
+    stream_pre_faults,
+)
+from tests.test_quirks import _line
+
+FIXTURE = f"""
+{_line(0, 1, 'AAAAAAAAAAA: client=unknown[10.0.0.1], sasl_method=PLAIN')}
+{_line(0, 2, 'AAAAAAAAAAA: message-id=<m@1>')}
+{_line(0, 3, 'BBBBBBBBBBB: from=<other@b.org>, message-id=<m@2>')}
+{_line(0, 4, 'AAAAAAAAAAA: from=<sender@a.com>, size=100, nrcpt=1 (queue active)')}
+Apr 30 15:09:27 lmtp(x)<1><y>: Info: sieve: msgid=<m@1>: fileinto action: stored mail into mailbox Inbox
+{_line(0, 6, 'AAAAAAAAAAA: to=<rcpt@c.net>, relay=x, dsn=2.0.0, status=sent (250 2.0.0 ok Saved)')}
+{_line(0, 7, 'noise line that is dropped early')}
+{_line(0, 8, 'AAAAAAAAAAA: removed')}
+{_line(0, 9, 'BBBBBBBBBBB: removed')}
+{_line(1, 0, 'x Info:')}
+"""
+# session A: complete, with dovecot correlation.  session B: removed with
+# missing to/status -> Q4 KeyError fault, stays open.  The 4th-token
+# 'Info:' line is dovecot-shaped-but-short -> IndexError pre-fault (Q8).
+# NOTE the sieve line is a mixed-format dovecot line: it is resolved
+# scan-locally in streaming and via msgid intervals in batch.
+
+
+def _run_stream(spark, in_dir, ckpt, qname):
+    folded = sessionize_stream(spark.readStream.text(str(in_dir)))
+    q = (
+        folded.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    lines = [ln for ln in FIXTURE.splitlines() if ln.strip()]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "mail.log").write_text("\n".join(lines))
+
+    folded = _run_stream(spark, in_dir, tmp_path / "ckpt", "stream_eq")
+    s_events = sorted(
+        (r.asDict(recursive=True) for r in stream_events(folded).collect()),
+        key=lambda d: d["queue_id"],
+    )
+    s_faults = sorted(
+        (r["fault_reason"], r["line"]) for r in stream_faults(folded).collect()
+    )
+
+    parsed = parse_lines(lines_df(spark, lines))
+    b_events_df, b_faults_df, _ = sessionize(parsed)
+    b_events = sorted(
+        (r.asDict(recursive=True) for r in b_events_df.collect()),
+        key=lambda d: d["queue_id"],
+    )
+    b_fold_faults = sorted(
+        (r["fault_reason"], r["line"])
+        for r in b_faults_df.collect()
+        if r["fault_reason"].startswith("KeyError")
+    )
+
+    assert s_events == b_events
+    assert s_faults == b_fold_faults
+    # the dovecot action made it through the scan-local correlation
+    assert s_events[0]["dovecot_fileinto_action"] == "stored mail into mailbox Inbox"
+
+    # stateless pre-fold faults (Q8 short dovecot line)
+    pf = stream_pre_faults(spark.readStream.text(str(in_dir)))
+    q = (
+        pf.writeStream.format("memory")
+        .queryName("stream_prefaults")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    pre = spark.table("stream_prefaults").collect()
+    assert any("IndexError" in r["fault_reason"] for r in pre)
+
+
+def test_stream_multibatch_state_and_ttl(spark, tmp_path):
+    """A session split across micro-batches closes correctly (state carries
+    over); an abandoned session evicts once the watermark passes its
+    first-timestamp + TTL (the reference's OLD_LOGS horizon, parse.py:77,
+    as an event-time timeout).  Uses a parquet file sink — the memory sink
+    does not support checkpoint recovery across restarts."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out_dir = tmp_path / "out"
+
+    def run_and_read():
+        folded = sessionize_stream(spark.readStream.text(str(in_dir)))
+        q = (
+            folded.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from postfix_log_parser_spark.streaming import STREAM_OUT_SCHEMA
+
+        return spark.read.schema(STREAM_OUT_SCHEMA).parquet(str(out_dir))
+
+    # batch 1: first half of session D + all of abandoned session E
+    (in_dir / "01.log").write_text(
+        "\n".join(
+            [
+                _line(0, 1, "DDDDDDDDDDD: from=<d@d.com>, message-id=<m@d>"),
+                _line(0, 2, "EEEEEEEEEEE: from=<e@e.com>, message-id=<m@e>"),
+            ]
+        )
+    )
+    assert run_and_read().count() == 0  # both sessions still open
+
+    # batch 2: second half of session D (same event-time neighborhood)
+    (in_dir / "02.log").write_text(
+        "\n".join(
+            [
+                _line(0, 3, "DDDDDDDDDDD: to=<x@y.z>, status=sent (250 2.0.0 ok fine)"),
+                _line(0, 4, "DDDDDDDDDDD: removed"),
+            ]
+        )
+    )
+    out2 = run_and_read()
+    evs = [r for r in out2.collect() if r["record_type"] == "event"]
+    assert [e["queue_id"] for e in evs] == ["DDDDDDDDDDD"]
+    assert len(evs[0]["raw_log"]) == 3  # lines from both batches
+
+    # batch 3: event time jumps ~1h -> watermark passes E's TTL;
+    # batch 4 (any data) fires the timeout and emits the eviction
+    (in_dir / "03.log").write_text(
+        _line(0, 5, "FFFFFFFFFFF: from=<f@f.com>").replace("T20:22:4", "T21:22:4")
+    )
+    run_and_read()
+    (in_dir / "04.log").write_text(
+        _line(0, 6, "FFFFFFFFFFF: size=1").replace("T20:22:4", "T21:23:4")
+    )
+    out4 = run_and_read()
+    evicted = [r for r in out4.collect() if r["record_type"] == "evicted"]
+    assert [r["queue_id"] for r in evicted] == ["EEEEEEEEEEE"]
+    assert dict(evicted[0]["fields"])["from"] == "<e@e.com>"
