@@ -508,11 +508,15 @@ def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q16_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # parse the JSON ONCE per row (from_json with a narrow schema keeps the
+    # whole aggregation in codegen); get_json_object per-agg would re-parse
+    # the document three times per row
+    k = F.from_json(F.col("props"), "k long")["k"]
+    ev = ev.select("event_type", k.alias("k"))
     return ev.groupBy("event_type").agg(
-        F.round(F.avg(k), 3).alias("avg_k"),
-        F.max(k).alias("max_k"),
-        F.count(F.when(k > 50, 1)).alias("n_gt50"),
+        F.round(F.avg("k"), 3).alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.when(F.col("k") > 50, 1)).alias("n_gt50"),
     )
 
 
