@@ -100,15 +100,22 @@ ALL_EVENTS_FIXTURE = "\n".join(
     [BASIC, MIXED, SUBJECT, ASCII_SUBJECT, DOVECOT, MULTIPLE_TO]
 )
 
+# streaming fixture: drop BASIC (MIXED repeats it verbatim — byte-identical
+# sessions with equal timestamps are order-ambiguous under the streaming
+# fold's event-time-major ordering; see streaming.sessionize_stream)
+STREAM_EVENTS_FIXTURE = "\n".join(
+    [MIXED, SUBJECT, ASCII_SUBJECT, DOVECOT, MULTIPLE_TO]
+)
+
 
 def _run(spark: SparkSession, text: str):
     parsed = parse_lines(lines_df(spark, text.splitlines()))
     return sessionize(parsed)
 
 
-def q40_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-pipeline events over the concatenated golden fixtures."""
-    events, _faults, _state = _run(spark, ALL_EVENTS_FIXTURE)
+def _events_projection(events: DataFrame) -> DataFrame:
+    """Deterministic scalar projection of the events table (shared by the
+    batch q40 and streaming q43 so both hit the same VALUES oracle)."""
     return events.select(
         "queue_id",
         F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_utc"),
@@ -130,6 +137,12 @@ def q40_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").alias("msg_size"),
         F.size("raw_log").alias("n_raw"),
     )
+
+
+def q40_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-pipeline events over the concatenated golden fixtures."""
+    events, _faults, _state = _run(spark, ALL_EVENTS_FIXTURE)
+    return _events_projection(events)
 
 
 _Q40_SQL = """
@@ -219,14 +232,58 @@ SELECT * FROM (VALUES
 """
 
 
+def q43_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING pipeline (A1-A3 via applyInPandasWithState) over the same
+    golden fixtures, checked against the same VALUES oracle as the batch
+    q40 — the batch/stream equivalence contract, driver-verified.  Runs an
+    availableNow micro-batch query to completion and returns the sink."""
+    import tempfile
+    import uuid
+
+    from postfix_log_parser_spark.streaming import sessionize_stream, stream_events
+
+    work = tempfile.mkdtemp(prefix="q43_stream_")
+    in_dir = f"{work}/in"
+    import os
+
+    os.makedirs(in_dir)
+    with open(f"{in_dir}/mail.log", "w") as fh:
+        fh.write(STREAM_EVENTS_FIXTURE)
+    folded = sessionize_stream(spark.readStream.text(in_dir))
+    qname = f"q43_sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        stream_events(folded)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return _events_projection(spark.table(qname))
+
+
 LOG_QUERIES = {
     "q40_log_events": q40_log_events,
     "q41_log_faults": q41_log_faults,
     "q42_log_state": q42_log_state,
+    "q43_stream_events": q43_stream_events,
 }
+
+# q43's oracle = q40's VALUES minus one copy of the duplicated BASIC row
+_BASIC_ROW = """  ('85C6C10208A', '2024-04-09 17:22:42.548478', 'localhost', 'localhost',
+   'user@localhost', 'user@localhost', '214b89-66157980-3-dc1e520@120925011',
+   CAST(NULL AS VARCHAR), 'sent', CAST(250 AS INTEGER), '2.0.0',
+   '250 2.0.0 <user@localhost> VB7QLWJ5FWbMSyEA0J78UA Saved',
+   'mail.localhost[192.168.0.1]', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   '2.0.0', '1', '952', CAST(5 AS INTEGER)),
+"""
+_Q43_SQL = _Q40_SQL.replace(_BASIC_ROW, "", 1)
+assert _Q43_SQL != _Q40_SQL, "q43 oracle surgery failed"
 
 LOG_ORACLES = {
     "q40_log_events": _Q40_SQL,
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
+    "q43_stream_events": _Q43_SQL,
 }
