@@ -75,17 +75,11 @@ def _kv_entries(tokens: Column) -> Column:
 
 def _last_wins_map(entries: Column) -> Column:
     """Fold k=v entries into a map with last-wins per key, excluding 'to'
-    (which accumulates, quirk Q1).  Implemented as a first-seen fold over
-    the reversed entry list with disjoint-key ``map_concat`` so it does not
-    depend on the session's ``spark.sql.mapKeyDedupPolicy``."""
-    non_to = F.filter(entries, lambda e: e["name"] != "to")
-    return F.aggregate(
-        F.reverse(non_to),
-        _empty_str_map(),
-        lambda acc, e: F.when(
-            F.array_contains(F.map_keys(acc), e["name"]), acc
-        ).otherwise(F.map_concat(acc, F.create_map(e["name"], e["value"]))),
-    )
+    (which accumulates, quirk Q1).  Uses native ``map_from_entries`` under
+    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set explicitly by
+    ``parse_lines`` — runtime-settable, so correct under any session):
+    one JVM expression instead of an interpreted O(n·k) lambda fold."""
+    return F.map_from_entries(F.filter(entries, lambda e: e["name"] != "to"))
 
 
 def _status_description(tokens: Column) -> Column:
@@ -182,6 +176,9 @@ def parse_lines(
     path for its locally-resolved dovecot key).
     """
     df = with_seq(lines, line_col)
+    # last-wins map semantics (quirk Q1) via native map_from_entries —
+    # requires LAST_WIN dedup (runtime-settable; default is EXCEPTION)
+    df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     # Python str.strip() semantics: trim whitespace RUNS from both ends
     # (F.trim strips only ASCII spaces; a leading tab would otherwise
     # yield an empty first token and shift every index)
@@ -291,8 +288,12 @@ def parse_lines(
         F.when(kind == "subject", is_mime_subject).alias("_is_mime"),
         F.when(is_mime_subject, p(3)).alias("_subj_tok"),
         F.when(kind == "subject", _ascii_subject(payload)).alias("_ascii_subject"),
-        F.when(kind == "dovecot", dovecot_msgid).alias("dovecot_msgid"),
-        F.when(kind == "dovecot", dovecot_action).alias("dovecot_action"),
+        # gated on the shape predicate, NOT on `kind`: is_dovecot ⟺
+        # kind='dovecot' (mutually exclusive arity ranges with the fault
+        # shape), and this keeps a dovecot-only consumer's pruned plan free
+        # of the per-line timestamp/queue-id regex work `kind` requires
+        F.when(is_dovecot, dovecot_msgid).alias("dovecot_msgid"),
+        F.when(is_dovecot, dovecot_action).alias("dovecot_action"),
         F.when(dovecot_fault, F.lit("IndexError: dovecot-shaped line too short"))
         .when(subject_fault, F.lit("IndexError: subject header line too short"))
         .alias("fault_reason"),
@@ -325,13 +326,19 @@ def parse_lines(
         ),
         F.col("fault_reason"),
     )
+    # MIME decode errors keep kind='subject' and surface through
+    # fault_reason — this keeps `kind` independent of the UDF, so any
+    # consumer that does not read `subject` (e.g. the dovecot dim build)
+    # prunes the whole Arrow/Python stage out of its plan.  Downstream
+    # fold semantics: an admitted row with fault_reason set is a fault
+    # (quirk Q12), exactly as before.
     mime = parsed.filter(F.col("_subj_tok").isNotNull()).withColumn(
         "_mime", _decode_mime_subject(F.col("_subj_tok"))
     )
     mime_fault = F.col("_mime")["error"].isNotNull()
     mime = mime.select(
         *common,
-        F.when(mime_fault, F.lit("fault")).otherwise(F.col("kind")).alias("kind"),
+        F.col("kind"),
         F.when(~mime_fault, F.col("_mime")["subject"]).alias("subject"),
         F.coalesce(
             F.col("fault_reason"), F.when(mime_fault, F.col("_mime")["error"])

@@ -247,7 +247,8 @@ def _make_fold(ttl_seconds: int):
             if start_ts is None:
                 start_ts = ts
             opened = True
-            if row.kind == "fault":
+            if row.fault_reason is not None and not pd.isna(row.fault_reason):
+                # admitted line that raised in the reference (Q12)
                 out.append(
                     {
                         "record_type": "fault",

@@ -21,15 +21,16 @@ def _line(i, j, rest):
 
 
 class Both:
-    """Run a fixture through both fold paths and check equivalence."""
+    """Run a fixture through ALL fold strategies (partitioned default,
+    catalyst-native, per-group pandas oracle) and check equivalence."""
 
     def __init__(self, spark, lines):
         lines = [ln for ln in lines if ln.strip()]
         results = {}
-        for native in (True, False):
+        for strategy in ("partitioned", "catalyst", "pandas"):
             parsed = parse_lines(lines_df(spark, lines))
-            ev, fa, st = sessionize(parsed, keep_order_columns=True, use_native=native)
-            results[native] = (
+            ev, fa, st = sessionize(parsed, keep_order_columns=True, fold=strategy)
+            results[strategy] = (
                 sorted(
                     (r.asDict(recursive=True) for r in ev.collect()),
                     key=lambda d: (d["queue_id"], d["_removed_seq"]),
@@ -39,14 +40,16 @@ class Both:
                 ),
                 {r["queue_id"]: r.asDict(recursive=True) for r in st.collect()},
             )
-        ne, nf, ns = results[True]
-        pe, pf, ps = results[False]
-        for e in ne + pe:
-            e.pop("_start_seq", None)
-            e.pop("_removed_seq", None)
-        assert ne == pe, f"events diverge: {ne} vs {pe}"
-        assert nf == pf, f"faults diverge: {nf} vs {pf}"
-        assert ns == ps, f"state diverges: {ns} vs {ps}"
+        for evs, _, _ in results.values():
+            for e in evs:
+                e.pop("_start_seq", None)
+                e.pop("_removed_seq", None)
+        ne, nf, ns = results["partitioned"]
+        for other in ("catalyst", "pandas"):
+            oe, of, os_ = results[other]
+            assert ne == oe, f"events diverge vs {other}: {ne} vs {oe}"
+            assert nf == of, f"faults diverge vs {other}: {nf} vs {of}"
+            assert ns == os_, f"state diverges vs {other}: {ns} vs {os_}"
         self.events, self.faults, self.state = ne, nf, ns
 
 
