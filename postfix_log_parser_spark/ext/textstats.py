@@ -202,11 +202,73 @@ FROM fps GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q32 — TF-IDF: top terms per document (the ml.feature.HashingTF/IDF
+# pipeline re-expressed relationally so the oracle can verify values)
+# ---------------------------------------------------------------------------
+
+def q32_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms for doc_id < 20.
+
+    Scale shape: explode→(doc, word) count is one shuffle with map-side
+    combine; document frequency is a second small aggregate keyed on word;
+    idf joins back via broadcast (vocab ≪ corpus).  Per-doc top-k is a
+    bounded window.  Deterministic tie-break (score desc, word asc) keeps
+    both engines' rankings identical."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", words_of(F.col("text")).alias("words"))
+    n_docs = docs.count()
+    w = docs.select("doc_id", F.explode("words").alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select("word", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
+    scored = (
+        tf.filter(F.col("doc_id") < 20)
+        .join(F.broadcast(idf), "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    )
+    return (
+        scored.withColumn("rnk", rank)
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "word", "tfidf")
+    )
+
+
+_Q32_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+idf AS (
+  SELECT word, ln((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS idf
+  FROM tf GROUP BY word
+),
+scored AS (
+  SELECT tf.doc_id, tf.word, round(tf.tf * idf.idf, 4) AS tfidf
+  FROM tf JOIN idf USING (word) WHERE tf.doc_id < 20
+)
+SELECT doc_id, rnk, word, tfidf FROM (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
 TEXTSTATS_QUERIES = {
     "q27_text_quality": q27_text_quality,
     "q28_lang_id": q28_lang_id,
     "q29_token_stats": q29_token_stats,
     "q30_fingerprint": q30_fingerprint,
+    "q32_tfidf": q32_tfidf,
 }
 
 TEXTSTATS_ORACLES = {
@@ -214,4 +276,5 @@ TEXTSTATS_ORACLES = {
     "q28_lang_id": _Q28_SQL,
     "q29_token_stats": _Q29_SQL,
     "q30_fingerprint": _Q30_SQL,
+    "q32_tfidf": _Q32_SQL,
 }
