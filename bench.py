@@ -136,13 +136,13 @@ def main() -> None:
         path = os.path.join(tmp, "mail.log")
         with open(path, "w") as fh:
             fh.write("\n".join(log_lines))
-        from postfix_log_parser_spark.operators.parse import parse_lines
+        from postfix_log_parser_spark.operators.parse import parse_lines_arrow
         from postfix_log_parser_spark.operators.sessionize import sessionize
         from postfix_log_parser_spark.sources.text import read_text
 
         t0 = time.time()
-        parsed = parse_lines(read_text(spark, path))
-        events, faults, state = sessionize(parsed)
+        raw = read_text(spark, path)
+        events, faults, state = sessionize(parse_lines_arrow(raw), raw_lines=raw)
         events.write.format("noop").mode("overwrite").save()
         parse_sec = time.time() - t0
         timings["parse_sessionize"] = round(parse_sec, 3)

@@ -67,7 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         query.awaitTermination()
         return 0
 
-    from postfix_log_parser_spark.operators.parse import parse_lines
+    from postfix_log_parser_spark.operators.parse import parse_lines_arrow
     from postfix_log_parser_spark.operators.sessionize import sessionize
     from postfix_log_parser_spark.sinks import write_events
     from postfix_log_parser_spark.sources.text import lines_df, read_text
@@ -77,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         lines = read_text(spark, args.inputs)
 
-    events, faults, state = sessionize(parse_lines(lines))
+    events, faults, state = sessionize(parse_lines_arrow(lines), raw_lines=lines)
 
     if args.out:
         write_events(events, f"{args.out}/events", mode="overwrite")

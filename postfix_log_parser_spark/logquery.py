@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from postfix_log_parser_spark.operators.parse import parse_lines
+from postfix_log_parser_spark.operators.parse import parse_lines_arrow
 from postfix_log_parser_spark.operators.sessionize import sessionize
 from postfix_log_parser_spark.sources.text import lines_df
 
@@ -109,8 +109,11 @@ STREAM_EVENTS_FIXTURE = "\n".join(
 
 
 def _run(spark: SparkSession, text: str):
-    parsed = parse_lines(lines_df(spark, text.splitlines()))
-    return sessionize(parsed)
+    # the Arrow parse engine + raw-text dovecot dim (the throughput path;
+    # the Catalyst engine is driver-verified via q43's streaming pipeline
+    # and the golden pytest suite, and the two are differentially tested)
+    raw = lines_df(spark, text.splitlines())
+    return sessionize(parse_lines_arrow(raw), raw_lines=raw)
 
 
 def _events_projection(events: DataFrame) -> DataFrame:

@@ -628,6 +628,7 @@ def sessionize(
     keep_order_columns: bool = False,
     use_native: bool | None = None,
     fold: str = "partitioned",
+    raw_lines: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Sessionize a parsed-line DataFrame.
 
@@ -689,8 +690,17 @@ def sessionize(
     # (they ride a broadcast); if that ever broke, switch to an interval
     # equi-join on msgid.
     # filter on dovecot_msgid (≡ kind='dovecot' but prunes to a scan +
-    # token-shape predicates only — no timestamp/queue-id regex work)
-    dovs = parsed.filter(F.col("dovecot_msgid").isNotNull()).agg(
+    # token-shape predicates only — no timestamp/queue-id regex work).
+    # With raw_lines provided (the Arrow-parse fast path), the dim comes
+    # from a cheap substring scan of the raw text instead — the Arrow
+    # parse is opaque to Catalyst, so filtering `parsed` would re-run it.
+    if raw_lines is not None:
+        from postfix_log_parser_spark.operators.parse import dovecot_dim_from_raw
+
+        dov_src = dovecot_dim_from_raw(raw_lines)
+    else:
+        dov_src = parsed.filter(F.col("dovecot_msgid").isNotNull())
+    dovs = dov_src.agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
