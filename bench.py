@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "q29_token_stats",
     "q30_fingerprint",
     "q31_multimodal_features",
+    "q32_tfidf",
     "q40_log_events",
     "q41_log_faults",
     "q42_log_state",
