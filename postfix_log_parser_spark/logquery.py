@@ -266,11 +266,47 @@ def q43_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events_projection(spark.table(qname))
 
 
+def q44_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 sink contract: write the fixture events through the
+    date-partitioned, time-sorted parquet sink (with Q5 fault routing),
+    read the table back, and aggregate per partition date — verifying the
+    full write→read round trip including partition layout and schema."""
+    import tempfile
+
+    from postfix_log_parser_spark.sinks import (
+        read_events,
+        route_sink_faults,
+        write_events,
+    )
+
+    events, _faults, _state = _run(spark, ALL_EVENTS_FIXTURE)
+    sinkable, sink_faults = route_sink_faults(events)
+    path = tempfile.mkdtemp(prefix="q44_events_") + "/events"
+    write_events(sinkable, path)
+    back = read_events(spark, path)
+    return back.groupBy(F.to_date("timestamp").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("status_code").cast("long").alias("sum_status"),
+        F.min(F.date_format("timestamp", "HH:mm:ss.SSSSSS")).alias("first_time"),
+    )
+
+
+_Q44_SQL = """
+SELECT * FROM (VALUES
+  (DATE '2024-04-09', CAST(3 AS BIGINT), CAST(1050 AS BIGINT), '17:22:42.548478'),
+  (DATE '2024-04-30', CAST(1 AS BIGINT), CAST(250 AS BIGINT), '12:09:26.900515'),
+  (DATE '2024-05-10', CAST(1 AS BIGINT), CAST(250 AS BIGINT), '11:21:02.940024'),
+  (DATE '2024-05-11', CAST(2 AS BIGINT), CAST(800 AS BIGINT), '16:19:29.118301')
+) AS t(event_date, n_events, sum_status, first_time)
+"""
+
+
 LOG_QUERIES = {
     "q40_log_events": q40_log_events,
     "q41_log_faults": q41_log_faults,
     "q42_log_state": q42_log_state,
     "q43_stream_events": q43_stream_events,
+    "q44_sink_roundtrip": q44_sink_roundtrip,
 }
 
 # q43's oracle = q40's VALUES minus one copy of the duplicated BASIC row
@@ -289,4 +325,5 @@ LOG_ORACLES = {
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
     "q43_stream_events": _Q43_SQL,
+    "q44_sink_roundtrip": _Q44_SQL,
 }
