@@ -15,7 +15,20 @@ multimodal) under ``ext/``.
 """
 
 from postfix_log_parser_spark.session import get_spark
-from postfix_log_parser_spark.operators.parse import parse_lines
+from postfix_log_parser_spark.operators.parse import (
+    dovecot_dim_from_raw,
+    parse_lines,
+    parse_lines_arrow,
+)
 from postfix_log_parser_spark.operators.sessionize import sessionize
+from postfix_log_parser_spark.sources.text import lines_df, read_text
 
-__all__ = ["get_spark", "parse_lines", "sessionize"]
+__all__ = [
+    "get_spark",
+    "parse_lines",
+    "parse_lines_arrow",
+    "dovecot_dim_from_raw",
+    "sessionize",
+    "read_text",
+    "lines_df",
+]

@@ -571,6 +571,79 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 """
 
 
+# ---------------------------------------------------------------------------
+# q18 — range join (event-time containment against a derived window dim)
+# ---------------------------------------------------------------------------
+
+def q18_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count/aggregate events whose ts falls in each day's first 6 hours —
+    a containment range join.  The window dim is tiny (one row per
+    distinct day), so the plan is a broadcast nested-loop with a range
+    predicate: one scan of the fact side, no shuffle of it.  At 100 TB
+    the same shape holds as long as the range dim stays broadcastable;
+    otherwise bucket both sides by coarse time and equi-join the bucket."""
+    ev = load(spark, sf_dir, "events")
+    windows = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("win_start"))
+        .distinct()
+        .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 6 HOURS"))
+    )
+    joined = ev.join(
+        F.broadcast(windows),
+        (F.col("ts") >= F.col("win_start")) & (F.col("ts") < F.col("win_end")),
+    )
+    return joined.groupBy(F.to_date("win_start").alias("win_day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_Q18_SQL = """
+WITH w AS (
+  SELECT DISTINCT date_trunc('day', ts) AS win_start,
+         date_trunc('day', ts) + INTERVAL 6 HOUR AS win_end
+  FROM events
+)
+SELECT CAST(w.win_start AS DATE) AS win_day, count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN w ON e.ts >= w.win_start AND e.ts < w.win_end
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 — skew-safe two-phase (salted) aggregation
+# ---------------------------------------------------------------------------
+
+def q19_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate by the (skewed) event_type key with explicit salting:
+    phase 1 aggregates on (key, salt) — 16-way fan-out keeps any single
+    reducer bounded even if one key is 99% of the data — phase 2 merges
+    the partials.  Result ≡ a direct groupBy; the plan is the point: no
+    reducer ever sees more than 1/16th of the hot key.  (Spark's AQE skew
+    handling covers joins; skewed *aggregation* keys still need salting.)"""
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", (F.col("event_id") % 16).cast("int"))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("psum"), 2).alias("sum_value"),
+        F.round(F.max("pmax"), 4).alias("max_value"),
+    )
+
+
+_Q19_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -589,6 +662,8 @@ ANALYTICS_QUERIES = {
     "q15_approx_distinct": q15_approx_distinct,
     "q16_json_props": q16_json_props,
     "q17_asof_signup": q17_asof_signup,
+    "q18_range_join": q18_range_join,
+    "q19_skew_salted": q19_skew_salted,
 }
 
 ANALYTICS_ORACLES = {
@@ -609,4 +684,6 @@ ANALYTICS_ORACLES = {
     # q15: intentionally no oracle (approximate sketch)
     "q16_json_props": _Q16_SQL,
     "q17_asof_signup": _Q17_SQL,
+    "q18_range_join": _Q18_SQL,
+    "q19_skew_salted": _Q19_SQL,
 }

@@ -184,12 +184,139 @@ FROM ranked WHERE rn <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# q33 — IVF-style ANN (coarse quantizer cells + nprobe)
+# ---------------------------------------------------------------------------
+
+N_CELLS = 16
+NPROBE = 2
+
+
+def _centroid_value(c: int, d: int) -> float:
+    h = int(hashlib.md5(f"centroid{c}_{d}".encode()).hexdigest()[:15], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
+CENTROIDS: list[list[float]] = [
+    [_centroid_value(c, d) for d in range(DIM)] for c in range(N_CELLS)
+]
+
+
+def _cell_scores(v: Column) -> Column:
+    """Array of inner products against every centroid (one array column,
+    so downstream argmax expressions duplicate one reference, not 16
+    interpreted dot-folds)."""
+    return F.array(
+        *[_dot(v, F.array(*[F.lit(x) for x in cent])) for cent in CENTROIDS]
+    )
+
+
+def q33_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inner-product ANN: vectors are assigned to their best coarse
+    cell (16 deterministic md5-derived centroids — a fixed quantizer so
+    the oracle is exact; in production the centroids come from k-means);
+    a query probes its top-``NPROBE`` cells and exact-reranks inside them.
+
+    Scale shape: the cell id is a partition key — the embedding table is
+    stored partitioned by cell, so each query reads nprobe/16 of the data
+    with partition pruning; candidate generation is an equi-join on cell,
+    never all-pairs."""
+    emb = _with_norm(_emb(spark, sf_dir)).withColumn(
+        "cs", _cell_scores(F.col("v"))
+    )
+    cs = F.col("cs")
+    cell = (F.array_position(cs, F.array_max(cs)) - 1).cast("int")
+    emb = emb.withColumn("cell", cell)
+    # 2nd-best cell: mask the winner to -inf, argmax again (same
+    # first-position tie-break as the oracle's list_position)
+    masked = F.transform(
+        cs,
+        lambda x, i: F.when(i == F.col("cell"), F.lit(float("-inf"))).otherwise(x),
+    )
+    probe2 = (F.array_position(masked, F.array_max(masked)) - 1).cast("int")
+    q = emb.filter(F.col("vec_id") % 100 == 0).withColumn("p2", probe2)
+    queries = q.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(F.array(F.col("cell"), F.col("p2"))).alias("probe_cell"),
+    )
+    emb = emb.drop("cs")
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "qid",
+            "rn",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("cos_raw"), 4).alias("cosine"),
+        )
+    )
+
+
+def _q33_sql() -> str:
+    cents_sql = ", ".join(
+        "[" + ", ".join(repr(x) for x in cent) + "]" for cent in CENTROIDS
+    )
+    score = (
+        "list_transform(cents, c -> "
+        "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * c[i])))"
+    )
+    return f"""
+WITH cfg AS (SELECT [{cents_sql}]::DOUBLE[][] AS cents),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, v, {_DUCK_NORM} AS nrm, {score} AS cs
+  FROM e, cfg
+),
+cells AS (
+  SELECT vec_id, v, nrm, cs,
+         CAST(list_position(cs, list_max(cs)) - 1 AS INTEGER) AS cell
+  FROM scored
+),
+q AS (
+  SELECT vec_id AS qid, v, nrm, cell AS p1,
+         CAST(list_position(cs, list_max(list_transform(range(1, len(cs) + 1),
+              j -> CASE WHEN j - 1 = cell THEN '-infinity'::DOUBLE
+                        ELSE cs[j] END))) - 1 AS INTEGER) AS p2
+  FROM cells WHERE vec_id % 100 = 0
+),
+probes AS (
+  SELECT qid, v, nrm, unnest([p1, p2]) AS probe_cell FROM q
+),
+cand AS (
+  SELECT p.qid, b.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(p.v) + 1), i -> p.v[i] * b.v[i]))
+           / (p.nrm * b.nrm) AS cos_raw
+  FROM probes p JOIN cells b
+    ON b.cell = p.probe_cell AND b.vec_id != p.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM cand
+)
+SELECT qid, rn, neighbor_id, round(cos_raw, 4) AS cosine
+FROM ranked WHERE rn <= 3
+"""
+
+
 SIMILARITY_QUERIES = {
     "q25_ann_bruteforce": q25_ann_bruteforce,
     "q26_ann_lsh": q26_ann_lsh,
+    "q33_ann_ivf": q33_ann_ivf,
 }
 
 SIMILARITY_ORACLES = {
     "q25_ann_bruteforce": _Q25_SQL,
     "q26_ann_lsh": _q26_sql(),
+    "q33_ann_ivf": _q33_sql(),
 }
