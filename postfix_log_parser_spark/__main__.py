@@ -35,6 +35,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", action="store_true", help="watch inputs[0] as a stream")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (required with --stream)")
     p.add_argument("--ttl", default="10 minutes", help="streaming state TTL (default: reference's 10 minutes)")
+    p.add_argument(
+        "--once",
+        action="store_true",
+        help="streaming: process available input (availableNow) and exit",
+    )
     p.add_argument("--master", default=None, help="Spark master override")
     return p
 
@@ -57,13 +62,15 @@ def main(argv: list[str] | None = None) -> int:
         folded = sessionize_stream(
             spark.readStream.text(args.inputs[0]), ttl=args.ttl
         )
-        query = (
+        writer = (
             stream_events(folded)
             .writeStream.format("parquet")
             .option("path", f"{args.out}/events")
             .option("checkpointLocation", args.checkpoint)
-            .start()
         )
+        if args.once:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
         query.awaitTermination()
         return 0
 

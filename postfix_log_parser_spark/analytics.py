@@ -644,6 +644,28 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q35 — GROUPING SETS through the spark.sql surface (EP3: SQL over views)
+# ---------------------------------------------------------------------------
+
+_Q35_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube: an arbitrary set
+    list), run through ``spark.sql`` over a registered view — the EP3
+    query surface.  One shuffle; Catalyst expands the sets with a single
+    Expand node (rows × |sets| before partial aggregation)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q35_SQL)
+
+
 ANALYTICS_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -664,6 +686,7 @@ ANALYTICS_QUERIES = {
     "q17_asof_signup": q17_asof_signup,
     "q18_range_join": q18_range_join,
     "q19_skew_salted": q19_skew_salted,
+    "q35_grouping_sets": q35_grouping_sets,
 }
 
 ANALYTICS_ORACLES = {
@@ -686,4 +709,5 @@ ANALYTICS_ORACLES = {
     "q17_asof_signup": _Q17_SQL,
     "q18_range_join": _Q18_SQL,
     "q19_skew_salted": _Q19_SQL,
+    "q35_grouping_sets": _Q35_SQL,
 }

@@ -14,6 +14,31 @@ LOG = """\
 """
 
 
+def test_cli_stream_once(spark, tmp_path):
+    from postfix_log_parser_spark.schema import EVENTS_SCHEMA
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    (in_dir / "mail.log").write_text(LOG)
+    out = tmp_path / "sout"
+    rc = main(
+        [
+            "--stream",
+            str(in_dir),
+            "--out",
+            str(out),
+            "--checkpoint",
+            str(tmp_path / "ck"),
+            "--once",
+        ]
+    )
+    assert rc == 0
+    events = spark.read.schema(EVENTS_SCHEMA).parquet(str(out / "events"))
+    rows = events.collect()
+    assert [r["queue_id"] for r in rows] == ["85C6C10208A"]
+    assert rows[0]["status_code"] == 250
+
+
 def test_cli_batch_out(spark, tmp_path):
     log = tmp_path / "mail.log"
     log.write_text(LOG)
