@@ -527,7 +527,10 @@ def parse_lines(
         F.when(folds_fields, to_list).alias("to_list"),
         F.when(folds_fields, status_desc).alias("status_description"),
         F.when(kind == "subject", is_mime_subject).alias("_is_mime"),
-        F.when(is_mime_subject, p(3)).alias("_subj_tok"),
+        # gated on kind (not just shape): a MIME-looking subject on a line
+        # the ts/queue-id gates dropped must not reach the decoder — the
+        # reference returns before subject handling (parse.py:397-405)
+        F.when((kind == "subject") & is_mime_subject, p(3)).alias("_subj_tok"),
         F.when(kind == "subject", _ascii_subject(payload)).alias("_ascii_subject"),
         # gated on the shape predicate, NOT on `kind`: is_dovecot ⟺
         # kind='dovecot' (mutually exclusive arity ranges with the fault
@@ -535,8 +538,11 @@ def parse_lines(
         # of the per-line timestamp/queue-id regex work `kind` requires
         F.when(is_dovecot, dovecot_msgid).alias("dovecot_msgid"),
         F.when(is_dovecot, dovecot_action).alias("dovecot_action"),
+        # subject faults only exist for lines that passed the admission
+        # gates — the reference returns at the timestamp/queue-id gates
+        # before subject parsing (parse.py:397-405 vs :357)
         F.when(dovecot_fault, F.lit("IndexError: dovecot-shaped line too short"))
-        .when(subject_fault, F.lit("IndexError: subject header line too short"))
+        .when(admitted & subject_fault, F.lit("IndexError: subject header line too short"))
         .alias("fault_reason"),
         admitted.alias("admitted"),
     )

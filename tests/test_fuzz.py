@@ -1,0 +1,128 @@
+"""Seeded randomized differential test: thousands of adversarial lines in
+one batch, asserting (a) Arrow parse ≡ Catalyst parse row-for-row and
+(b) partitioned fold ≡ pandas-oracle fold on the same feed.
+
+Not hypothesis-per-example (a Spark round trip per example is too slow);
+a fixed seed keeps failures reproducible.  The generator deliberately
+avoids the two documented divergence zones: k=v keys named raw_log /
+timestamp (reference-state-corrupting, SURVEY §2.10), and byte-identical
+duplicated sessions (streaming order ambiguity — batch only here anyway).
+"""
+
+import random
+
+from postfix_log_parser_spark import parse_lines, parse_lines_arrow, sessionize
+from postfix_log_parser_spark.sources.text import lines_df
+
+R = random.Random(42)
+
+QIDS = [format(i, "011X") for i in range(40)] + ["85c6c10208a", "SHORT:", "ZZZ"]
+KEYS = ["from", "to", "message-id", "status", "client", "orig_to", "relay",
+        "dsn", "nrcpt", "size", "delay", "delays", "sasl_method", "weird-key"]
+VALS = ["<a@b.c>", "<x@y.z>,", "bare", "a=b=c", "<m@1>", "", "<>", "x,y,,",
+        "=?broken", "<root>"]
+STATUSES = [
+    "sent (250 2.0.0 ok Saved)",
+    "bounced (host said: 550 5.1.1 no user (in reply to RCPT TO command))",
+    "deferred conversation timed out",
+    "sent (250 2.0.0 first) then (451 4.3.0 second 550 5.1.1 third)",
+    "sent no pair here",
+]
+SUBJECTS = [
+    "warning: header Subject: hello world from local; tail=1",
+    "warning: header Subject: drop my last token",
+    "warning: header Subject: =?UTF-8?B?dGVzdCAtINCi0LXRgdGC?= from x;",
+    "warning: header Subject: =?UTF-8?B?!!notbase64!!?= from x;",
+    "warning: header",
+    "warning:",
+]
+TS = [
+    "2024-04-09T20:{m:02d}:{s:02d}.{us:06d}+03:00",
+    "2024-04-09T20:{m:02d}:{s:02d}",
+    "2024-02-30T10:00:00",   # invalid date: both engines drop
+    "2024-4-9T10:00:00",     # shape reject
+    "Apr",                   # legacy syslog
+    "garbage",
+]
+
+
+def _ts(i: int) -> str:
+    tpl = R.choice(TS[:2]) if R.random() < 0.85 else R.choice(TS)
+    return tpl.format(m=(i // 60) % 60, s=i % 60, us=(i * 7919) % 1000000)
+
+
+def gen_lines(n: int) -> list[str]:
+    lines = []
+    for i in range(n):
+        r = R.random()
+        head = f"{_ts(i)} host proc[{i % 97}]:"
+        qid = R.choice(QIDS)
+        if r < 0.05:
+            lines.append(R.choice([
+                "",
+                "   ",
+                "one two",
+                "a b c d",
+                f"{_ts(i)} host proc only four",
+            ]))
+        elif r < 0.10:  # dovecot variants (well-formed, short, truncated)
+            msgid = f"<m@{i % 7}>"
+            lines.append(R.choice([
+                f"Apr 30 15:09:27 lmtp(x)<1><2>: Info: sieve: msgid={msgid}: fileinto action: stored mail into 'Box {i % 3}'",
+                "Apr 30 15:09:27 lmtp(x)<1><2>: Info: sieve:",
+                "Apr 30 15:09:27 lmtp(x)<1><2>: Info: sieve: msgid=<m@1>: fileinto",
+                f"{head} {qid}: Info: sieve: msgid={msgid}: fileinto action: admitted dovecot shape",
+            ]))
+        elif r < 0.18:
+            lines.append(f"{head} {qid}: {R.choice(SUBJECTS)}")
+        elif r < 0.30:
+            lines.append(f"{head} {qid}: removed")
+        elif r < 0.40:
+            lines.append(f"{head} {qid}: to={R.choice(VALS)}, status={R.choice(STATUSES)}")
+        else:
+            n_kv = R.randint(1, 4)
+            kvs = ", ".join(
+                f"{R.choice(KEYS)}={R.choice(VALS)}" for _ in range(n_kv)
+            )
+            lines.append(f"{head} {qid}: {kvs} (queue active)")
+    return lines
+
+
+def test_fuzz_parse_engines_agree(spark):
+    lines = gen_lines(3000)
+    cat = sorted(
+        (r.asDict(recursive=True) for r in parse_lines(lines_df(spark, lines)).collect()),
+        key=lambda d: d["seq"],
+    )
+    arr = sorted(
+        (r.asDict(recursive=True) for r in parse_lines_arrow(lines_df(spark, lines)).collect()),
+        key=lambda d: d["seq"],
+    )
+    assert len(cat) == len(arr) == len(lines)
+    for c, a in zip(cat, arr):
+        assert c == a, f"parse diverges at seq {c['seq']}: line={c['line']!r}\n cat={c}\n arr={a}"
+
+
+def test_fuzz_fold_strategies_agree(spark):
+    lines = gen_lines(3000)
+    parsed = parse_lines(lines_df(spark, lines))
+    results = {}
+    for strategy in ("partitioned", "pandas"):
+        ev, fa, st = sessionize(parsed, keep_order_columns=True, fold=strategy)
+        results[strategy] = (
+            sorted(
+                (r.asDict(recursive=True) for r in ev.collect()),
+                key=lambda d: (d["queue_id"], d["_removed_seq"]),
+            ),
+            sorted((r["fault_reason"], r["line"]) for r in fa.collect()),
+            sorted(
+                (r.asDict(recursive=True) for r in st.collect()),
+                key=lambda d: d["queue_id"],
+            ),
+        )
+    pe, pf, ps = results["partitioned"]
+    oe, of, os_ = results["pandas"]
+    assert len(pe) > 50 and len(pf) > 10  # the generator exercised both paths
+    assert pe == oe
+    assert pf == of
+    assert ps == os_
