@@ -237,7 +237,7 @@ def _make_fold(ttl_seconds: int):
         opened = False  # did this batch leave an open session?
         for row in rows.itertuples(index=False):
             ts = None if pd.isna(row.timestamp) else row.timestamp.to_pydatetime()
-            if row.kind == "dovecot":
+            if row.kind == "dovecot" and row.dove_dup:
                 # J1: apply only if the session's CURRENT message-id
                 # matches (parse.py:370-375); never touches raw_log (Q8)
                 if fields and fields.get("message-id") == row.dovecot_msgid:
@@ -373,6 +373,11 @@ def sessionize_stream(
         "seq",
         "line",
         "kind",
+        # correlation duplicates (scan-local dovecot resolution) vs an
+        # ADMITTED line that merely has the dovecot shape: the latter must
+        # fold its k=v fields like any line — the reference's handler
+        # returns False and the line continues (parse.py:362-378)
+        F.col("_dove_queue").isNotNull().alias("dove_dup"),
         "fields",
         "to_list",
         "status_description",

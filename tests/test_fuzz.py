@@ -88,6 +88,74 @@ def gen_lines(n: int) -> list[str]:
     return lines
 
 
+def gen_stream_lines(n: int) -> list[str]:
+    """Streaming-exact domain: globally monotone unique event times inside
+    the 10-minute TTL horizon (no eviction, no order ambiguity), single
+    file (scan-local dovecot resolution sees every prior assignment)."""
+    out = []
+    base_us = 0
+    for line in gen_lines(n):
+        toks = line.split()
+        if not toks:
+            out.append(line)
+            continue
+        if toks[0].startswith("2024-") or toks[0] in ("garbage",):
+            m, rem = divmod(base_us, 60_000_000)
+            ts = f"2024-04-09T20:{m:02d}:{rem // 1_000_000:02d}.{rem % 1_000_000:06d}+00:00"
+            out.append(" ".join([ts] + toks[1:]))
+            base_us += 110_003
+        else:
+            out.append(line)  # legacy-syslog dovecot lines keep their head
+    return out
+
+
+def test_fuzz_stream_matches_batch(spark, tmp_path):
+    lines = gen_stream_lines(2000)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "mail.log").write_text("\n".join(lines))
+
+    from postfix_log_parser_spark.streaming import (
+        sessionize_stream,
+        stream_events,
+        stream_faults,
+    )
+
+    folded = sessionize_stream(spark.readStream.text(str(in_dir)))
+    q = (
+        folded.writeStream.format("memory")
+        .queryName("fuzz_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(400)
+    folded_tbl = spark.table("fuzz_stream")
+    s_events = sorted(
+        (r.asDict(recursive=True) for r in stream_events(folded_tbl).collect()),
+        key=lambda d: (d["queue_id"], d["timestamp"], d["raw_log"]),
+    )
+    s_faults = sorted(
+        (r["fault_reason"], r["line"]) for r in stream_faults(folded_tbl).collect()
+    )
+
+    ev, fa, _st = sessionize(parse_lines(lines_df(spark, lines)))
+    b_events = sorted(
+        (r.asDict(recursive=True) for r in ev.collect()),
+        key=lambda d: (d["queue_id"], d["timestamp"], d["raw_log"]),
+    )
+    b_faults = sorted(
+        (r["fault_reason"], r["line"])
+        for r in fa.collect()
+        # pre-admission faults surface via stream_pre_faults, not the fold
+        if r["fault_reason"] != "IndexError: dovecot-shaped line too short"
+    )
+
+    assert len(b_events) > 30
+    assert s_events == b_events
+    assert s_faults == b_faults
+
+
 def test_fuzz_parse_engines_agree(spark):
     lines = gen_lines(3000)
     cat = sorted(
