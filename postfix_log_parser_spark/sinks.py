@@ -76,6 +76,27 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select(*EVENT_COLUMNS)
 
 
+def write_events_bucketed(
+    events: DataFrame,
+    table: str,
+    buckets: int = 32,
+    bucket_col: str = "queue_id",
+) -> None:
+    """S2/S3 variant for join-heavy workloads: a bucketed, sorted managed
+    table.  Two tables bucketed the same way (same column, same bucket
+    count) join with NO exchange on either side — at 100 TB that turns
+    the dominant shuffle of event↔event or event↔dim-enriched joins into
+    a local zip of pre-sorted buckets.  Complements ``write_events``
+    (date-partitioned path tables for time-range pruning)."""
+    (
+        events.write.mode("overwrite")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def event_rows(batch: DataFrame) -> list[list]:
     """Project a micro-batch to the reference's positional insert shape
     (``parse.py:455-480``: 22 columns, arrays as lists)."""

@@ -57,6 +57,27 @@ def test_parquet_round_trip(spark, mixed_events, tmp_path):
     assert any(d.startswith("event_date=") for d in os.listdir(path))
 
 
+def test_bucketed_join_has_no_shuffle(spark, mixed_events):
+    from postfix_log_parser_spark.sinks import write_events_bucketed
+
+    write_events_bucketed(mixed_events, "ev_bucket_a", buckets=4)
+    write_events_bucketed(mixed_events, "ev_bucket_b", buckets=4)
+    a = spark.table("ev_bucket_a").select("queue_id", "status_code")
+    b = spark.table("ev_bucket_b").select("queue_id", "message_from")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so bucketing is what avoids the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, "queue_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 2  # distinct queue_ids join 1:1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS ev_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS ev_bucket_b")
+
+
 def test_clickhouse_batch_writer_fake_client(mixed_events):
     inserted = []
 
