@@ -16,9 +16,10 @@ insert).  Spark equivalents:
   (``parse.py:466-467``).  The engine emits such events with NULL codes;
   this projection splits them off exactly where the reference faults.
 * ``clickhouse_batch_writer`` — optional real ClickHouse sink as a
-  ``foreachBatch`` bulk insert, import-gated (the driver container has
-  no clickhouse-connect; the code path is exercised with a fake client
-  in tests).
+  ``foreachBatch`` callback inserting executor-side via
+  ``foreachPartition`` (no driver collect), import-gated (the driver
+  container has no clickhouse-connect; the code path is exercised with a
+  fake client in tests).
 """
 
 from __future__ import annotations
@@ -97,39 +98,55 @@ def write_events_bucketed(
     )
 
 
-def event_rows(batch: DataFrame) -> list[list]:
-    """Project a micro-batch to the reference's positional insert shape
-    (``parse.py:455-480``: 22 columns, arrays as lists)."""
-    return [[row[c] for c in EVENT_COLUMNS] for row in batch.collect()]
+def _default_client_factory() -> "object":
+    try:
+        import clickhouse_connect  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover - optional dep
+        raise ImportError(
+            "clickhouse-connect is not installed; pass client_factory= "
+            "or install it to use the ClickHouse sink"
+        ) from exc
+    return clickhouse_connect.get_client()
 
 
 def clickhouse_batch_writer(
     client_factory: Callable[[], "object"] | None = None,
     table: str = "events",
+    rows_per_insert: int = 100_000,
 ) -> Callable[[DataFrame, int], None]:
-    """Optional ClickHouse sink: a ``foreachBatch`` callback doing ONE
-    bulk insert per micro-batch (replacing the reference's per-event HTTP
-    round-trip, ``parse.py:453-505``).
+    """Optional ClickHouse sink: a ``foreachBatch`` callback that inserts
+    EXECUTOR-SIDE via ``foreachPartition`` — one client per partition
+    task, one bulk insert per ``rows_per_insert`` chunk (replacing the
+    reference's per-event HTTP round-trip, ``parse.py:453-505``).
 
-    ``client_factory`` builds the client on the driver per batch; by
-    default tries ``clickhouse_connect`` and raises ImportError with a
-    clear message if absent (the library is optional).
+    Nothing is ever collected to the driver: each partition's rows are
+    serialized straight from the executor to ClickHouse, so driver memory
+    is O(1) in the batch size and the insert fan-out scales with the
+    number of partitions — the shape a 1000-executor cluster needs.
+    ``rows_per_insert`` bounds executor memory for a skewed partition.
+
+    ``client_factory`` must be picklable (it is shipped inside the task
+    closure and invoked once per partition on the executor); by default it
+    tries ``clickhouse_connect`` and raises ImportError with a clear
+    message if absent (the library is optional).
     """
-    def make_client() -> "object":
-        if client_factory is not None:
-            return client_factory()
-        try:
-            import clickhouse_connect  # type: ignore[import-not-found]
-        except ImportError as exc:  # pragma: no cover - optional dep
-            raise ImportError(
-                "clickhouse-connect is not installed; pass client_factory= "
-                "or install it to use the ClickHouse sink"
-            ) from exc
-        return clickhouse_connect.get_client()
+    factory = client_factory if client_factory is not None else _default_client_factory
+    cols = list(EVENT_COLUMNS)
+
+    def write_partition(rows_iter) -> None:
+        client = None
+        chunk: list[list] = []
+        for row in rows_iter:
+            if client is None:
+                client = factory()
+            chunk.append([row[c] for c in cols])
+            if len(chunk) >= rows_per_insert:
+                client.insert(table, chunk, column_names=cols)
+                chunk = []
+        if chunk:
+            client.insert(table, chunk, column_names=cols)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        rows = event_rows(batch)
-        if rows:
-            make_client().insert(table, rows, column_names=EVENT_COLUMNS)
+        batch.foreachPartition(write_partition)
 
     return write_batch

@@ -78,18 +78,100 @@ def test_bucketed_join_has_no_shuffle(spark, mixed_events):
         spark.sql("DROP TABLE IF EXISTS ev_bucket_b")
 
 
-def test_clickhouse_batch_writer_fake_client(mixed_events):
-    inserted = []
+def _file_fake_factory(outdir: str):
+    """Factory for a fake ClickHouse client that records each insert as a
+    JSON file — inserts happen in executor worker processes, so a shared
+    directory (not a driver-side list) is the only way to observe them.
+    Everything is defined inside the closure so cloudpickle ships it by
+    value (the tests module is not importable on the workers)."""
 
-    class FakeClient:
-        def insert(self, table, rows, column_names):
-            inserted.append((table, rows, column_names))
+    def factory():
+        class FileFakeClient:
+            def insert(self, table, rows, column_names):
+                import json
+                import os
+                import uuid
 
-    writer = clickhouse_batch_writer(client_factory=FakeClient)
+                payload = {
+                    "table": table,
+                    "n_rows": len(rows),
+                    "row_widths": sorted({len(r) for r in rows}),
+                    "cols": list(column_names),
+                }
+                path = os.path.join(outdir, f"{uuid.uuid4().hex}.json")
+                with open(path, "w", encoding="utf-8") as f:
+                    json.dump(payload, f)
+
+        return FileFakeClient()
+
+    return factory
+
+
+def test_clickhouse_batch_writer_fake_client(mixed_events, tmp_path):
+    import json
+    import os
+
+    outdir = str(tmp_path / "inserts")
+    os.makedirs(outdir)
+    writer = clickhouse_batch_writer(client_factory=_file_fake_factory(outdir))
     sinkable, _ = route_sink_faults(mixed_events)
     writer(sinkable, batch_id=0)
-    assert len(inserted) == 1
-    table, rows, cols = inserted[0]
-    assert table == "events"
-    assert cols == EVENT_COLUMNS
-    assert len(rows) == 1 and len(rows[0]) == len(EVENT_COLUMNS)
+    inserts = [
+        json.load(open(os.path.join(outdir, f), encoding="utf-8"))
+        for f in os.listdir(outdir)
+    ]
+    assert len(inserts) >= 1  # one insert per non-empty partition
+    assert all(i["table"] == "events" for i in inserts)
+    assert all(i["cols"] == EVENT_COLUMNS for i in inserts)
+    assert all(i["row_widths"] == [len(EVENT_COLUMNS)] for i in inserts)
+    assert sum(i["n_rows"] for i in inserts) == 1
+
+
+def test_clickhouse_writer_never_collects_on_driver(mixed_events, tmp_path, monkeypatch):
+    """The scale contract: the sink path must not materialize the batch on
+    the driver.  Poison every driver-side materialization entry point and
+    run the writer — any collect()/toPandas()/toLocalIterator() raises."""
+    import os
+
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("driver-side collect in ClickHouse sink path")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", _boom)
+    outdir = str(tmp_path / "inserts")
+    os.makedirs(outdir)
+    writer = clickhouse_batch_writer(client_factory=_file_fake_factory(outdir))
+    sinkable, _ = route_sink_faults(mixed_events)
+    writer(sinkable, batch_id=0)
+    assert len(os.listdir(outdir)) >= 1
+
+
+def test_clickhouse_writer_chunks_large_partitions(spark, tmp_path):
+    """rows_per_insert bounds executor memory: a partition larger than the
+    chunk size becomes several bulk inserts."""
+    import json
+    import os
+
+    outdir = str(tmp_path / "inserts")
+    os.makedirs(outdir)
+    # 25 rows in ONE partition with a 10-row chunk limit -> 3 inserts
+    df = spark.range(25).coalesce(1).selectExpr("id AS queue_id")
+    writer = clickhouse_batch_writer(
+        client_factory=_file_fake_factory(outdir), rows_per_insert=10
+    )
+    # the writer projects EVENT_COLUMNS; build a batch with those columns
+    from postfix_log_parser_spark.schema import EVENT_COLUMNS as COLS
+    from pyspark.sql import functions as F
+
+    batch = df.select(
+        *[F.col("queue_id").cast("string").alias(c) for c in COLS]
+    ).coalesce(1)
+    writer(batch, batch_id=0)
+    inserts = [
+        json.load(open(os.path.join(outdir, f), encoding="utf-8"))
+        for f in os.listdir(outdir)
+    ]
+    assert sorted(i["n_rows"] for i in inserts) == [5, 10, 10]
