@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "q15_approx_distinct",
     "q16_json_props",
     "q17_asof_signup",
+    "q18_range_join",
+    "q19_skew_salted",
     "q20_dedup_exact",
     "q21_dedup_ngram_jaccard",
     "q22_dedup_minhash_lsh",
@@ -52,15 +54,20 @@ BENCH_QUERIES = [
     "q24_embed_neardup",
     "q25_ann_bruteforce",
     "q26_ann_lsh",
+    "q33_ann_ivf",
     "q27_text_quality",
     "q28_lang_id",
     "q29_token_stats",
     "q30_fingerprint",
     "q31_multimodal_features",
     "q32_tfidf",
+    "q34_frame_sample",
+    "q35_grouping_sets",
     "q40_log_events",
     "q41_log_faults",
     "q42_log_state",
+    "q43_stream_events",
+    "q44_sink_roundtrip",
 ]
 
 
