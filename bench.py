@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q13_nation_setops",
     "q14_brand_strings",
     "q15_approx_distinct",
+    "q15b_exact_distinct",
     "q16_json_props",
     "q17_asof_signup",
     "q18_range_join",

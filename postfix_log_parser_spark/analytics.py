@@ -493,13 +493,39 @@ FROM part GROUP BY p_brand
 
 def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch counts — algorithm-specific, so no exact DuckDB oracle
-    (driver records the weaker rows-only check).  A pytest asserts the
-    estimates are within 5% of exact."""
+    (driver records the weaker rows-only check).  Verification lives in
+    two places: ``q15b_exact_distinct`` is the hash-checked exact twin,
+    and ``tests/test_analytics.py::test_q15_approx_within_5pct`` asserts
+    every sketch estimate is within 5% of the exact count at sf0.01."""
+    li = load(spark, sf_dir, "lineitem")
+    # rsd=0.01 (vs the 0.05 default): the default's realized error on this
+    # data reaches ~9% on one group; 1% target keeps the documented 5%
+    # band honest while the sketch stays O(KB)/group
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    )
+
+
+def q15b_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of q15 (count_distinct instead of the HLL sketch) with a
+    DuckDB oracle — the hash-verified anchor for the approx family.  At
+    100 TB the exact form is the expensive one (distinct forces a
+    per-group de-dup shuffle; the sketch is why q15 exists), which is
+    precisely why the contract carries both."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
     )
+
+
+_Q15B_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_orderkey) AS exact_orders
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -682,6 +708,7 @@ ANALYTICS_QUERIES = {
     "q13_nation_setops": q13_nation_setops,
     "q14_brand_strings": q14_brand_strings,
     "q15_approx_distinct": q15_approx_distinct,
+    "q15b_exact_distinct": q15b_exact_distinct,
     "q16_json_props": q16_json_props,
     "q17_asof_signup": q17_asof_signup,
     "q18_range_join": q18_range_join,
@@ -704,7 +731,9 @@ ANALYTICS_ORACLES = {
     "q12_customers_without_orders": _Q12_SQL,
     "q13_nation_setops": _Q13_SQL,
     "q14_brand_strings": _Q14_SQL,
-    # q15: intentionally no oracle (approximate sketch)
+    # q15: intentionally no oracle (approximate sketch); q15b is the
+    # hash-verified exact twin
+    "q15b_exact_distinct": _Q15B_SQL,
     "q16_json_props": _Q16_SQL,
     "q17_asof_signup": _Q17_SQL,
     "q18_range_join": _Q18_SQL,
