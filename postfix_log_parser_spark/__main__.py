@@ -33,7 +33,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("inputs", nargs="*", help="log files/dirs/globs; empty or '-' = stdin")
     p.add_argument("--out", help="output directory (events/, faults/, state/ parquet)")
     p.add_argument("--stream", action="store_true", help="watch inputs[0] as a stream")
-    p.add_argument("--checkpoint", help="streaming checkpoint dir (required with --stream)")
+    p.add_argument(
+        "--checkpoint",
+        help="streaming checkpoint root (required with --stream; the events "
+        "and faults queries checkpoint under <dir>/events and <dir>/faults)",
+    )
     p.add_argument("--ttl", default="10 minutes", help="streaming state TTL (default: reference's 10 minutes)")
     p.add_argument(
         "--once",
@@ -57,21 +61,39 @@ def main(argv: list[str] | None = None) -> int:
         from postfix_log_parser_spark.streaming import (
             sessionize_stream,
             stream_events,
+            stream_faults,
+            stream_pre_faults,
         )
 
         folded = sessionize_stream(
             spark.readStream.text(args.inputs[0]), ttl=args.ttl
         )
-        writer = (
+        ev_writer = (
             stream_events(folded)
             .writeStream.format("parquet")
             .option("path", f"{args.out}/events")
-            .option("checkpointLocation", args.checkpoint)
+            .option("checkpointLocation", f"{args.checkpoint}/events")
+        )
+        # on_fault parity with the batch CLI (reference parse.py:265-270):
+        # fold faults (Q4/Q12) union stateless pre-faults (short dovecot
+        # lines, Q8) land in {out}/faults as one query
+        fa_writer = (
+            stream_faults(folded)
+            .unionByName(stream_pre_faults(spark.readStream.text(args.inputs[0])))
+            .writeStream.format("parquet")
+            .option("path", f"{args.out}/faults")
+            .option("checkpointLocation", f"{args.checkpoint}/faults")
         )
         if args.once:
-            writer = writer.trigger(availableNow=True)
-        query = writer.start()
-        query.awaitTermination()
+            ev_writer = ev_writer.trigger(availableNow=True)
+            fa_writer = fa_writer.trigger(availableNow=True)
+        ev_query = ev_writer.start()
+        fa_query = fa_writer.start()
+        if args.once:
+            ev_query.awaitTermination()
+            fa_query.awaitTermination()
+        else:  # run until either query stops (error or external stop)
+            spark.streams.awaitAnyTermination()
         return 0
 
     from postfix_log_parser_spark.operators.parse import parse_lines_arrow

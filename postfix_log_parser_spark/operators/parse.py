@@ -54,6 +54,17 @@ def with_seq(df: DataFrame, line_col: str = "value") -> DataFrame:
 # a queue id is 11 uppercase-hex chars followed by ':' (parse.py:237-256, Q10)
 _QUEUE_ID_RE = "^[0-9A-F]{11}:$"
 
+# Python str.isspace() whitespace beyond Java regex \\s (= [ \\t\\n\\x0B\\f\\r]):
+# \\x1c-\\x1f separators, NEL, NBSP, ogham space mark, en-quad..hair-space,
+# line/paragraph separators, narrow NBSP, medium math space, ideographic
+# space.  Explicit escapes so the class is auditable (no invisible chars).
+_WS = (
+    "[\\s"
+    "\x1c-\x1f\x85\xa0\u1680"
+    "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000"
+    "]"
+)
+
 def _empty_str_map() -> Column:
     return F.expr("map()").cast("map<string,string>")
 
@@ -73,13 +84,28 @@ def _kv_entries(tokens: Column) -> Column:
     )
 
 
+def _dedup_last_wins(entries: Column, name_field: str) -> Column:
+    """Keep only the LAST entry per key (quirk Q1) so the subsequent
+    ``map_from_entries`` never sees a duplicate key — conf-independent:
+    correct under any ``spark.sql.mapKeyDedupPolicy`` (the default
+    EXCEPTION policy would otherwise throw DUPLICATED_MAP_KEY at
+    execution if a caller reset the conf between plan build and action).
+    O(n²) in k=v tokens per line (n≈10) — negligible next to the regex
+    chain; the Arrow twin implements the same semantics imperatively."""
+    return F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda e2: e2[name_field] == e[name_field],
+        ),
+    )
+
+
 def _last_wins_map(entries: Column) -> Column:
     """Fold k=v entries into a map with last-wins per key, excluding 'to'
-    (which accumulates, quirk Q1).  Uses native ``map_from_entries`` under
-    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set explicitly by
-    ``parse_lines`` — runtime-settable, so correct under any session):
-    one JVM expression instead of an interpreted O(n·k) lambda fold."""
-    return F.map_from_entries(F.filter(entries, lambda e: e["name"] != "to"))
+    (which accumulates, quirk Q1)."""
+    ex_to = F.filter(entries, lambda e: e["name"] != "to")
+    return F.map_from_entries(_dedup_last_wins(ex_to, "name"))
 
 
 def _status_description(tokens: Column) -> Column:
@@ -417,16 +443,16 @@ def parse_lines(
     path for its locally-resolved dovecot key).
     """
     df = with_seq(lines, line_col)
-    # last-wins map semantics (quirk Q1) via native map_from_entries —
-    # requires LAST_WIN dedup (runtime-settable; default is EXCEPTION)
-    df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    # Python str.strip() semantics: trim whitespace RUNS from both ends
-    # (F.trim strips only ASCII spaces; a leading tab would otherwise
-    # yield an empty first token and shift every index)
-    raw = F.regexp_replace(F.col(line_col), r"^\s+|\s+$", "")
+    # Python str.strip()/str.split() semantics: trim/split on UNICODE
+    # whitespace runs.  Java's \s is ASCII-only, so the class explicitly
+    # adds every further char Python's str.isspace() accepts (file/group/
+    # record/unit separators, NEL, NBSP, ogham, en-quads…, LS/PS, NNBSP,
+    # MMSP, ideographic space) — a line containing e.g. \xa0 tokenizes
+    # identically here, in the Arrow twin (_parse_row) and the reference.
+    raw = F.regexp_replace(F.col(line_col), f"^{_WS}+|{_WS}+$", "")
 
     df = df.select(
-        "seq", *passthrough, raw.alias("line"), F.split(raw, r"\s+").alias("tokens")
+        "seq", *passthrough, raw.alias("line"), F.split(raw, f"{_WS}+").alias("tokens")
     )
     tokens = F.col("tokens")
     n = F.size(tokens)

@@ -322,11 +322,17 @@ _ACC_INIT = (
 
 def _last_wins_fields(entries: Column) -> Column:
     """Fold (eseq, key, value) entries — already in seq order — into a
-    last-wins map via native ``map_from_entries`` (LAST_WIN dedup policy,
-    set by ``parse_lines`` upstream): one JVM expression instead of an
-    interpreted O(n·k) lambda fold."""
+    last-wins map.  Duplicate keys are removed BEFORE map_from_entries
+    (keep-last, quirk Q1), so the result is independent of the session's
+    ``spark.sql.mapKeyDedupPolicy`` — a caller on the default EXCEPTION
+    policy would otherwise hit DUPLICATED_MAP_KEY at execution."""
+    from postfix_log_parser_spark.operators.parse import _dedup_last_wins
+
     return F.map_from_entries(
-        F.transform(entries, lambda e: F.struct(e["key"], e["value"]))
+        F.transform(
+            _dedup_last_wins(entries, "key"),
+            lambda e: F.struct(e["key"], e["value"]),
+        )
     )
 
 
@@ -645,9 +651,6 @@ def sessionize(
     Set ``keep_order_columns=True`` to retain ``_start_seq``/``_removed_seq``
     on events (deterministic ordering for tests).
     """
-    # map_from_entries last-wins (see _last_wins_fields) — idempotent,
-    # runtime-settable guard in case the parsed DF came from elsewhere
-    parsed.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     # faults raised before any state effect (dovecot-shape IndexError):
     pre_faults = parsed.filter(
         (F.col("kind") == "fault") & ~F.col("admitted")

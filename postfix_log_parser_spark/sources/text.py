@@ -34,13 +34,34 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def read_text(spark: SparkSession, path: str, ordered: bool = True) -> DataFrame:
+def read_text(
+    spark: SparkSession,
+    path: str,
+    ordered: bool = True,
+    max_literal_splits: int = 65536,
+) -> DataFrame:
     """Batch text source: one ``value`` string column plus a global ``seq``
     consistent with (file name, in-file position) order.
 
     ``ordered=False`` skips the metadata pass and uses the raw
     ``monotonically_increasing_id`` — only safe when downstream ignores
     cross-line ordering (e.g. pure filtering/counting jobs).
+
+    Two seq-attach strategies, switched on split count:
+
+    * ``<= max_literal_splits`` — the per-split offsets are resolved
+      EAGERLY (one tiny metadata job, one row per split) and embedded as
+      a literal map, so downstream consumers scan the data exactly once.
+      Driver cost is O(#splits) — bounded by the threshold.  A split key
+      missing from the map (the input dir changed between ``read_text``
+      and a later action — rotated/appended log files) raises
+      ``SEQ_SPLIT_DRIFT`` at execution instead of silently producing
+      NULL seq and corrupting the order-sensitive fold.
+    * ``> max_literal_splits`` (~100k splits ≈ 100 TB at 128 MB splits)
+      — offsets stay distributed: the same per-split aggregate feeds a
+      window over the split list and broadcast-joins back onto the scan.
+      No driver materialization; the metadata subplan re-executes per
+      downstream action (the price of staying fully lazy at that scale).
     """
     df = spark.read.text(path)
     if not ordered:
@@ -50,15 +71,18 @@ def read_text(spark: SparkSession, path: str, ordered: bool = True) -> DataFrame
         .withColumn("_block", F.expr("input_file_block_start()"))
         .withColumn("_mono", F.monotonically_increasing_id())
     )
-    # resolve per-split offsets EAGERLY, once, like schema inference: a
-    # tiny metadata job (one row per split) whose result is embedded as a
-    # literal map — so every downstream consumer scans the data exactly
-    # once, with no metadata subplan or join re-executed per branch.
+    # cheap split-count gate: planned scan partitions (no job).  Split
+    # keys can exceed partition count when many small files pack into one
+    # partition, so the post-collect length check below is the backstop.
+    if df.rdd.getNumPartitions() > max_literal_splits:
+        return _attach_seq_join(tagged)
     meta = (
         tagged.groupBy("_file", "_block")
         .agg(F.count(F.lit(1)).alias("n"), F.min("_mono").alias("min_mono"))
         .collect()
     )
+    if len(meta) > max_literal_splits:
+        return _attach_seq_join(tagged)
     meta.sort(key=lambda r: (r["_file"], r["_block"]))
     adjust: dict[str, int] = {}
     offset = 0
@@ -69,15 +93,58 @@ def read_text(spark: SparkSession, path: str, ordered: bool = True) -> DataFrame
         return df.withColumn("seq", F.lit(None).cast("long")).limit(0).select(
             "value", "seq"
         )
+    return _attach_seq_literal(tagged, adjust)
+
+
+def _attach_seq_literal(tagged: DataFrame, adjust: dict[str, int]) -> DataFrame:
+    """Embed per-split offsets as a literal map; fail fast (not NULL-seq)
+    on a split key the eager metadata pass never saw."""
     pairs: list = []
     for k, v in adjust.items():
         pairs.append(F.lit(k))
         pairs.append(F.lit(v))
     adj_map = F.create_map(*pairs)
     key = F.concat_ws("@", F.col("_file"), F.col("_block"))
-    return tagged.withColumn(
-        "seq", (F.col("_mono") + adj_map[key]).cast("long")
-    ).select("value", "seq")
+    offset = F.coalesce(
+        adj_map[key],
+        F.raise_error(
+            F.concat(
+                F.lit("SEQ_SPLIT_DRIFT: unknown split "),
+                key,
+                F.lit(
+                    " — input files changed between read_text() and this "
+                    "action; re-create the DataFrame"
+                ),
+            )
+        ).cast("long"),
+    )
+    return tagged.withColumn("seq", (F.col("_mono") + offset).cast("long")).select(
+        "value", "seq"
+    )
+
+
+def _attach_seq_join(tagged: DataFrame) -> DataFrame:
+    """Distributed offset attach: window the per-split aggregate (one row
+    per split) into cumulative offsets, broadcast-join back on the split
+    key.  The window sorts only the split list, never the data."""
+    meta = tagged.groupBy("_file", "_block").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("_mono").alias("_min_mono")
+    )
+    w = Window.orderBy("_file", "_block").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = meta.select(
+        "_file",
+        "_block",
+        (F.coalesce(F.sum("_n").over(w), F.lit(0)) - F.col("_min_mono")).alias(
+            "_adj"
+        ),
+    )
+    return (
+        tagged.join(F.broadcast(offsets), ["_file", "_block"])
+        .withColumn("seq", (F.col("_mono") + F.col("_adj")).cast("long"))
+        .select("value", "seq")
+    )
 
 
 def lines_df(spark: SparkSession, lines: list[str]) -> DataFrame:

@@ -21,24 +21,28 @@ mirror:
   emitting them is strictly more observable; filter them out for parity).
 * **J1** — dovecot sieve correlation: dovecot lines carry legacy syslog
   timestamps (no event time) and are keyed by msgid, not queue_id, so they
-  cannot enter the keyed fold directly.  ``prepare_stream`` resolves them
-  **scan-locally**: while attaching the per-partition ``seq`` it tracks
-  msgid→queue assignments seen earlier in the same scan partition and
-  duplicates each dovecot line to every candidate queue (with a
-  carried-forward event time so it survives the watermark).  The fold then
-  applies the action only if the session's *current* ``message-id`` equals
-  the msgid — the reference's exact predicate (``parse.py:370-375``).
-  Divergence (documented): a dovecot line whose msgid assignment happened
-  in a *different* scan partition / earlier micro-batch is not correlated.
-  In real logs the sieve line lands directly after the delivery lines of
-  its session, so partition-local resolution covers the practical case;
-  the batch path (`operators.sessionize`) is exact for replays.
+  cannot enter the keyed fold directly.  They are resolved to candidate
+  queues with a **watermarked stream-stream join**: an assignment stream
+  (admitted lines carrying ``message-id`` → (msgid, queue_id, ts)) joins a
+  dovecot stream (sieve lines with a scan-carried event time) on msgid +
+  a time-range bound.  The join's state store holds assignments across
+  micro-batches AND partitions, so a sieve line arriving in a later batch
+  still correlates — the two streaming stateful operators (join → keyed
+  fold) chain in one query.  The fold then applies the action only if the
+  session's *current* ``message-id`` equals the msgid — the reference's
+  exact predicate (``parse.py:370-375``).  A sieve line whose session was
+  already finalized finds no open state — which is the reference's
+  behavior too (state is deleted on ``removed``, ``parse.py:353``).
+  Residual divergence (documented): a dovecot line with NO preceding
+  parseable timestamp in its scan partition has no event time and is
+  dropped (real syslog partitions always open with timestamped lines).
 
 Scale design: ``prepare_stream`` is one vectorized Arrow pass (pandas
-string ops; the sequential scan touches only the rare msgid/dovecot
-candidate rows), the fold shuffles once on the uniform hex ``queue_id``,
-and state per key is one bounded session (5-20 lines) — no skew, no
-unbounded state (the TTL timeout bounds abandoned sessions).
+string ops; the sequential scan only computes per-partition seq and a
+carried-forward timestamp), the join keys on msgid with a ±TTL range
+bound (state evicted by watermark), the fold shuffles once on the
+uniform hex ``queue_id``, and state per key is one bounded session
+(5-20 lines) — no skew, no unbounded state.
 """
 
 from __future__ import annotations
@@ -65,14 +69,9 @@ _PREP_SCHEMA = T.StructType(
     [
         T.StructField("value", T.StringType(), True),
         T.StructField("seq", T.LongType(), True),
-        T.StructField("_dove_queue", T.StringType(), True),
         T.StructField("_dove_ts", T.TimestampType(), True),
     ]
 )
-
-# an admitted line head: ts host proc QUEUEID: …  (F1-F3 shape)
-_ADMIT_HEAD = re.compile(r"^(\S+)\s+\S+\s+\S+\s+([0-9A-F]{11}):\s")
-_MSGID_TOK = re.compile(r"message-id=(\S+)")
 
 
 def _iso_ts(tok: str) -> datetime.datetime | None:
@@ -88,75 +87,63 @@ def _iso_ts(tok: str) -> datetime.datetime | None:
 def _prepare_partition(
     pdfs: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    seq0 = 0
+    # salt seq with the scan partition id so the fold's (timestamp, seq)
+    # sort has distinct tie-breakers across partitions; within a
+    # partition, order is scan order.  (Cross-batch ties remain a
+    # documented divergence: each micro-batch restarts partition ids.)
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    seq0 = (ctx.partitionId() << 40) if ctx is not None else 0
     last_ts: datetime.datetime | None = None
-    assigns: dict[str, list[str]] = {}  # msgid -> queues (partition-local)
     for pdf in pdfs:
         vals = pdf["value"].astype("string").str.strip().reset_index(drop=True)
         n = len(vals)
         seq = pd.array(range(seq0, seq0 + n), dtype="Int64")
         seq0 += n
+        dove_ts: list[Any] = [None] * n
+        # dovecot lines have no parseable event time; give them the
+        # nearest preceding ISO timestamp in this scan partition (falling
+        # back to the carry from earlier chunks) so they can enter the
+        # watermarked correlation join.  Scans are short: they break at
+        # the first parseable head token.
+        dove_mask = (
+            vals.str.contains(" Info: sieve: msgid=", regex=False).fillna(False)
+        )
+        iso_head = vals.str.extract(r"^(\S+) ", expand=False)
+
+        def _nearest_ts_at_or_before(i: int) -> datetime.datetime | None:
+            for j in range(i, -1, -1):
+                tok = iso_head[j]
+                if tok is None or pd.isna(tok):
+                    continue
+                ts = _iso_ts(tok)
+                if ts is not None:
+                    return ts
+            return None
+
+        if dove_mask.any():
+            for i in dove_mask[dove_mask].index:
+                found = _nearest_ts_at_or_before(i)
+                dove_ts[i] = found if found is not None else last_ts
+        # carry the chunk's last parseable timestamp for later chunks
+        tail = _nearest_ts_at_or_before(n - 1) if n else None
+        if tail is not None:
+            last_ts = tail
         out = pd.DataFrame(
             {
                 "value": pdf["value"].reset_index(drop=True),
                 "seq": seq,
-                "_dove_queue": pd.array([None] * n, dtype="string"),
-                "_dove_ts": pd.array([None] * n, dtype="object"),
+                "_dove_ts": pd.array(dove_ts, dtype="object"),
             }
         )
-        # candidate masks (vectorized); the sequential scan below only
-        # touches these rare rows
-        dove_mask = vals.str.contains(" Info: sieve: msgid=", regex=False)
-        msgid_mask = vals.str.contains("message-id=", regex=False)
-        extra_rows: list[dict[str, Any]] = []
-        dove_mask = dove_mask.fillna(False)
-        msgid_mask = msgid_mask.fillna(False)
-        for i in sorted(
-            set(dove_mask[dove_mask].index) | set(msgid_mask[msgid_mask].index)
-        ):
-            line = vals[i]
-            toks = line.split()
-            ts = _iso_ts(toks[0]) if toks else None
-            if ts is not None:
-                last_ts = ts
-            m = _ADMIT_HEAD.match(line)
-            if m and ts is not None and msgid_mask[i]:
-                # admitted line assigning message-id: last k=v token wins
-                hits = _MSGID_TOK.findall(line)
-                if hits:
-                    msgid = hits[-1].rstrip(",")
-                    assigns.setdefault(msgid, [])
-                    if m.group(2) not in assigns[msgid]:
-                        assigns[msgid].append(m.group(2))
-            if (
-                len(toks) >= 9
-                and toks[4] == "Info:"
-                and toks[5] == "sieve:"
-                and toks[6].startswith("msgid=")
-                and toks[7] == "fileinto"
-                and toks[8] == "action:"
-            ):
-                msgid_raw = toks[6].split("=", 1)[1][:-1]
-                for q in assigns.get(msgid_raw, []):
-                    extra_rows.append(
-                        {
-                            "value": line,
-                            "seq": int(out.at[i, "seq"]),
-                            "_dove_queue": q,
-                            "_dove_ts": last_ts,
-                        }
-                    )
-        # carry-forward event time is only needed on duplicated dovecot
-        # rows; normal rows parse their own timestamp downstream
-        if extra_rows:
-            out = pd.concat([out, pd.DataFrame(extra_rows)], ignore_index=True)
         yield out
 
 
 def prepare_stream(lines: DataFrame, line_col: str = "value") -> DataFrame:
-    """Attach ``seq`` (per scan partition) and resolve dovecot lines to
-    candidate queue keys with a carried-forward event time.  Works on both
-    streaming and batch DataFrames (one narrow Arrow pass)."""
+    """Attach ``seq`` (per scan partition) and a carried-forward event
+    time on dovecot lines (``_dove_ts``).  Works on both streaming and
+    batch DataFrames (one narrow Arrow pass)."""
     df = lines.select(F.col(line_col).alias("value"))
     return df.mapInPandas(_prepare_partition, _PREP_SCHEMA)
 
@@ -357,27 +344,41 @@ def sessionize_stream(
     10-minute eviction horizon (``parse.py:77``) as an event-time timeout;
     ``watermark_delay`` bounds out-of-order arrival.
 
-    One wide stage: hash shuffle on ``queue_id`` into the state store.
+    Two chained stateful stages: the msgid correlation join (stream-stream
+    inner join, state bounded by watermark + the ±TTL range condition),
+    then one hash shuffle on ``queue_id`` into the fold's state store.
     Everything upstream (prepare, parse) is narrow; everything downstream
     (projection) is stateless.
     """
     prepared = prepare_stream(lines, line_col)
-    parsed = parse_lines(prepared, passthrough=("_dove_queue", "_dove_ts"))
+    parsed = parse_lines(prepared, passthrough=("_dove_ts",))
 
-    feed = parsed.filter(
-        F.col("admitted")
-        | ((F.col("kind") == "dovecot") & F.col("_dove_queue").isNotNull())
-    ).select(
-        F.coalesce(F.col("_dove_queue"), F.col("queue_id")).alias("queue_id"),
-        F.coalesce(F.col("_dove_ts"), F.col("timestamp")).alias("timestamp"),
+    # ONE shared watermark node on a unified event-time column ("evt" =
+    # the carried scan timestamp for unadmitted dovecot lines, the parsed
+    # line timestamp otherwise).  All three branches below filter FROM
+    # this node, so the single logical watermark advances whenever any
+    # branch sees rows.  Per-branch watermark nodes would break: the
+    # optimizer pushes non-event-time filter conjuncts below
+    # EventTimeWatermark, after which a dovecot-only node sees no rows on
+    # dovecot-free input, and the global min-policy watermark freezes at
+    # epoch (TTL eviction never fires).
+    # admitted lines carry their own timestamp; unadmitted dovecot lines
+    # (legacy syslog head) fall back to the scan-carried one
+    base = parsed.withColumn(
+        "evt", F.coalesce(F.col("timestamp"), F.col("_dove_ts"))
+    ).withWatermark("evt", watermark_delay)
+
+    admitted = base.filter(F.col("admitted")).select(
+        "queue_id",
+        F.col("evt").alias("timestamp"),
         "seq",
         "line",
         "kind",
-        # correlation duplicates (scan-local dovecot resolution) vs an
-        # ADMITTED line that merely has the dovecot shape: the latter must
-        # fold its k=v fields like any line — the reference's handler
-        # returns False and the line continues (parse.py:362-378)
-        F.col("_dove_queue").isNotNull().alias("dove_dup"),
+        # an ADMITTED line that merely has the dovecot shape must fold
+        # its k=v fields like any line — the reference's handler
+        # returns False and the line continues (parse.py:362-378);
+        # correlation duplicates (dove_dup=true) come from the join
+        F.lit(False).alias("dove_dup"),
         "fields",
         "to_list",
         "status_description",
@@ -386,8 +387,61 @@ def sessionize_stream(
         "dovecot_action",
         "fault_reason",
     )
+
+    # J1 correlation join: assignments (admitted lines carrying a
+    # message-id) ⋈ dovecot sieve lines, on the bracketed msgid (Q8) with
+    # a ±TTL time-range bound so both join-state sides are watermark-
+    # evicted.  The join output re-keys each sieve line to its candidate
+    # queue(s); the fold's current-message-id equality check remains the
+    # decider, so over-generation (a stale assignment) is filtered there.
+    assign = base.filter(
+        F.col("admitted")
+        & F.try_element_at(F.col("fields"), F.lit("message-id")).isNotNull()
+    ).select(
+        F.try_element_at(F.col("fields"), F.lit("message-id")).alias("a_msgid"),
+        F.col("queue_id").alias("a_queue"),
+        F.col("evt").alias("a_ts"),
+    )
+    # ANY dovecot-shaped line correlates — admitted or not: the reference
+    # handler runs before the admission gates and always returns False
+    # (parse.py:362-378, 393-394), so an admitted dovecot-shaped line both
+    # folds its k=v fields (admitted branch above) AND updates matching
+    # sessions (this branch).
+    dove = base.filter(
+        (F.col("kind") == "dovecot")
+        & F.col("dovecot_msgid").isNotNull()
+        & F.col("evt").isNotNull()
+    ).select(
+        F.col("dovecot_msgid").alias("d_msgid"),
+        F.col("evt").alias("d_ts"),
+        F.col("seq").alias("d_seq"),
+        F.col("line").alias("d_line"),
+        F.col("dovecot_action").alias("d_action"),
+    )
+    resolved = dove.join(
+        assign,
+        (F.col("d_msgid") == F.col("a_msgid"))
+        & (F.col("d_ts") >= F.col("a_ts") - F.expr("interval 1 minute"))
+        & (F.col("d_ts") <= F.col("a_ts") + F.expr(f"interval {ttl}")),
+        "inner",
+    ).select(
+        F.col("a_queue").alias("queue_id"),
+        F.col("d_ts").alias("timestamp"),
+        F.col("d_seq").alias("seq"),
+        F.col("d_line").alias("line"),
+        F.lit("dovecot").alias("kind"),
+        F.lit(True).alias("dove_dup"),
+        F.lit(None).cast("map<string,string>").alias("fields"),
+        F.lit(None).cast("array<string>").alias("to_list"),
+        F.lit(None).cast("string").alias("status_description"),
+        F.lit(None).cast("string").alias("subject"),
+        F.col("d_msgid").alias("dovecot_msgid"),
+        F.col("d_action").alias("dovecot_action"),
+        F.lit(None).cast("string").alias("fault_reason"),
+    )
+
+    feed = admitted.unionByName(resolved)
     ttl_seconds = _duration_seconds(ttl)
-    feed = feed.withWatermark("timestamp", watermark_delay)
     return feed.groupBy("queue_id").applyInPandasWithState(
         _make_fold(ttl_seconds),
         STREAM_FOLD_SCHEMA,

@@ -73,3 +73,25 @@ def test_sessionize_arrow_fast_path(spark):
     fa = sorted((r["fault_reason"], r["line"]) for r in fa_a.collect())
     fc = sorted((r["fault_reason"], r["line"]) for r in fa_c.collect())
     assert fa == fc
+
+
+def test_unicode_whitespace_tokenize_parity(spark):
+    """Python str.split() treats NBSP/NEL/ideographic space etc. as
+    separators; Java regex \\s does not.  The Catalyst tokenizer uses an
+    explicit Unicode class (_WS) so both engines agree on lines containing
+    such characters (the seeded ASCII fuzz can never catch this)."""
+    base = "2024-04-09T20:22:42.548478+03:00 localhost postfix/x[1]: AAAAAAAAAAA:"
+    lines = [
+        f"{base} from=<a@b.c>,\xa0size=1",          # NBSP between tokens
+        f"{base} status=sent　(250 2.0.0 ok)",  # ideographic space
+        f"{base} to=<x@y.z>",                  # thin space
+        f"\xa0{base} removed\x85",                  # NBSP lead / NEL trail
+        f"{base} k=v\x1dW",                         # group separator
+    ]
+    cat = _rows(parse_lines(lines_df(spark, lines)))
+    arr = _rows(parse_lines_arrow(lines_df(spark, lines)))
+    assert len(cat) == len(arr) == len(lines)
+    for c, a in zip(cat, arr):
+        assert c == a, f"unicode ws diverges at seq {c['seq']}:\n cat={c}\n arr={a}"
+    # and the tokenization actually split on the exotic whitespace:
+    assert cat[0]["fields"] == {"from": "<a@b.c>", "size": "1"}

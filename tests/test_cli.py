@@ -37,6 +37,45 @@ def test_cli_stream_once(spark, tmp_path):
     rows = events.collect()
     assert [r["queue_id"] for r in rows] == ["85C6C10208A"]
     assert rows[0]["status_code"] == 250
+    # the on_fault channel is persisted too (fold faults + pre-faults);
+    # this LOG has none, but the faults table must exist with the
+    # fault-channel schema
+    faults = spark.read.schema(
+        "line string, fault_reason string, queue_id string"
+    ).parquet(str(out / "faults"))
+    assert faults.count() == 0
+
+
+def test_cli_stream_once_writes_faults(spark, tmp_path):
+    bad = LOG + (
+        "2024-04-09T20:22:45.000001+03:00 localhost postfix/qmgr[3]: "
+        "CCCCCCCCCCC: removed\n"
+        "2024-04-09T20:22:45.100000+03:00 lmtp(x)<1><2> host x Info:\n"
+    )
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    (in_dir / "mail.log").write_text(bad)
+    out = tmp_path / "sout"
+    rc = main(
+        [
+            "--stream",
+            str(in_dir),
+            "--out",
+            str(out),
+            "--checkpoint",
+            str(tmp_path / "ck"),
+            "--once",
+        ]
+    )
+    assert rc == 0
+    faults = spark.read.schema(
+        "line string, fault_reason string, queue_id string"
+    ).parquet(str(out / "faults"))
+    reasons = sorted(r["fault_reason"] for r in faults.collect())
+    # CCCCCCCCCCC: removed with no fields -> Q4 KeyError (fold fault);
+    # the short Info: line -> Q8 IndexError (stateless pre-fault)
+    assert any(r.startswith("KeyError") for r in reasons)
+    assert any(r.startswith("IndexError") for r in reasons)
 
 
 def test_cli_batch_out(spark, tmp_path):

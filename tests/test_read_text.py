@@ -34,3 +34,36 @@ def test_plan_has_no_global_sort(spark, tmp_path):
     # per-split offsets are literals joined in — no Exchange, no global Sort
     assert "Exchange" not in plan
     assert "Sort " not in plan
+
+
+def test_join_fallback_matches_literal_path(spark, tmp_path):
+    """max_literal_splits=0 forces the distributed (window + broadcast
+    join) offset attach; it must produce the identical global seq."""
+    (tmp_path / "a.log").write_text("\n".join(f"a{i}" for i in range(5)))
+    (tmp_path / "b.log").write_text("\n".join(f"b{i}" for i in range(500)))
+    (tmp_path / "c.log").write_text("c0")
+    lit = read_text(spark, str(tmp_path)).orderBy("seq").collect()
+    join = read_text(spark, str(tmp_path), max_literal_splits=0).orderBy(
+        "seq"
+    ).collect()
+    assert [(r["seq"], r["value"]) for r in join] == [
+        (r["seq"], r["value"]) for r in lit
+    ]
+
+
+def test_literal_path_fails_fast_on_split_drift(spark):
+    """A split key the eager metadata pass never saw (input listing
+    changed between read_text() and the action) raises SEQ_SPLIT_DRIFT
+    instead of silently producing NULL seq."""
+    import pytest
+
+    from postfix_log_parser_spark.sources.text import _attach_seq_literal
+
+    tagged = spark.createDataFrame(
+        [("x", "f1", 0, 0), ("y", "f2", 0, 1)],
+        "value string, _file string, _block long, _mono long",
+    )
+    # the map only knows f1's split -> f2 rows must raise, not NULL
+    df = _attach_seq_literal(tagged, {"f1@0": 0})
+    with pytest.raises(Exception, match="SEQ_SPLIT_DRIFT"):
+        df.collect()

@@ -155,3 +155,60 @@ def test_stream_multibatch_state_and_ttl(spark, tmp_path):
     evicted = [r for r in out4.collect() if r["record_type"] == "evicted"]
     assert [r["queue_id"] for r in evicted] == ["EEEEEEEEEEE"]
     assert dict(evicted[0]["fields"])["from"] == "<e@e.com>"
+
+
+def test_stream_dovecot_cross_batch(spark, tmp_path):
+    """A sieve line arriving in a LATER micro-batch (and therefore a
+    different scan partition) still correlates: the msgid→queue assignment
+    is held in the stream-stream join's state store across batches.  This
+    was the round-2 documented divergence 3, now closed."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out_dir = tmp_path / "out"
+
+    def run_and_read():
+        folded = sessionize_stream(spark.readStream.text(str(in_dir)))
+        q = (
+            folded.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from postfix_log_parser_spark.streaming import STREAM_OUT_SCHEMA
+
+        return spark.read.schema(STREAM_OUT_SCHEMA).parquet(str(out_dir))
+
+    # batch 1: the session assigns its message-id, no sieve line yet
+    (in_dir / "01.log").write_text(
+        "\n".join(
+            [
+                _line(0, 1, "ABABABABAB1: from=<g@g.com>, message-id=<m@g>"),
+                _line(0, 2, "ABABABABAB1: to=<x@y.z>, status=sent (250 2.0.0 ok fine)"),
+            ]
+        )
+    )
+    assert run_and_read().count() == 0
+
+    # batch 2 (new file => new batch, new scan partition): a timestamped
+    # noise line (gives the sieve line its carried event time — real
+    # syslog partitions always open with timestamped lines), the sieve
+    # line, then the removed line that closes the session
+    (in_dir / "02.log").write_text(
+        "\n".join(
+            [
+                _line(0, 3, "disconnect from host1.example.com[10.0.0.1] commands=8"),
+                "Apr 30 15:09:27 lmtp(x)<1><y>: Info: sieve: msgid=<m@g>: "
+                "fileinto action: stored mail into mailbox Spam",
+                _line(0, 4, "ABABABABAB1: removed"),
+            ]
+        )
+    )
+    out = run_and_read()
+    evs = [r for r in out.collect() if r["record_type"] == "event"]
+    assert [e["queue_id"] for e in evs] == ["ABABABABAB1"]
+    assert dict(evs[0]["fields"])["dovecot_fileinto_action"] == (
+        "stored mail into mailbox Spam"
+    )
