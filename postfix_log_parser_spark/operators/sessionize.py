@@ -42,6 +42,7 @@ from __future__ import annotations
 from typing import Any, Iterator
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -635,6 +636,7 @@ def sessionize(
     use_native: bool | None = None,
     fold: str = "partitioned",
     raw_lines: DataFrame | None = None,
+    max_broadcast_dovecot: int = 500_000,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Sessionize a parsed-line DataFrame.
 
@@ -650,6 +652,12 @@ def sessionize(
 
     Set ``keep_order_columns=True`` to retain ``_start_seq``/``_removed_seq``
     on events (deterministic ordering for tests).
+
+    ``max_broadcast_dovecot`` guards the J1 broadcast: up to that many
+    sieve lines ride a single sorted broadcast array (the fast path —
+    sieve lines are a small fraction of real logs); above it, sessionize
+    switches to the interval equi-join fallback, which shuffles instead
+    of broadcasting and never materializes the dim in one task.
     """
     # faults raised before any state effect (dovecot-shape IndexError):
     pre_faults = parsed.filter(
@@ -683,15 +691,9 @@ def sessionize(
     else:  # pragma: no cover - guard
         raise ValueError(f"unknown fold strategy: {fold}")
 
-    # ---- J1: dovecot sieve correlation.  Dovecot lines are collected
-    # into one sorted broadcast array and matched per session with an
-    # array expression over the msgid validity intervals — the folded
-    # sessions are consumed exactly ONCE (no explode + join-back, which
-    # would re-execute the fold aggregate).  Replaces the reference's
+    # ---- J1: dovecot sieve correlation.  Two strategies behind a size
+    # guard (``max_broadcast_dovecot``); both replace the reference's
     # O(open-sessions) linear scan per dovecot line (parse.py:373-375).
-    # Assumption: sieve-correlation lines are a small fraction of the log
-    # (they ride a broadcast); if that ever broke, switch to an interval
-    # equi-join on msgid.
     # filter on dovecot_msgid (≡ kind='dovecot' but prunes to a scan +
     # token-shape predicates only — no timestamp/queue-id regex work).
     # With raw_lines provided (the Arrow-parse fast path), the dim comes
@@ -703,48 +705,87 @@ def sessionize(
         dov_src = dovecot_dim_from_raw(raw_lines)
     else:
         dov_src = parsed.filter(F.col("dovecot_msgid").isNotNull())
-    dovs = dov_src.agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("seq").alias("dseq"),
-                    F.col("dovecot_msgid").alias("dmsgid"),
-                    F.col("dovecot_action").alias("daction"),
-                )
-            )
-        ).alias("_dovs")
+    dov_src = dov_src.select(
+        F.col("seq").alias("dseq"),
+        F.col("dovecot_msgid").alias("dmsgid"),
+        F.col("dovecot_action").alias("daction"),
     )
-    sessions = folded.filter(F.col("record_type") != "fault").crossJoin(
-        F.broadcast(dovs)
+    # one probe job sizes the dim; persist so the probe's text scan is
+    # also the scan that feeds whichever correlation strategy runs
+    # (MEMORY_AND_DISK: a dovecot-heavy dim spills instead of OOMing)
+    dov_src = dov_src.persist(StorageLevel.MEMORY_AND_DISK)
+    n_dov = dov_src.limit(max_broadcast_dovecot + 1).count()
+
+    sessions = folded.filter(F.col("record_type") != "fault")
+    kv_fallback = F.try_element_at(
+        F.col("fields"), F.lit("dovecot_fileinto_action")
     )
-    ivs = F.col("msgid_intervals")
-    best = F.try_element_at(
-        F.filter(
-            F.col("_dovs"),
-            lambda d: F.exists(
-                ivs,
-                lambda iv: (iv["msgid"] == d["dmsgid"])
-                & (d["dseq"] > iv["lo"])
-                & (iv["hi"].isNull() | (d["dseq"] < iv["hi"])),
-            ),
-        ),
-        F.lit(-1),
-    )
-    sessions = sessions.withColumn(
-        "_dovecot_final",
-        # the later setter wins: a k=v dovecot_fileinto_action=... token vs
-        # the dovecot handler (both plain dict assignments in the reference)
-        F.when(
-            best.isNotNull()
+    # the later setter wins: a k=v dovecot_fileinto_action=... token vs
+    # the dovecot handler (both plain dict assignments in the reference)
+    def _final(best_seq: Column, best_action: Column) -> Column:
+        return F.when(
+            best_seq.isNotNull()
             & (
                 F.col("kv_dovecot_seq").isNull()
-                | (best["dseq"] > F.col("kv_dovecot_seq"))
+                | (best_seq > F.col("kv_dovecot_seq"))
             ),
-            best["daction"],
-        ).otherwise(
-            F.try_element_at(F.col("fields"), F.lit("dovecot_fileinto_action"))
-        ),
-    ).drop("_dovs")
+            best_action,
+        ).otherwise(kv_fallback)
+
+    if n_dov <= max_broadcast_dovecot:
+        # fast path: the whole dim rides ONE sorted broadcast array and is
+        # matched per session with an array expression over the msgid
+        # validity intervals — the folded sessions are consumed exactly
+        # once (no explode + join-back, which would re-execute the fold
+        # aggregate).
+        dovs = dov_src.agg(
+            F.sort_array(
+                F.collect_list(F.struct("dseq", "dmsgid", "daction"))
+            ).alias("_dovs")
+        )
+        sessions = sessions.crossJoin(F.broadcast(dovs))
+        ivs = F.col("msgid_intervals")
+        best = F.try_element_at(
+            F.filter(
+                F.col("_dovs"),
+                lambda d: F.exists(
+                    ivs,
+                    lambda iv: (iv["msgid"] == d["dmsgid"])
+                    & (d["dseq"] > iv["lo"])
+                    & (iv["hi"].isNull() | (d["dseq"] < iv["hi"])),
+                ),
+            ),
+            F.lit(-1),
+        )
+        sessions = sessions.withColumn(
+            "_dovecot_final", _final(best["dseq"], best["daction"])
+        ).drop("_dovs")
+    else:
+        # dovecot-heavy fallback: shuffle interval equi-join on msgid.
+        # Explode each session's msgid validity intervals (bounded: one
+        # per message-id assignment), equi-join the dim on msgid with the
+        # (lo, hi) range predicate, keep the LAST matching sieve line per
+        # session, and join back on the (queue_id, start_seq) session key.
+        # The join-back consumes the fold aggregate a second time — the
+        # price of never materializing the dim in one task.
+        iv = sessions.select(
+            "queue_id",
+            "start_seq",
+            F.explode("msgid_intervals").alias("_iv"),
+        )
+        cand = iv.join(dov_src, iv["_iv"]["msgid"] == dov_src["dmsgid"]).filter(
+            (F.col("dseq") > F.col("_iv")["lo"])
+            & (F.col("_iv")["hi"].isNull() | (F.col("dseq") < F.col("_iv")["hi"]))
+        )
+        best_per_session = cand.groupBy("queue_id", "start_seq").agg(
+            F.max("dseq").alias("_best_dseq"),
+            F.max_by("daction", "dseq").alias("_best_daction"),
+        )
+        sessions = sessions.join(
+            best_per_session, ["queue_id", "start_seq"], "left"
+        ).withColumn(
+            "_dovecot_final", _final(F.col("_best_dseq"), F.col("_best_daction"))
+        ).drop("_best_dseq", "_best_daction")
 
     events = _project_events(sessions.filter(F.col("record_type") == "event"))
     if not keep_order_columns:

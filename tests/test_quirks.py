@@ -233,3 +233,41 @@ Apr 30 15:09:27 lmtp(x)<1><y>: Info: sieve: msgid=<m@1>: fileinto action: stored
     # the second dovecot line refers to m@1 which is no longer current —
     # only the first (while m@1 was live) applies
     assert e["dovecot_fileinto_action"] == "stored mail into mailbox 'First'"
+
+
+def test_dovecot_join_fallback_matches_broadcast(spark):
+    """A dovecot-heavy log (max_broadcast_dovecot exceeded) switches J1 to
+    the interval equi-join fallback; results must be identical to the
+    broadcast path."""
+    from postfix_log_parser_spark.operators.sessionize import sessionize as _sess
+
+    lines = []
+    for i in range(6):
+        qid = format(0xA0 + i, "011X")
+        lines += [
+            _line(0, 1, f"{qid}: from=<s{i}@a.com>, message-id=<m@{i}>"),
+            _line(0, 2, f"{qid}: to=<r{i}@b.org>, status=sent (250 2.0.0 ok fine)"),
+            f"Apr 30 15:09:2{i} lmtp(x)<1><y>: Info: sieve: msgid=<m@{i}>: "
+            f"fileinto action: stored mail into mailbox 'Box {i}'",
+            _line(0, 3, f"{qid}: removed"),
+        ]
+    parsed = parse_lines(lines_df(spark, lines))
+
+    def run(**kw):
+        ev, fa, st = _sess(parsed, **kw)
+        return (
+            sorted(
+                (r.asDict(recursive=True) for r in ev.collect()),
+                key=lambda d: d["queue_id"],
+            ),
+            sorted((r["fault_reason"], r["line"]) for r in fa.collect()),
+            sorted(r["queue_id"] for r in st.collect()),
+        )
+
+    bcast = run()
+    joined = run(max_broadcast_dovecot=0)  # forces the equi-join fallback
+    assert joined == bcast
+    assert all(
+        e["dovecot_fileinto_action"] == f"stored mail into mailbox 'Box {i}'"
+        for i, e in enumerate(bcast[0])
+    )

@@ -212,3 +212,94 @@ def test_stream_dovecot_cross_batch(spark, tmp_path):
     assert dict(evs[0]["fields"])["dovecot_fileinto_action"] == (
         "stored mail into mailbox Spam"
     )
+
+
+CLEANUP_FIXTURE = """\
+2024-04-09T20:22:42.548478+03:00 localhost postfix/submission/smtpd[2182082]: 85C6C10208A: client=mail.localhost[192.168.0.1], sasl_method=PLAIN, sasl_username=user@localhost
+2024-04-09T20:22:42.596265+03:00 localhost postfix/cleanup[2182089]: 85C6C10208A: message-id=<214b89-66157980-3-dc1e520@120925011>
+2024-04-09T20:22:42.736487+03:00 localhost postfix/qmgr[837]: 85C6C10208A: from=<user@localhost>, size=952, nrcpt=1 (queue active)
+2024-04-09T20:22:42.736796+03:00 localhost postfix/submission/smtpd[2182082]: disconnect from mail.localhost[192.168.0.1] ehlo=2 starttls=1 auth=1 mail=1 rcpt=1 data=1 quit=1 commands=8
+2024-04-09T20:22:43.039303+03:00 localhost postfix/lmtp[2182091]: 85C6C10208A: to=<user@localhost>, relay=mail.localhost[private/dovecot-lmtp], delay=0.55, delays=0.25/0.02/0.02/0.27, dsn=2.0.0, status=sent (250 2.0.0 <user@localhost> VB7QLWJ5FWbMSyEA0J78UA Saved)
+"""
+
+
+def test_stream_cleanup_eviction_state_shape(spark, tmp_path):
+    """Streaming twin of the reference's test_cleanup
+    (``lognormalizer/parse_test.py:63-98``): a session that never sees
+    ``removed`` stays open while event time is within the 10-minute TTL,
+    then is evicted once the watermark passes first_ts + TTL.  The
+    reference drops the entry silently; here the eviction surfaces as a
+    ``record_type='evicted'`` row carrying the reference's exact state
+    shape (folded fields incl. the never-emitted sasl_* keys, to-list,
+    raw_log of the 4 admitted lines, first-line timestamp)."""
+    import datetime
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out_dir = tmp_path / "out"
+
+    def run_and_read():
+        folded = sessionize_stream(spark.readStream.text(str(in_dir)))
+        q = (
+            folded.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from postfix_log_parser_spark.streaming import STREAM_OUT_SCHEMA
+
+        return spark.read.schema(STREAM_OUT_SCHEMA).parquet(str(out_dir))
+
+    (in_dir / "01.log").write_text(CLEANUP_FIXTURE)
+    assert run_and_read().count() == 0  # open session: no event, no fault
+
+    # event time advances ~5 min: still inside OLD_LOGS -> entry survives
+    (in_dir / "02.log").write_text(
+        "2024-04-09T20:27:43.000000+03:00 localhost postfix/qmgr[837]: "
+        "FFFFFFFFFFF: size=1"
+    )
+    assert run_and_read().count() == 0
+
+    # event time jumps a day (the reference test's timedelta(days=1)):
+    # watermark passes first_ts + 10 min -> eviction fires
+    (in_dir / "03.log").write_text(
+        "2024-04-10T20:27:43.000000+03:00 localhost postfix/qmgr[837]: "
+        "FFFFFFFFFFF: nrcpt=1"
+    )
+    run_and_read()
+    (in_dir / "04.log").write_text(
+        "2024-04-10T20:27:44.000000+03:00 localhost postfix/qmgr[837]: "
+        "FFFFFFFFFFF: delay=1"
+    )
+    out = run_and_read()
+    evicted = [r for r in out.collect() if r["record_type"] == "evicted"]
+    # FFFFFFFFFFF evicts too: the reference's cleanup keys on the stored
+    # FIRST timestamp regardless of later activity (parse.py:279-283)
+    assert sorted(r["queue_id"] for r in evicted) == [
+        "85C6C10208A",
+        "FFFFFFFFFFF",
+    ]
+    ev = next(r for r in evicted if r["queue_id"] == "85C6C10208A")
+    fields = dict(ev["fields"])
+    # the reference folds EVERY k=v key into state, incl. ones the event
+    # projection would never emit (sasl_*, parse.py:291-302)
+    assert fields["client"] == "mail.localhost[192.168.0.1]"
+    assert fields["sasl_method"] == "PLAIN"
+    assert fields["sasl_username"] == "user@localhost"
+    assert fields["message-id"] == "<214b89-66157980-3-dc1e520@120925011>"
+    assert fields["from"] == "<user@localhost>"
+    assert fields["size"] == "952"
+    assert fields["status"] == "sent"
+    assert ev["to_list"] == ["<user@localhost>"]
+    # raw_log: the 4 admitted lines, in order (disconnect line dropped at F3)
+    assert len(ev["raw_log"]) == 4
+    assert ev["raw_log"][0].endswith("sasl_username=user@localhost")
+    assert ev["raw_log"][3].endswith("VB7QLWJ5FWbMSyEA0J78UA Saved)")
+    # session timestamp = FIRST admitted line's event time (Q3), UTC
+    assert ev["timestamp"] == datetime.datetime(2024, 4, 9, 17, 22, 42, 548478)
+    # no event, no fault was ever emitted for the evicted session
+    assert [r for r in out.collect() if r["record_type"] == "event"] == []
+    assert [r for r in out.collect() if r["record_type"] == "fault"] == []
