@@ -254,15 +254,25 @@ def q43_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write(STREAM_EVENTS_FIXTURE)
     folded = sessionize_stream(spark.readStream.text(in_dir))
     qname = f"q43_sink_{uuid.uuid4().hex[:8]}"
-    query = (
-        stream_events(folded)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    # state-operator parallelism is fixed at query start from
+    # spark.sql.shuffle.partitions; the fixture is 7 lines, and the
+    # pipeline has 3 state stores (join x2 + fold) whose per-partition
+    # per-batch commit overhead dominates at high partition counts.
+    # Scope a small count to this query and restore after.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream_events(folded)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return _events_projection(spark.table(qname))
 
 

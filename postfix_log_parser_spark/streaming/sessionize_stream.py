@@ -350,26 +350,40 @@ def sessionize_stream(
     Everything upstream (prepare, parse) is narrow; everything downstream
     (projection) is stateless.
     """
-    prepared = prepare_stream(lines, line_col)
-    parsed = parse_lines(prepared, passthrough=("_dove_ts",))
+    from postfix_log_parser_spark.operators.parse import _WS
 
-    # ONE shared watermark node on a unified event-time column ("evt" =
-    # the carried scan timestamp for unadmitted dovecot lines, the parsed
-    # line timestamp otherwise).  All three branches below filter FROM
-    # this node, so the single logical watermark advances whenever any
-    # branch sees rows.  Per-branch watermark nodes would break: the
-    # optimizer pushes non-event-time filter conjuncts below
-    # EventTimeWatermark, after which a dovecot-only node sees no rows on
-    # dovecot-free input, and the global min-policy watermark freezes at
-    # epoch (TTL eviction never fires).
-    # admitted lines carry their own timestamp; unadmitted dovecot lines
-    # (legacy syslog head) fall back to the scan-carried one
-    base = parsed.withColumn(
-        "evt", F.coalesce(F.col("timestamp"), F.col("_dove_ts"))
+    prepared = prepare_stream(lines, line_col)
+
+    # ONE shared watermark node on a unified event-time column computed
+    # CHEAPLY at the prepared level: the line's own ISO head timestamp
+    # when parseable, else the scan-carried one (unadmitted dovecot
+    # lines).  All three branches below filter FROM this node, so the
+    # single logical watermark advances whenever any branch sees rows.
+    # Per-branch watermark nodes would break: the optimizer pushes
+    # non-event-time filter conjuncts below EventTimeWatermark, after
+    # which a dovecot-only node sees no rows on dovecot-free input, and
+    # the global min-policy watermark freezes at epoch (TTL eviction
+    # never fires).  Keeping the evt computation out of parse_lines also
+    # keeps the two JOIN branches lightweight projections — the full
+    # parse expression tree is instantiated once (admitted branch), not
+    # three times (the triplicated tree overflows the 64KB codegen
+    # method limit and drops whole branches to interpreted eval).
+    nws = f"[^{_WS[1:-1]}]"  # complement of the Python-whitespace class
+    trimmed = F.regexp_replace(F.col("value"), f"^{_WS}+|{_WS}+$", "")
+    head = F.regexp_extract(trimmed, f"^({nws}+)", 1)
+    head_ts = F.when(
+        head.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}(T.+)?$"), F.try_to_timestamp(head)
+    )
+    base = prepared.withColumn(
+        "evt", F.coalesce(head_ts, F.col("_dove_ts"))
     ).withWatermark("evt", watermark_delay)
 
-    admitted = base.filter(F.col("admitted")).select(
+    parsed = parse_lines(base, passthrough=("evt",))
+    admitted = parsed.filter(F.col("admitted")).select(
         "queue_id",
+        # evt == the parsed timestamp for every admitted line (same ISO
+        # gate + try_to_timestamp), and it carries the watermark metadata
+        # the stateful fold needs
         F.col("evt").alias("timestamp"),
         "seq",
         "line",
@@ -388,35 +402,66 @@ def sessionize_stream(
         "fault_reason",
     )
 
-    # J1 correlation join: assignments (admitted lines carrying a
+    # J1 correlation join: assignments (admitted-shaped lines carrying a
     # message-id) ⋈ dovecot sieve lines, on the bracketed msgid (Q8) with
     # a ±TTL time-range bound so both join-state sides are watermark-
-    # evicted.  The join output re-keys each sieve line to its candidate
-    # queue(s); the fold's current-message-id equality check remains the
-    # decider, so over-generation (a stale assignment) is filtered there.
+    # evicted.  Both sides are cheap regex/token projections, NOT full
+    # parses: over-generation is safe because the fold's current-
+    # message-id equality check remains the decider (a message-id token
+    # on a line the full parse would not fold — e.g. a subject warning
+    # line, P9 — yields a candidate no open session matches).
     assign = base.filter(
-        F.col("admitted")
-        & F.try_element_at(F.col("fields"), F.lit("message-id")).isNotNull()
+        trimmed.rlike(f"^{nws}+{_WS}+{nws}+{_WS}+{nws}+{_WS}+[0-9A-F]{{11}}:{_WS}")
+        & F.col("evt").isNotNull()
+        & trimmed.contains("message-id=")
     ).select(
-        F.try_element_at(F.col("fields"), F.lit("message-id")).alias("a_msgid"),
-        F.col("queue_id").alias("a_queue"),
+        # last message-id= token wins (Q1); trailing commas stripped (P2)
+        F.regexp_replace(
+            # try_: the contains() pre-filter admits mid-token matches the
+            # anchored regex rejects (empty array -> NULL, not ANSI error)
+            F.try_element_at(
+                F.regexp_extract_all(
+                    trimmed, F.lit(f"(?:^|{_WS})message-id=({nws}+)"), 1
+                ),
+                F.lit(-1),
+            ),
+            ",+$",
+            "",
+        ).alias("a_msgid"),
+        F.regexp_extract(
+            trimmed, f"^{nws}+{_WS}+{nws}+{_WS}+{nws}+{_WS}+([0-9A-F]{{11}}):", 1
+        ).alias("a_queue"),
         F.col("evt").alias("a_ts"),
     )
     # ANY dovecot-shaped line correlates — admitted or not: the reference
     # handler runs before the admission gates and always returns False
     # (parse.py:362-378, 393-394), so an admitted dovecot-shaped line both
     # folds its k=v fields (admitted branch above) AND updates matching
-    # sessions (this branch).
-    dove = base.filter(
-        (F.col("kind") == "dovecot")
-        & F.col("dovecot_msgid").isNotNull()
-        & F.col("evt").isNotNull()
-    ).select(
-        F.col("dovecot_msgid").alias("d_msgid"),
+    # sessions (this branch).  Exact Q8 token-shape check on a local
+    # tokens column (the only non-regex work in this branch).
+    d_tokens = F.split(trimmed, f"{_WS}+")
+
+    def dt(i: int):
+        return F.get(d_tokens, i)
+
+    d_n = F.size(d_tokens)
+    is_dove_shape = (
+        (d_n >= 9)
+        & (dt(4) == "Info:")
+        & (dt(5) == "sieve:")
+        & dt(6).startswith("msgid=")
+        & (dt(7) == "fileinto")
+        & (dt(8) == "action:")
+    )
+    d_msgid_raw = F.substring(dt(6), F.instr(dt(6), "=") + 1, F.length(dt(6)))
+    dove = base.filter(is_dove_shape & F.col("evt").isNotNull()).select(
+        F.substring(d_msgid_raw, 1, F.length(d_msgid_raw) - 1).alias("d_msgid"),
         F.col("evt").alias("d_ts"),
         F.col("seq").alias("d_seq"),
-        F.col("line").alias("d_line"),
-        F.col("dovecot_action").alias("d_action"),
+        trimmed.alias("d_line"),
+        F.concat_ws(
+            " ", F.slice(d_tokens, 10, F.greatest(d_n - F.lit(9), F.lit(0)))
+        ).alias("d_action"),
     )
     resolved = dove.join(
         assign,
