@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q22_dedup_minhash_lsh",
     "q23_dedup_simhash",
     "q24_embed_neardup",
+    "q36_dedup_components",
+    "q37_training_mix",
     "q25_ann_bruteforce",
     "q26_ann_lsh",
     "q33_ann_ivf",

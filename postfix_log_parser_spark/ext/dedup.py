@@ -548,12 +548,161 @@ WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]
 """
 
 
+# ---------------------------------------------------------------------------
+# q36 — near-dup connected components (pair list → dedup clusters)
+# ---------------------------------------------------------------------------
+
+def q36_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs (q22):
+    a pair list does not dedup a corpus — clusters with one canonical id
+    per component do.  Output: (doc_id, component_id) where component_id
+    is the minimum doc_id reachable through the near-dup graph.
+
+    Iterative hash-min label propagation — the standard large-graph CC
+    loop: each round is one (edges ⋈ labels) shuffle + a min-aggregate,
+    labels are persisted and materialized per round, and the loop stops
+    when no label changed.  Rounds needed = graph diameter (near-dup
+    graphs are shallow: pairs/triples, so 1-2 rounds).  At 100 TB each
+    round is two hash shuffles keyed on doc id — no driver state beyond
+    the converged flag; for deep graphs swap the per-round persist for a
+    reliable checkpoint to truncate lineage."""
+    edges = q22_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    und = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        und.select(F.col("id_a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).persist()
+    for _ in range(20):  # backstop; near-dup graphs converge in 1-2 rounds
+        nbr = (
+            und.join(labels, und["id_b"] == labels["id"])
+            .groupBy("id_a")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["id_a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "new_comp")
+            .join(labels, "id")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
+def _q36_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_q22_sql()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION
+  SELECT reach.x, edges.b FROM reach JOIN edges ON reach.y = edges.a
+)
+SELECT x AS doc_id, least(x, min(y)) AS component_id
+FROM reach GROUP BY x
+"""
+
+
+# ---------------------------------------------------------------------------
+# q37 — end-to-end training-mix selection
+# ---------------------------------------------------------------------------
+
+def q37_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-pipeline query: exact-dedup to canonical docs
+    (min doc_id per content hash), quality gates (≥20 words, mean word
+    length ≤ 12), a deterministic md5-hash 60% sample stratified by
+    (source), and the per-(source, lang) doc/token budget of the
+    selected mix.
+
+    Every stage is one Catalyst pass: dedup is a hash-shuffle window-free
+    group-by (min_by), the quality gates are narrow expressions, the
+    sample is a pure hash predicate (reproducible across runs AND
+    engines — no RNG), and the budget is a map-side-partial aggregate.
+    Nothing here collects, broadcasts large state, or depends on
+    partition count — the plan is identical at 100 TB."""
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text", "source", "lang")
+    canon = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min_by(F.struct("doc_id", "text", "source", "lang"), "doc_id").alias("d"))
+        .select("d.doc_id", "d.text", "d.source", "d.lang")
+    )
+    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != F.lit(""))
+    n_words = F.size("words")
+    avg_wlen = F.aggregate(
+        F.transform(F.col("words"), F.length), F.lit(0), lambda a, x: a + x
+    ) / n_words
+    gated = (
+        canon.withColumn("words", words)
+        .filter((n_words >= 20) & (avg_wlen <= 12.0))
+    )
+    # deterministic stratified sample: md5 of (source, doc_id) — portable
+    # to the DuckDB oracle bit-for-bit, stable under repartitioning
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("source"), F.col("doc_id"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    picked = gated.filter(bucket < 60)
+    return picked.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("words")).alias("n_tokens"),
+    )
+
+
+_Q37_SQL = """
+WITH canon AS (
+  SELECT min_by(doc_id, doc_id) AS doc_id,
+         min_by(text, doc_id) AS text,
+         min_by(source, doc_id) AS source,
+         min_by(lang, doc_id) AS lang
+  FROM documents GROUP BY md5(text)
+),
+gated AS (
+  SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w != '') AS words
+  FROM canon
+),
+q AS (
+  SELECT * FROM gated
+  WHERE len(words) >= 20
+    AND list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words) <= 12.0
+),
+picked AS (
+  SELECT * FROM q
+  WHERE CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 60
+)
+SELECT source, lang, count(*) AS n_docs, CAST(sum(len(words)) AS BIGINT) AS n_tokens
+FROM picked GROUP BY source, lang
+"""
+
+
 DEDUP_QUERIES = {
     "q20_dedup_exact": q20_dedup_exact,
     "q21_dedup_ngram_jaccard": q21_dedup_ngram_jaccard,
     "q22_dedup_minhash_lsh": q22_dedup_minhash_lsh,
     "q23_dedup_simhash": q23_dedup_simhash,
     "q24_embed_neardup": q24_embed_neardup,
+    "q36_dedup_components": q36_dedup_components,
+    "q37_training_mix": q37_training_mix,
 }
 
 DEDUP_ORACLES = {
@@ -562,4 +711,6 @@ DEDUP_ORACLES = {
     "q22_dedup_minhash_lsh": _q22_sql(),
     "q23_dedup_simhash": _q23_sql(),
     "q24_embed_neardup": _Q24_SQL,
+    "q36_dedup_components": _q36_sql(),
+    "q37_training_mix": _Q37_SQL,
 }

