@@ -573,6 +573,7 @@ def q36_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         und.select(F.col("id_a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).persist()
+    changed = -1
     for _ in range(20):  # backstop; near-dup graphs converge in 1-2 rounds
         nbr = (
             und.join(labels, und["id_b"] == labels["id"])
@@ -600,7 +601,19 @@ def q36_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     und.unpersist()
-    return labels.select(
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            "q36 label propagation did not converge in 20 rounds "
+            f"({changed} labels still changing) — the near-dup graph has "
+            "diameter >20; raise the round cap or checkpoint per round"
+        )
+    # localCheckpoint truncates the 20-round join lineage and frees the
+    # loop's cache: the returned frame reads checkpointed blocks, not the
+    # persisted labels (which would otherwise leak for the session).
+    result = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return result.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
     )
 

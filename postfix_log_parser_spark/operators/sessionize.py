@@ -42,7 +42,6 @@ from __future__ import annotations
 from typing import Any, Iterator
 
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -710,11 +709,15 @@ def sessionize(
         F.col("dovecot_msgid").alias("dmsgid"),
         F.col("dovecot_action").alias("daction"),
     )
-    # one probe job sizes the dim; persist so the probe's text scan is
-    # also the scan that feeds whichever correlation strategy runs
-    # (MEMORY_AND_DISK: a dovecot-heavy dim spills instead of OOMing)
-    dov_src = dov_src.persist(StorageLevel.MEMORY_AND_DISK)
-    n_dov = dov_src.limit(max_broadcast_dovecot + 1).count()
+    # ONE bounded probe job sizes the dim AND (fast path) fetches it:
+    # limit(max+1).collect() either returns the whole dim (<= max rows,
+    # which the fast path needs driver-side anyway to build the broadcast)
+    # or proves it oversized.  No persist — nothing cached to leak; the
+    # rare dovecot-heavy fallback re-scans the dim inside its equi-join
+    # (the probe itself stopped after max+1 rows, so at most one full
+    # dim scan ever runs).
+    dov_rows = dov_src.limit(max_broadcast_dovecot + 1).collect()
+    n_dov = len(dov_rows)
 
     sessions = folded.filter(F.col("record_type") != "fault")
     kv_fallback = F.try_element_at(
@@ -732,16 +735,27 @@ def sessionize(
             best_action,
         ).otherwise(kv_fallback)
 
-    if n_dov <= max_broadcast_dovecot:
-        # fast path: the whole dim rides ONE sorted broadcast array and is
-        # matched per session with an array expression over the msgid
-        # validity intervals — the folded sessions are consumed exactly
-        # once (no explode + join-back, which would re-execute the fold
-        # aggregate).
-        dovs = dov_src.agg(
-            F.sort_array(
-                F.collect_list(F.struct("dseq", "dmsgid", "daction"))
-            ).alias("_dovs")
+    if n_dov == 0:
+        # no sieve lines at all (the common real-log case): the later-
+        # setter rule degenerates to the k=v fallback — no join, no
+        # broadcast, the sessions plan is untouched.
+        sessions = sessions.withColumn("_dovecot_final", kv_fallback)
+    elif n_dov <= max_broadcast_dovecot:
+        # fast path: the whole dim (already on the driver from the probe)
+        # rides ONE sorted broadcast array and is matched per session
+        # with an array expression over the msgid validity intervals —
+        # the folded sessions are consumed exactly once (no explode +
+        # join-back, which would re-execute the fold aggregate).
+        dovs = parsed.sparkSession.createDataFrame(
+            [
+                (
+                    sorted(
+                        ((r["dseq"], r["dmsgid"], r["daction"]) for r in dov_rows),
+                        key=lambda t: t[0],  # dseq is globally unique
+                    ),
+                )
+            ],
+            "_dovs array<struct<dseq:long,dmsgid:string,daction:string>>",
         )
         sessions = sessions.crossJoin(F.broadcast(dovs))
         ivs = F.col("msgid_intervals")

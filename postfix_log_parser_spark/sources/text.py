@@ -38,7 +38,7 @@ def read_text(
     spark: SparkSession,
     path: str,
     ordered: bool = True,
-    max_literal_splits: int = 65536,
+    max_literal_splits: int = 4096,
 ) -> DataFrame:
     """Batch text source: one ``value`` string column plus a global ``seq``
     consistent with (file name, in-file position) order.
@@ -56,12 +56,18 @@ def read_text(
       missing from the map (the input dir changed between ``read_text``
       and a later action — rotated/appended log files) raises
       ``SEQ_SPLIT_DRIFT`` at execution instead of silently producing
-      NULL seq and corrupting the order-sensitive fold.
-    * ``> max_literal_splits`` (~100k splits ≈ 100 TB at 128 MB splits)
-      — offsets stay distributed: the same per-split aggregate feeds a
-      window over the split list and broadcast-joins back onto the scan.
-      No driver materialization; the metadata subplan re-executes per
-      downstream action (the price of staying fully lazy at that scale).
+      NULL seq and corrupting the order-sensitive fold.  The default
+      threshold (4096 splits ≈ 512 GB at 128 MB splits) keeps the
+      ``CreateMap`` expression tree well under the 64KB whole-stage-
+      codegen method limit — a larger literal map silently drops the
+      projection to interpreted eval AND re-serializes the map into
+      every task.
+    * ``> max_literal_splits`` — offsets stay distributed: the same
+      per-split aggregate feeds a window over the split list and
+      broadcast-joins back onto the scan.  No driver materialization
+      and no outsized expression tree; the metadata subplan re-executes
+      per downstream action (the price of staying fully lazy at that
+      scale).
     """
     df = spark.read.text(path)
     if not ordered:

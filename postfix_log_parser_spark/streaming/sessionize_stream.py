@@ -466,7 +466,13 @@ def sessionize_stream(
     resolved = dove.join(
         assign,
         (F.col("d_msgid") == F.col("a_msgid"))
-        & (F.col("d_ts") >= F.col("a_ts") - F.expr("interval 1 minute"))
+        # symmetric ±TTL bound (matches the docstring): the lower slack
+        # covers sieve lines whose carried-forward event time trails the
+        # assignment's by out-of-order log timestamps — the seq-based
+        # batch path imposes no time bound at all, so the streaming bound
+        # must be at least as wide as the arrival disorder the watermark
+        # admits.  State cost is symmetric with the upper bound.
+        & (F.col("d_ts") >= F.col("a_ts") - F.expr(f"interval {ttl}"))
         & (F.col("d_ts") <= F.col("a_ts") + F.expr(f"interval {ttl}")),
         "inner",
     ).select(
