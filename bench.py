@@ -133,11 +133,16 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # one broken query must not zero the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
 
     # parse→sessionize throughput on a synthetic log scaled with sf
     n_sessions = max(2000, int(200_000 * sf))
@@ -152,28 +157,35 @@ def main() -> None:
         from postfix_log_parser_spark.sources.text import read_text
 
         t0 = time.time()
-        raw = read_text(spark, path)
-        events, faults, state = sessionize(parse_lines_arrow(raw), raw_lines=raw)
-        events.write.format("noop").mode("overwrite").save()
-        parse_sec = time.time() - t0
-        timings["parse_sessionize"] = round(parse_sec, 3)
-        lines_per_sec = round(len(log_lines) / parse_sec, 1)
+        try:
+            raw = read_text(spark, path)
+            events, faults, state = sessionize(parse_lines_arrow(raw), raw_lines=raw)
+            events.write.format("noop").mode("overwrite").save()
+            parse_sec = time.time() - t0
+            timings["parse_sessionize"] = round(parse_sec, 3)
+            lines_per_sec = round(len(log_lines) / parse_sec, 1)
+        except Exception as exc:
+            errors["parse_sessionize"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(
+                f"[bench] parse_sessionize FAILED: {errors['parse_sessionize']}",
+                file=sys.stderr,
+            )
+            lines_per_sec = None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "parse_lines_per_sec": lines_per_sec,
-            }
-        )
-    )
+    result = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "parse_lines_per_sec": lines_per_sec,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

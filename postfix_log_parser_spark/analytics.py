@@ -45,11 +45,19 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long
-        # (spark.sql.legacy.parquet.nanosAsLong); truncate to micros, the
-        # same conversion DuckDB applies.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long
+            # (spark.sql.legacy.parquet.nanosAsLong); truncate to micros, the
+            # same conversion DuckDB applies.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] without tz → Spark ≥3.5 infers
+            # TIMESTAMP_NTZ, which unix_micros() and interval arithmetic
+            # reject.  Under the engine's forced UTC session timezone
+            # (session.py) the cast to TIMESTAMP is an exact relabel.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

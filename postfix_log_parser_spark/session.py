@@ -35,6 +35,10 @@ def get_spark(app_name: str = "postfix_log_parser_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet timestamp[us] without tz would otherwise load as
+        # TIMESTAMP_NTZ (Spark ≥3.5), which unix_micros() rejects; under a
+        # forced-UTC session the plain TIMESTAMP reading is identical.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
@@ -54,6 +58,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:  # pragma: no cover - not runtime-settable on old builds
+        pass
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:  # pragma: no cover - conf may be static on some builds
