@@ -14,12 +14,29 @@ same as ``tests/test_golden.py``.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postfix_log_parser_spark.operators.parse import parse_lines_arrow
 from postfix_log_parser_spark.operators.sessionize import sessionize
 from postfix_log_parser_spark.sources.text import lines_df
+
+_WORK_ROOT: list[str] = []
+
+
+def _work_dir(prefix: str) -> str:
+    """Per-invocation scratch dir under one atexit-cleaned process root, so
+    repeated q43/q44 runs leave no /tmp residue after the process exits."""
+    if not _WORK_ROOT:
+        root = tempfile.mkdtemp(prefix="plps_work_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _WORK_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_WORK_ROOT[0])
 
 BASIC = """\
 2024-04-09T20:22:42.548478+03:00 localhost postfix/submission/smtpd[2182082]: 85C6C10208A: client=mail.localhost[192.168.0.1], sasl_method=PLAIN, sasl_username=user@localhost
@@ -240,15 +257,12 @@ def q43_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden fixtures, checked against the same VALUES oracle as the batch
     q40 — the batch/stream equivalence contract, driver-verified.  Runs an
     availableNow micro-batch query to completion and returns the sink."""
-    import tempfile
     import uuid
 
     from postfix_log_parser_spark.streaming import sessionize_stream, stream_events
 
-    work = tempfile.mkdtemp(prefix="q43_stream_")
+    work = _work_dir("q43_stream_")
     in_dir = f"{work}/in"
-    import os
-
     os.makedirs(in_dir)
     with open(f"{in_dir}/mail.log", "w") as fh:
         fh.write(STREAM_EVENTS_FIXTURE)
@@ -273,6 +287,9 @@ def q43_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        # memory sink rows live in the driver; the input + checkpoint
+        # files are dead once the availableNow query terminates
+        shutil.rmtree(work, ignore_errors=True)
     return _events_projection(spark.table(qname))
 
 
@@ -281,8 +298,6 @@ def q44_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     date-partitioned, time-sorted parquet sink (with Q5 fault routing),
     read the table back, and aggregate per partition date — verifying the
     full write→read round trip including partition layout and schema."""
-    import tempfile
-
     from postfix_log_parser_spark.sinks import (
         read_events,
         route_sink_faults,
@@ -291,7 +306,9 @@ def q44_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events, _faults, _state = _run(spark, ALL_EVENTS_FIXTURE)
     sinkable, sink_faults = route_sink_faults(events)
-    path = tempfile.mkdtemp(prefix="q44_events_") + "/events"
+    # the returned DataFrame lazily reads this parquet, so it must outlive
+    # this call — the shared work root's atexit hook removes it at exit
+    path = _work_dir("q44_events_") + "/events"
     write_events(sinkable, path)
     back = read_events(spark, path)
     return back.groupBy(F.to_date("timestamp").alias("event_date")).agg(
