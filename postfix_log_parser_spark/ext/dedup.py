@@ -580,22 +580,21 @@ def q36_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("id_a")
             .agg(F.min("comp").alias("nbr_min"))
         )
+        # carry the pre-update label in the same frame so the convergence
+        # check is a cache-local filter+count, not another join — one
+        # action per round materializes the persist AND decides the loop
         new_labels = (
             labels.join(nbr, labels["id"] == nbr["id_a"], "left")
             .select(
                 labels["id"],
+                labels["comp"].alias("_prev"),
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
                 ).alias("comp"),
             )
             .persist()
         )
-        changed = (
-            new_labels.withColumnRenamed("comp", "new_comp")
-            .join(labels, "id")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("comp") != F.col("_prev")).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -269,12 +269,18 @@ def q43_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = sessionize_stream(spark.readStream.text(in_dir))
     qname = f"q43_sink_{uuid.uuid4().hex[:8]}"
     # state-operator parallelism is fixed at query start from
-    # spark.sql.shuffle.partitions; the fixture is 7 lines, and the
+    # spark.sql.shuffle.partitions; the fixture is ~40 lines, and the
     # pipeline has 3 state stores (join x2 + fold) whose per-partition
-    # per-batch commit overhead dominates at high partition counts.
-    # Scope a small count to this query and restore after.
+    # per-batch commit overhead dominates — one partition is the right
+    # size here.  Also skip the trailing no-data micro-batch: it exists
+    # only to fire watermark timeouts (eviction rows), which this query
+    # filters out anyway, and it costs a full commit cycle across all
+    # three state stores.  Both confs are scoped and restored.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key, "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set(nodata_key, "false")
     try:
         query = (
             stream_events(folded)
@@ -287,6 +293,7 @@ def q43_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(nodata_key, old_nodata)
         # memory sink rows live in the driver; the input + checkpoint
         # files are dead once the availableNow query terminates
         shutil.rmtree(work, ignore_errors=True)
