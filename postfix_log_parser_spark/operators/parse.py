@@ -424,7 +424,11 @@ def dovecot_dim_from_raw(lines: DataFrame, line_col: str = "value") -> DataFrame
     df = with_seq(lines, line_col)
     if line_col != "value":
         df = df.withColumnRenamed(line_col, "value")
-    return df.select("seq", "value").mapInPandas(
+    # JVM-side twin of _dovecot_batches' substring pre-filter: drops the
+    # ~99.9% non-sieve lines BEFORE the Arrow transfer, so the Python
+    # stage sees only candidates instead of the whole log
+    cand = df.filter(F.col("value").contains(" Info: sieve: msgid="))
+    return cand.select("seq", "value").mapInPandas(
         _dovecot_batches, _DOVECOT_DIM_SCHEMA
     )
 

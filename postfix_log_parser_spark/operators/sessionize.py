@@ -39,6 +39,7 @@ dict in ways we do not replicate (SURVEY.md §2.10 discussion).
 
 from __future__ import annotations
 
+from bisect import bisect_left
 from typing import Any, Iterator
 
 import pandas as pd
@@ -81,6 +82,10 @@ FOLD_SCHEMA = T.StructType(
         T.StructField("fault_reason", T.StringType(), True),
         T.StructField("fault_line", T.StringType(), True),
         T.StructField("fault_seq", T.LongType(), True),
+        # J1 final action, resolved in-fold when the partitioned fold
+        # carries the broadcast dovecot map; null for the catalyst/pandas
+        # folds, whose resolution stays in the Catalyst stage
+        T.StructField("dovecot_final", T.StringType(), True),
     ]
 )
 
@@ -107,11 +112,13 @@ class _QueueFolder:
         "msgid_sets",
         "kv_dovecot_seq",
         "out",
+        "dov",
     )
 
-    def __init__(self, queue_id: str, out: list):
+    def __init__(self, queue_id: str, out: list, dov: dict | None = None):
         self.queue_id = queue_id
         self.out = out
+        self.dov = dov
         self.fields: dict[str, str] = {}
         self.to_list: list[str] = []
         self.raw_log: list[str] = []
@@ -131,6 +138,32 @@ class _QueueFolder:
             for i, (s, v) in enumerate(ms)
         ]
 
+    def _resolve_final(self, removed_seq):
+        """In-fold J1 resolution (broadcast-map fast path): the max-dseq
+        sieve line whose dseq falls inside any msgid validity interval —
+        the same predicate as the Catalyst array expression, but O(log n)
+        per interval via bisect on the per-msgid sorted dseq list, instead
+        of an O(sessions x sieve-lines) interpreted array scan."""
+        best_seq = None
+        best_action = None
+        dov = self.dov
+        ms = self.msgid_sets
+        for i, (lo, msgid) in enumerate(ms):
+            ent = dov.get(msgid)
+            if ent is None:
+                continue
+            seqs, actions = ent
+            hi = ms[i + 1][0] if i + 1 < len(ms) else removed_seq
+            idx = (len(seqs) if hi is None else bisect_left(seqs, hi)) - 1
+            if idx >= 0 and seqs[idx] > lo and (best_seq is None or seqs[idx] > best_seq):
+                best_seq = seqs[idx]
+                best_action = actions[idx]
+        kv = self.kv_dovecot_seq
+        # the later setter wins: k=v token vs the dovecot handler
+        if best_seq is not None and (kv is None or best_seq > kv):
+            return best_action
+        return self.fields.get("dovecot_fileinto_action")
+
     def _session_row(self, record_type, removed_seq):
         return (
             record_type,
@@ -146,6 +179,7 @@ class _QueueFolder:
             None,
             None,
             None,
+            self._resolve_final(removed_seq) if self.dov is not None else None,
         )
 
     def _fault_row(self, reason, line, seq):
@@ -163,6 +197,7 @@ class _QueueFolder:
             reason,
             line,
             seq,
+            None,
         )
 
     def feed(self, seq, line, kind, timestamp, fields, to_list, status_description,
@@ -248,7 +283,7 @@ def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=_FOLD_COLUMNS)
 
 
-def _prefold_partitions(batches) -> "Any":
+def _prefold_partitions(batches, dov: dict | None = None) -> "Any":
     """mapInPandas fold over a queue-partitioned, (queue_id, seq)-sorted
     stream: rows for one queue are contiguous and ordered, so a linear
     scan with one live folder per queue-run replays every session at
@@ -264,7 +299,7 @@ def _prefold_partitions(batches) -> "Any":
             return f
         f = live.get(q)
         if f is None:
-            f = _QueueFolder(q, out)
+            f = _QueueFolder(q, out, dov)
             live[q] = f
         current[0] = f
         return f
@@ -282,7 +317,7 @@ def _prefold_partitions(batches) -> "Any":
         yield pd.DataFrame(out, columns=_FOLD_COLUMNS)
 
 
-def _fold_partitioned(feed: DataFrame) -> DataFrame:
+def _fold_partitioned(feed: DataFrame, dov_bc=None) -> DataFrame:
     """Default batch fold: ONE hash shuffle (repartition on queue_id) +
     in-partition sort + linear Arrow-batched scan.
 
@@ -292,11 +327,23 @@ def _fold_partitioned(feed: DataFrame) -> DataFrame:
     Catalyst array-expression fold at 1M lines, and the same design holds
     on a 1000-executor cluster (partitions stay bounded by
     spark.sql.shuffle.partitions; per-queue data is a 5-20 line session,
-    uniform hex key → no skew)."""
+    uniform hex key → no skew).
+
+    ``dov_bc`` (a SparkContext broadcast of {msgid: (sorted dseqs,
+    actions)}) enables in-fold J1 resolution: each emitted session looks
+    its msgid intervals up in the executor-local hash map, so the J1 cost
+    is O(sessions x intervals x log sieve-lines) — replacing the
+    Catalyst broadcast-array scan, which is O(sessions x sieve-lines)
+    interpreted and dominates end-to-end time once sieve lines number in
+    the thousands."""
     arranged = feed.repartition(F.col("queue_id")).sortWithinPartitions(
         "queue_id", "seq"
     )
-    return arranged.mapInPandas(_prefold_partitions, FOLD_SCHEMA)
+    if dov_bc is None:
+        return arranged.mapInPandas(_prefold_partitions, FOLD_SCHEMA)
+    return arranged.mapInPandas(
+        lambda batches: _prefold_partitions(batches, dov_bc.value), FOLD_SCHEMA
+    )
 
 
 _ENTRY_ARRAY_T = "array<struct<eseq:bigint,key:string,value:string>>"
@@ -306,7 +353,7 @@ _FOLD_ROW_T = (
     "fields:map<string,string>,to_list:array<string>,raw_log:array<string>,"
     "removed_seq:bigint,msgid_intervals:array<struct<msgid:string,lo:bigint,"
     "hi:bigint>>,kv_dovecot_seq:bigint,fault_reason:string,fault_line:string,"
-    "fault_seq:bigint>"
+    "fault_seq:bigint,dovecot_final:string>"
 )
 
 # accumulator for the per-queue linear fold: required-key presence flags
@@ -452,6 +499,7 @@ def _session_row(s: Column, k: Column, bnd: Column) -> Column:
         F.lit(None).cast("string").alias("fault_reason"),
         F.lit(None).cast("string").alias("fault_line"),
         F.lit(None).cast("long").alias("fault_seq"),
+        F.lit(None).cast("string").alias("dovecot_final"),
     )
 
 
@@ -471,6 +519,7 @@ def _fault_row(reason: Column, line: Column, seq: Column) -> Column:
         reason.alias("fault_reason"),
         line.alias("fault_line"),
         seq.alias("fault_seq"),
+        F.lit(None).cast("string").alias("dovecot_final"),
     )
 
 
@@ -591,6 +640,7 @@ def _fold_native(feed: DataFrame) -> DataFrame:
         r["fault_reason"].alias("fault_reason"),
         r["fault_line"].alias("fault_line"),
         r["fault_seq"].alias("fault_seq"),
+        r["dovecot_final"].alias("dovecot_final"),
     )
 
 
@@ -681,23 +731,15 @@ def sessionize(
     )
     if use_native is not None:  # back-compat switch used by the test oracle
         fold = "catalyst" if use_native else "pandas"
-    if fold == "partitioned":
-        folded = _fold_partitioned(feed)
-    elif fold == "catalyst":
-        folded = _fold_native(feed)
-    elif fold == "pandas":
-        folded = feed.groupBy("queue_id").applyInPandas(_fold_group, FOLD_SCHEMA)
-    else:  # pragma: no cover - guard
-        raise ValueError(f"unknown fold strategy: {fold}")
 
-    # ---- J1: dovecot sieve correlation.  Two strategies behind a size
-    # guard (``max_broadcast_dovecot``); both replace the reference's
-    # O(open-sessions) linear scan per dovecot line (parse.py:373-375).
-    # filter on dovecot_msgid (≡ kind='dovecot' but prunes to a scan +
-    # token-shape predicates only — no timestamp/queue-id regex work).
-    # With raw_lines provided (the Arrow-parse fast path), the dim comes
-    # from a cheap substring scan of the raw text instead — the Arrow
-    # parse is opaque to Catalyst, so filtering `parsed` would re-run it.
+    # ---- J1 dim, probed BEFORE the fold: the default fold resolves the
+    # correlation in-fold from a broadcast hash map (see
+    # ``_fold_partitioned``).  Dovecot lines are filtered on dovecot_msgid
+    # (≡ kind='dovecot' but prunes to a scan + token-shape predicates only
+    # — no timestamp/queue-id regex work).  With raw_lines provided (the
+    # Arrow-parse fast path), the dim comes from a cheap substring scan of
+    # the raw text instead — the Arrow parse is opaque to Catalyst, so
+    # filtering `parsed` would re-run it.
     if raw_lines is not None:
         from postfix_log_parser_spark.operators.parse import dovecot_dim_from_raw
 
@@ -719,6 +761,31 @@ def sessionize(
     dov_rows = dov_src.limit(max_broadcast_dovecot + 1).collect()
     n_dov = len(dov_rows)
 
+    # executor-local hash map {msgid: (sorted dseqs, actions)} for the
+    # in-fold resolution — only the default fold takes it; the catalyst /
+    # pandas oracle folds keep the Catalyst correlation stage below
+    fold_dov_bc = None
+    if fold == "partitioned" and n_dov <= max_broadcast_dovecot:
+        dov_map: dict[str, tuple[list, list]] = {}
+        for r in sorted(dov_rows, key=lambda r: r["dseq"]):
+            ent = dov_map.setdefault(r["dmsgid"], ([], []))
+            ent[0].append(r["dseq"])
+            ent[1].append(r["daction"])
+        fold_dov_bc = parsed.sparkSession.sparkContext.broadcast(dov_map)
+
+    if fold == "partitioned":
+        folded = _fold_partitioned(feed, fold_dov_bc)
+    elif fold == "catalyst":
+        folded = _fold_native(feed)
+    elif fold == "pandas":
+        folded = feed.groupBy("queue_id").applyInPandas(_fold_group, FOLD_SCHEMA)
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown fold strategy: {fold}")
+
+    # ---- J1: dovecot sieve correlation — applied to the folded sessions
+    # (unless the fold already resolved it in-fold, the default path).
+    # All strategies replace the reference's O(open-sessions) linear scan
+    # per dovecot line (parse.py:373-375).
     sessions = folded.filter(F.col("record_type") != "fault")
     kv_fallback = F.try_element_at(
         F.col("fields"), F.lit("dovecot_fileinto_action")
@@ -735,7 +802,13 @@ def sessionize(
             best_action,
         ).otherwise(kv_fallback)
 
-    if n_dov == 0:
+    if fold_dov_bc is not None:
+        # in-fold resolution already happened inside _fold_partitioned:
+        # the fold rows carry the final action — no Catalyst correlation
+        # stage at all (and no per-session scan of the sieve dim, which
+        # is interpreted and O(sessions x sieve-lines))
+        sessions = sessions.withColumn("_dovecot_final", F.col("dovecot_final"))
+    elif n_dov == 0:
         # no sieve lines at all (the common real-log case): the later-
         # setter rule degenerates to the k=v fallback — no join, no
         # broadcast, the sessions plan is untouched.
