@@ -346,6 +346,58 @@ def _fold_partitioned(feed: DataFrame, dov_bc=None) -> DataFrame:
     )
 
 
+def _fused_batches(batches, dov: dict) -> "Any":
+    """Fused parse+fold worker: each (key, seq)-sorted raw line is parsed
+    (``_parse_row``, the Arrow engine's per-line twin) and immediately fed
+    to its queue's folder — parse output never crosses a process or
+    serialization boundary.  Non-admitted lines either emit a pre-fold
+    fault row (dovecot-shape IndexError, Q8/Q12) or are dropped in place."""
+    from postfix_log_parser_spark.operators.parse import _parse_row
+
+    out: list = []
+    live: dict[str, _QueueFolder] = {}
+    current: list = [None]
+
+    def folder_of(q: str) -> _QueueFolder:
+        f = current[0]
+        if f is not None and f.queue_id == q:
+            return f
+        f = live.get(q)
+        if f is None:
+            f = _QueueFolder(q, out, dov)
+            live[q] = f
+        current[0] = f
+        return f
+
+    for pdf in batches:
+        seqs = pdf["seq"].to_numpy()
+        vals = pdf["value"].to_numpy()
+        for i in range(len(pdf)):
+            r = _parse_row(int(seqs[i]), vals[i])
+            # r = (seq, line, kind, ts, queue_id, fields, to_list,
+            #      status_desc, subject, dmsgid, daction, fault, admitted)
+            if r[12]:
+                folder_of(r[4]).feed(
+                    r[0], r[1], r[2], r[3], r[5], r[6], r[7], r[8], r[11]
+                )
+            elif r[2] == "fault":
+                # pre-fold fault (never entered state): same row shape the
+                # folders emit, so one union-free output stream
+                out.append(
+                    ("fault", r[4], None, None, None, None, None, None,
+                     None, None, r[11], r[1], r[0], None)
+                )
+        if len(out) >= 10_000:
+            yield pd.DataFrame(out, columns=_FOLD_COLUMNS)
+            out.clear()
+            for f in live.values():
+                f.out = out
+    for f in live.values():
+        f.close()
+    if out:
+        yield pd.DataFrame(out, columns=_FOLD_COLUMNS)
+
+
 _ENTRY_ARRAY_T = "array<struct<eseq:bigint,key:string,value:string>>"
 
 _FOLD_ROW_T = (
@@ -885,6 +937,117 @@ def sessionize(
     )
     faults = pre_faults.unionByName(fold_faults)
 
+    state = sessions.filter(F.col("record_type") == "state").select(
+        "queue_id",
+        "timestamp",
+        "fields",
+        "to_list",
+        "raw_log",
+        F.col("_dovecot_final").alias("dovecot_fileinto_action"),
+    )
+    return events, faults, state
+
+
+def sessionize_raw(
+    raw_lines: DataFrame,
+    line_col: str = "value",
+    keep_order_columns: bool = False,
+    max_broadcast_dovecot: int = 500_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fused parse+sessionize engine — the throughput path.
+
+    ``sessionize(parse_lines_arrow(raw), raw_lines=raw)`` runs parse and
+    fold as two Python stages with a shuffle of the PARSED payload (maps,
+    arrays, strings) between them: every admitted line's fields map is
+    Arrow-serialized out of the parse worker, shuffled, and deserialized
+    into the fold worker.  This fused engine instead shuffles the RAW
+    line keyed by a Catalyst-extracted queue-id candidate, and one Python
+    stage parses and folds in place (``_fused_batches``) — parse output
+    never crosses a serialization boundary, and the dovecot correlation
+    resolves in-fold from the broadcast msgid map.
+
+    The co-location key mirrors the parser's admission exactly: token 3
+    of the Python-whitespace tokenization when it matches the Q10 queue-id
+    shape (``lognormalizer/parse.py:237-256``); every admitted line of a
+    queue therefore lands in that queue's partition.  Non-admitted lines
+    spread over synthetic keys (they only ever emit stateless pre-fold
+    faults).  Scale shape: ONE shuffle of (key, seq, line) — strictly
+    less shuffle volume than the unfused path — then a linear in-memory
+    pass; uniform hex keys, no skew.
+
+    Falls back to the unfused path when the sieve dim exceeds the
+    broadcast bound.  Differentially tested against the unfused engine on
+    every golden fixture (``tests/test_fused.py``).
+    """
+    from postfix_log_parser_spark.operators.parse import (
+        _QUEUE_ID_RE,
+        _WS,
+        dovecot_dim_from_raw,
+        with_seq,
+    )
+
+    spark = raw_lines.sparkSession
+    dov_src = dovecot_dim_from_raw(raw_lines, line_col).select(
+        F.col("seq").alias("dseq"),
+        F.col("dovecot_msgid").alias("dmsgid"),
+        F.col("dovecot_action").alias("daction"),
+    )
+    dov_rows = dov_src.limit(max_broadcast_dovecot + 1).collect()
+    if len(dov_rows) > max_broadcast_dovecot:
+        # dovecot-heavy log: delegate to the unfused engine's interval
+        # equi-join fallback rather than holding an oversized dict
+        from postfix_log_parser_spark.operators.parse import parse_lines_arrow
+
+        return sessionize(
+            parse_lines_arrow(raw_lines, line_col),
+            keep_order_columns=keep_order_columns,
+            raw_lines=raw_lines,
+            max_broadcast_dovecot=max_broadcast_dovecot,
+        )
+
+    dov_map: dict[str, tuple[list, list]] = {}
+    for r in sorted(dov_rows, key=lambda r: r["dseq"]):
+        ent = dov_map.setdefault(r["dmsgid"], ([], []))
+        ent[0].append(r["dseq"])
+        ent[1].append(r["daction"])
+    dov_bc = spark.sparkContext.broadcast(dov_map)
+
+    df = with_seq(raw_lines, line_col)
+    if line_col != "value":
+        df = df.withColumnRenamed(line_col, "value")
+    # token 3 of the Python-whitespace tokenization iff it has the Q10
+    # shape (trim+split+index measures ~3x faster than one anchored
+    # regex here: the big Unicode class makes per-line regex scans slow)
+    trimmed = F.regexp_replace(F.col("value"), f"^{_WS}+|{_WS}+$", "")
+    tok3 = F.get(F.split(trimmed, f"{_WS}+"), 3)
+    t3 = F.when(tok3.rlike(_QUEUE_ID_RE), F.substring(tok3, 1, 11)).otherwise(
+        F.lit("")
+    )
+    key = F.when(t3 != "", t3).otherwise(
+        # non-queue lines can fold nowhere; spread them over synthetic
+        # keys ("\0" can't collide with an upper-hex queue id)
+        F.concat(F.lit("\x00"), F.pmod(F.col("seq"), F.lit(64)).cast("string"))
+    )
+    arranged = (
+        df.select(key.alias("_k"), "seq", "value")
+        .repartition(F.col("_k"))
+        .sortWithinPartitions("_k", "seq")
+    )
+    folded = arranged.mapInPandas(
+        lambda batches: _fused_batches(batches, dov_bc.value), FOLD_SCHEMA
+    )
+
+    sessions = folded.filter(F.col("record_type") != "fault").withColumn(
+        "_dovecot_final", F.col("dovecot_final")
+    )
+    events = _project_events(sessions.filter(F.col("record_type") == "event"))
+    if not keep_order_columns:
+        events = events.select(*EVENT_COLUMNS)
+    faults = folded.filter(F.col("record_type") == "fault").select(
+        F.col("fault_line").alias("line"),
+        F.col("fault_reason"),
+        F.col("queue_id"),
+    )
     state = sessions.filter(F.col("record_type") == "state").select(
         "queue_id",
         "timestamp",
