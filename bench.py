@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q34_frame_sample",
     "q35_grouping_sets",
     "q40_log_events",
+    "q45_fused_events",
     "q41_log_faults",
     "q42_log_state",
     "q43_stream_events",

@@ -45,6 +45,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="streaming: process available input (availableNow) and exit",
     )
     p.add_argument("--master", default=None, help="Spark master override")
+    p.add_argument(
+        "--engine",
+        choices=("arrow", "fused", "catalyst"),
+        default="arrow",
+        help="batch engine: arrow = Arrow parse + partitioned fold "
+        "(default); fused = one raw-line shuffle, parse+fold in a single "
+        "Python stage (lowest shuffle volume — prefer on real clusters); "
+        "catalyst = pure-expression parse+fold (no Python on the hot path)",
+    )
     return p
 
 
@@ -96,8 +105,14 @@ def main(argv: list[str] | None = None) -> int:
             spark.streams.awaitAnyTermination()
         return 0
 
-    from postfix_log_parser_spark.operators.parse import parse_lines_arrow
-    from postfix_log_parser_spark.operators.sessionize import sessionize
+    from postfix_log_parser_spark.operators.parse import (
+        parse_lines,
+        parse_lines_arrow,
+    )
+    from postfix_log_parser_spark.operators.sessionize import (
+        sessionize,
+        sessionize_raw,
+    )
     from postfix_log_parser_spark.sinks import write_events
     from postfix_log_parser_spark.sources.text import lines_df, read_text
 
@@ -106,7 +121,12 @@ def main(argv: list[str] | None = None) -> int:
     else:
         lines = read_text(spark, args.inputs)
 
-    events, faults, state = sessionize(parse_lines_arrow(lines), raw_lines=lines)
+    if args.engine == "fused":
+        events, faults, state = sessionize_raw(lines)
+    elif args.engine == "catalyst":
+        events, faults, state = sessionize(parse_lines(lines), fold="catalyst")
+    else:
+        events, faults, state = sessionize(parse_lines_arrow(lines), raw_lines=lines)
 
     if args.out:
         write_events(events, f"{args.out}/events", mode="overwrite")

@@ -165,6 +165,18 @@ def q40_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events_projection(events)
 
 
+def q45_fused_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fixtures and projection as q40, through the FUSED engine
+    (``sessionize_raw``: one raw-line shuffle, parse+fold+J1 in a single
+    Python stage) — the driver-verified correctness gate for the
+    cluster-scale throughput path, against the identical VALUES oracle."""
+    from postfix_log_parser_spark.operators.sessionize import sessionize_raw
+
+    raw = lines_df(spark, ALL_EVENTS_FIXTURE.splitlines())
+    events, _faults, _state = sessionize_raw(raw)
+    return _events_projection(events)
+
+
 _Q40_SQL = """
 SELECT * FROM (VALUES
   ('85C6C10208A', '2024-04-09 17:22:42.548478', 'localhost', 'localhost',
@@ -337,6 +349,7 @@ SELECT * FROM (VALUES
 
 LOG_QUERIES = {
     "q40_log_events": q40_log_events,
+    "q45_fused_events": q45_fused_events,
     "q41_log_faults": q41_log_faults,
     "q42_log_state": q42_log_state,
     "q43_stream_events": q43_stream_events,
@@ -356,6 +369,7 @@ assert _Q43_SQL != _Q40_SQL, "q43 oracle surgery failed"
 
 LOG_ORACLES = {
     "q40_log_events": _Q40_SQL,
+    "q45_fused_events": _Q40_SQL,
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
     "q43_stream_events": _Q43_SQL,

@@ -92,3 +92,17 @@ def test_cli_batch_out(spark, tmp_path):
     assert any(d.startswith("event_date=") for d in os.listdir(out / "events"))
     state = spark.read.parquet(str(out / "state"))
     assert [r["queue_id"] for r in state.collect()] == ["BBBBBBBBBBB"]
+
+
+def test_cli_batch_out_fused_engine(spark, tmp_path):
+    log = tmp_path / "mail.log"
+    log.write_text(LOG)
+    out = tmp_path / "out_fused"
+    assert main([str(log), "--out", str(out), "--engine", "fused"]) == 0
+    events = spark.read.parquet(str(out / "events"))
+    assert events.count() == 1
+    row = events.collect()[0]
+    assert row["queue_id"] == "85C6C10208A"
+    assert row["status_code"] == 250
+    state = spark.read.parquet(str(out / "state"))
+    assert [r["queue_id"] for r in state.collect()] == ["BBBBBBBBBBB"]

@@ -93,3 +93,20 @@ def test_q37_sample_is_a_pure_predicate(spark):
     # exactly the dedup + budget aggregates shuffle; the gates/sample are
     # narrow (2 hash exchanges: groupBy(md5) and groupBy(source, lang))
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_fused_engine_single_shuffle(spark):
+    """The fused parse+fold engine's events plan must contain exactly ONE
+    hash exchange — the raw-line co-location shuffle.  Parse output never
+    shuffles (that is the engine's 100 TB claim: shuffle bytes are the
+    raw line + key, not the parsed maps/arrays)."""
+    from postfix_log_parser_spark.operators.sessionize import sessionize_raw
+    from postfix_log_parser_spark.sources.text import lines_df
+
+    lines = [
+        "2024-04-09T20:22:42.548478+03:00 h p AAAAAAAAAAA: from=<a@b.c>",
+        "2024-04-09T20:22:43.000000+03:00 h p AAAAAAAAAAA: removed",
+    ]
+    events, faults, state = sessionize_raw(lines_df(spark, lines))
+    plan = _plan(events)
+    assert plan.count("Exchange hashpartitioning") == 1
