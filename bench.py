@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "q30_fingerprint",
     "q31_multimodal_features",
     "q32_tfidf",
+    "q46_repetition_quality",
+    "q47_decontamination",
     "q34_frame_sample",
     "q35_grouping_sets",
     "q40_log_events",

@@ -263,12 +263,138 @@ SELECT doc_id, rnk, word, tfidf FROM (
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q46 — repetition-quality gate (Gopher-style duplicate-content rules)
+# ---------------------------------------------------------------------------
+
+def q46_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics + keep gate, after the published
+    Gopher/MassiveText repetition rules (most-frequent-word fraction,
+    most-frequent-2-gram fraction) adapted to newline-free documents.
+
+    Scale shape: two explode → (doc_id, token) hash aggregations with
+    map-side partial combine, joined back on doc_id — no per-doc
+    interpreted array folds, so the per-document cost stays O(tokens)
+    and the shuffle keys on the uniform doc_id."""
+    docs = _docs(spark, sf_dir).withColumn("words", words_of(F.col("text")))
+    w = docs.select("doc_id", F.explode("words").alias("word"))
+    tw = (
+        w.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("top_word_n"),
+            F.sum("n").alias("n_words"),
+        )
+    )
+    bigrams = F.zip_with(
+        F.slice(F.col("words"), 1, F.size("words") - 1),
+        F.slice(F.col("words"), 2, F.size("words") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    b = docs.filter(F.size("words") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    )
+    tb = (
+        b.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("top_bigram_n"),
+            F.sum("n").alias("n_bigrams"),
+        )
+    )
+    wf = F.col("top_word_n") / F.col("n_words")
+    bf = F.col("top_bigram_n") / F.col("n_bigrams")
+    return tw.join(tb, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(wf, 4).alias("top_word_frac"),
+        F.round(bf, 4).alias("top_bigram_frac"),
+        ((wf <= 0.12) & (bf <= 0.08)).alias("keep"),
+    )
+
+
+_Q46_SQL = f"""
+WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+w AS (SELECT doc_id, unnest(words) AS word FROM d),
+wc AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+tw AS (SELECT doc_id, max(n) AS top_word_n, sum(n)::BIGINT AS n_words
+       FROM wc GROUP BY 1),
+b AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i+1])) AS bg
+      FROM d WHERE len(words) >= 2),
+bc AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+tb AS (SELECT doc_id, max(n) AS top_bigram_n, sum(n)::BIGINT AS n_bigrams
+       FROM bc GROUP BY 1)
+SELECT tw.doc_id AS doc_id, n_words,
+       round(top_word_n::DOUBLE / n_words, 4) AS top_word_frac,
+       round(top_bigram_n::DOUBLE / n_bigrams, 4) AS top_bigram_frac,
+       (top_word_n::DOUBLE / n_words <= 0.12
+        AND top_bigram_n::DOUBLE / n_bigrams <= 0.08) AS keep
+FROM tw JOIN tb ON tw.doc_id = tb.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q47 — benchmark decontamination (5-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+def q47_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set contamination check: flag every training document
+    sharing at least one distinct 5-word-gram with the (deterministic)
+    eval subset ``doc_id % 53 == 0``, with the count of shared grams.
+
+    Scale shape: the eval gram set is tiny relative to the corpus, so it
+    rides a BROADCAST into a semi-join-shaped inner join against the
+    exploded training grams — one scan of the training side, no shuffle
+    of it; the output aggregation keys on doc_id."""
+    docs = _docs(spark, sf_dir).withColumn("words", words_of(F.col("text")))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - 5),
+            lambda i: F.concat_ws(" ", F.slice(F.col("words"), i + 1, 5)),
+        )
+    )
+    g = docs.filter(F.size("words") >= 5).select("doc_id", grams.alias("grams"))
+    ev = (
+        g.filter(F.col("doc_id") % 53 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    tr = g.filter(F.col("doc_id") % 53 != 0).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+_Q47_SQL = f"""
+WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(words) - 3),
+                           i -> array_to_string(words[i:i+4], ' '))) AS grams
+      FROM d WHERE len(words) >= 5),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 53 = 0),
+tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 53 <> 0)
+SELECT doc_id, count(*)::BIGINT AS n_shared
+FROM tr JOIN ev USING (gram) GROUP BY doc_id
+"""
+
+
 TEXTSTATS_QUERIES = {
     "q27_text_quality": q27_text_quality,
     "q28_lang_id": q28_lang_id,
     "q29_token_stats": q29_token_stats,
     "q30_fingerprint": q30_fingerprint,
     "q32_tfidf": q32_tfidf,
+    "q46_repetition_quality": q46_repetition_quality,
+    "q47_decontamination": q47_decontamination,
 }
 
 TEXTSTATS_ORACLES = {
@@ -277,4 +403,6 @@ TEXTSTATS_ORACLES = {
     "q29_token_stats": _Q29_SQL,
     "q30_fingerprint": _Q30_SQL,
     "q32_tfidf": _Q32_SQL,
+    "q46_repetition_quality": _Q46_SQL,
+    "q47_decontamination": _Q47_SQL,
 }
