@@ -58,7 +58,9 @@ from postfix_log_parser_spark.schema import EVENT_COLUMNS
 FOLD_SCHEMA = T.StructType(
     [
         T.StructField("record_type", T.StringType(), False),
-        T.StructField("queue_id", T.StringType(), False),
+        # nullable: the fused engine routes PRE-fold faults (short dovecot
+        # lines, Q8 — no queue id) through this schema too
+        T.StructField("queue_id", T.StringType(), True),
         T.StructField("start_seq", T.LongType(), True),
         T.StructField("timestamp", T.TimestampType(), True),
         T.StructField("fields", T.MapType(T.StringType(), T.StringType()), True),

@@ -194,3 +194,35 @@ def test_fuzz_fold_strategies_agree(spark):
     assert pe == oe
     assert pf == of
     assert ps == os_
+
+
+def test_fuzz_fused_engine_agrees(spark):
+    """The fused parse+fold engine must match the unfused Arrow path on
+    the same adversarial line soup — including mis-keyed shapes (lowercase
+    / short / 12-hex queue tokens) that exercise the Catalyst co-location
+    key's agreement with the Python admission logic."""
+    from postfix_log_parser_spark.operators.sessionize import sessionize_raw
+
+    lines = gen_lines(3000)
+    raw1 = lines_df(spark, lines)
+    ev1, fa1, st1 = sessionize(
+        parse_lines_arrow(raw1), raw_lines=raw1, keep_order_columns=True
+    )
+    ev2, fa2, st2 = sessionize_raw(lines_df(spark, lines), keep_order_columns=True)
+
+    def norm(ev, fa, st):
+        return (
+            sorted(
+                (r.asDict(recursive=True) for r in ev.collect()),
+                key=lambda d: (d["queue_id"], d["_removed_seq"]),
+            ),
+            sorted((r["fault_reason"], r["line"]) for r in fa.collect()),
+            sorted(
+                (r.asDict(recursive=True) for r in st.collect()),
+                key=lambda d: d["queue_id"],
+            ),
+        )
+
+    a, b = norm(ev1, fa1, st1), norm(ev2, fa2, st2)
+    assert len(a[0]) > 50
+    assert a == b
