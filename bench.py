@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "q35_grouping_sets",
     "q40_log_events",
     "q45_fused_events",
+    "q48_pii_mask",
     "q41_log_faults",
     "q42_log_state",
     "q43_stream_events",

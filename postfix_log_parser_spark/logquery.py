@@ -347,9 +347,63 @@ SELECT * FROM (VALUES
 """
 
 
+
+_MASK_SQL_CASE = (
+    "CASE WHEN {x} IS NULL THEN NULL "
+    "WHEN strpos({x}, '@') > 0 THEN "
+    "substr(md5(substr({x}, 1, strpos({x}, '@') - 1)), 1, 8) || '@' || "
+    "substr({x}, strpos({x}, '@') + 1) "
+    "ELSE substr(md5({x}), 1, 8) END"
+)
+
+_MASK_SPARK_CASE = (
+    "CASE WHEN {x} IS NULL THEN NULL "
+    "WHEN instr({x}, '@') > 0 THEN "
+    "concat(substring(md5(substring({x}, 1, instr({x}, '@') - 1)), 1, 8), '@', "
+    "substring({x}, instr({x}, '@') + 1)) "
+    "ELSE substring(md5({x}), 1, 8) END"
+)
+
+
+def q48_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking for training-data egress: every email local part in the
+    parsed events is replaced by an 8-hex md5 pseudonym, domains kept (the
+    aggregate-analytics signal).  A pure narrow Catalyst map over the
+    events — at scale it fuses into the event projection with no extra
+    shuffle; the oracle applies the identical masking in SQL over the q40
+    VALUES contract, so the driver verifies mask logic and pipeline both."""
+    events, _faults, _state = _run(spark, ALL_EVENTS_FIXTURE)
+    masked_from = F.expr(_MASK_SPARK_CASE.format(x="message_from"))
+    masked_to = F.expr(
+        "transform(message_to, x -> "
+        + _MASK_SPARK_CASE.format(x="x").replace(
+            "WHEN x IS NULL THEN NULL ", "", 1
+        )
+        + ")"
+    )
+    return events.select(
+        "queue_id",
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_utc"),
+        masked_from.alias("masked_from"),
+        F.concat_ws(",", masked_to).alias("masked_to_csv"),
+        "domain_from",
+    )
+
+
+_Q48_SQL = f"""
+WITH ev AS ({{q40}})
+SELECT queue_id, ts_utc,
+       {_MASK_SQL_CASE.format(x="message_from")} AS masked_from,
+       array_to_string(list_transform(string_split(message_to_csv, ','),
+                       x -> {_MASK_SQL_CASE.format(x="x")}), ',') AS masked_to_csv,
+       domain_from
+FROM ev
+"""
+
 LOG_QUERIES = {
     "q40_log_events": q40_log_events,
     "q45_fused_events": q45_fused_events,
+    "q48_pii_mask": q48_pii_mask,
     "q41_log_faults": q41_log_faults,
     "q42_log_state": q42_log_state,
     "q43_stream_events": q43_stream_events,
@@ -370,6 +424,7 @@ assert _Q43_SQL != _Q40_SQL, "q43 oracle surgery failed"
 LOG_ORACLES = {
     "q40_log_events": _Q40_SQL,
     "q45_fused_events": _Q40_SQL,
+    "q48_pii_mask": _Q48_SQL.format(q40=_Q40_SQL),
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
     "q43_stream_events": _Q43_SQL,

@@ -110,3 +110,22 @@ def test_fused_engine_single_shuffle(spark):
     events, faults, state = sessionize_raw(lines_df(spark, lines))
     plan = _plan(events)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q47_broadcasts_eval_grams(spark):
+    """Decontamination joins the exploded training grams against the eval
+    gram set — the eval side must broadcast; the training side must never
+    sort-merge (its scan would shuffle the whole corpus)."""
+    from postfix_log_parser_spark.ext.textstats import q47_decontamination
+
+    plan = _plan(q47_decontamination(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q46_partial_aggregates(spark):
+    """Both repetition aggregations keep a map-side partial phase."""
+    from postfix_log_parser_spark.ext.textstats import q46_repetition_quality
+
+    plan = _plan(q46_repetition_quality(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # partial+final x (word, bigram)

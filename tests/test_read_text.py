@@ -67,3 +67,25 @@ def test_literal_path_fails_fast_on_split_drift(spark):
     df = _attach_seq_literal(tagged, {"f1@0": 0})
     with pytest.raises(Exception, match="SEQ_SPLIT_DRIFT"):
         df.collect()
+
+
+def test_gzip_files_keep_seq_order(spark, tmp_path):
+    """Compressed logs (rotated .gz + a plain file) read transparently and
+    keep the (file name, in-file position) global seq — gz files are
+    single-split, so each contributes one contiguous seq run."""
+    import gzip
+
+    a = tmp_path / "mail.log.1.gz"
+    with gzip.open(a, "wt") as fh:
+        fh.write("\n".join(f"a{i}" for i in range(100)))
+    b = tmp_path / "mail.log.2"
+    b.write_text("\n".join(f"b{i}" for i in range(50)))
+
+    from postfix_log_parser_spark.sources.text import read_text
+
+    rows = read_text(spark, str(tmp_path)).orderBy("seq").collect()
+    assert len(rows) == 150
+    values = [r["value"] for r in rows]
+    # within each file, original order; files in listing order
+    assert values[:100] == [f"a{i}" for i in range(100)]
+    assert values[100:] == [f"b{i}" for i in range(50)]
