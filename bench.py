@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "q41_log_faults",
     "q42_log_state",
     "q43_stream_events",
+    "q49_stream_hourly",
     "q44_sink_roundtrip",
 ]
 

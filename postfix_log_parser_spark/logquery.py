@@ -400,10 +400,78 @@ SELECT queue_id, ts_utc,
 FROM ev
 """
 
+
+def q49_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed aggregation over the events table:
+    1-hour tumbling windows x event_type with a 1-hour watermark, run to
+    completion with an availableNow trigger — the canonical late-data
+    windowed-agg shape (readStream -> withWatermark -> window -> agg).
+    Complete output mode emits every window, so the result is exactly the
+    batch GROUP BY the DuckDB oracle runs; the watermark still bounds
+    state for a live deployment.  At scale the state store is keyed on
+    (window, event_type) — uniformly distributed, shuffle-partition
+    parallel."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # a glob (not the bare file path): the file-stream source requires a
+    # directory or pattern to monitor, and events.parquet is one file
+    src = spark.readStream.schema(sch).parquet(f"{sf_dir}/events.parque[t]")
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+    qname = f"q49_sink_{uuid.uuid4().hex[:8]}"
+    work = _work_dir("q49_stream_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.table(qname).select(
+        F.col("w.start").alias("hour_ts"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_Q49_SQL = """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       count(*) AS n_events, round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
 LOG_QUERIES = {
     "q40_log_events": q40_log_events,
     "q45_fused_events": q45_fused_events,
     "q48_pii_mask": q48_pii_mask,
+    "q49_stream_hourly": q49_stream_hourly,
     "q41_log_faults": q41_log_faults,
     "q42_log_state": q42_log_state,
     "q43_stream_events": q43_stream_events,
@@ -425,6 +493,7 @@ LOG_ORACLES = {
     "q40_log_events": _Q40_SQL,
     "q45_fused_events": _Q40_SQL,
     "q48_pii_mask": _Q48_SQL.format(q40=_Q40_SQL),
+    "q49_stream_hourly": _Q49_SQL,
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
     "q43_stream_events": _Q43_SQL,
