@@ -9,8 +9,10 @@ the hot path, so these scale as narrow maps + one aggregation shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from postfix_log_parser_spark.ext.dedup import _DUCK_WORDS, words_of
 
@@ -338,6 +340,31 @@ FROM tw JOIN tb ON tw.doc_id = tb.doc_id
 """
 
 
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def grams5_udf(text: "pd.Series") -> "pd.Series":
+    """Vectorized distinct word-5-grams (same tokenization as
+    ``words_of``): the Catalyst transform/sequence form is interpreted
+    per element and measured ~4x slower on the q47 hot path."""
+    import re
+
+    pat = re.compile("[^a-z0-9]+")
+    out = []
+    for t in text:
+        ws = [w for w in pat.split(t.lower()) if w] if t is not None else []
+        if len(ws) < 5:
+            out.append([])
+            continue
+        seen: set = set()
+        grams = []
+        for i in range(len(ws) - 4):
+            g = " ".join(ws[i : i + 5])
+            if g not in seen:
+                seen.add(g)
+                grams.append(g)
+        out.append(grams)
+    return pd.Series(out)
+
 # ---------------------------------------------------------------------------
 # q47 — benchmark decontamination (5-gram overlap vs a held-out eval set)
 # ---------------------------------------------------------------------------
@@ -351,14 +378,9 @@ def q47_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides a BROADCAST into a semi-join-shaped inner join against the
     exploded training grams — one scan of the training side, no shuffle
     of it; the output aggregation keys on doc_id."""
-    docs = _docs(spark, sf_dir).withColumn("words", words_of(F.col("text")))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("words") - 5),
-            lambda i: F.concat_ws(" ", F.slice(F.col("words"), i + 1, 5)),
-        )
+    g = _docs(spark, sf_dir).select(
+        "doc_id", grams5_udf(F.col("text")).alias("grams")
     )
-    g = docs.filter(F.size("words") >= 5).select("doc_id", grams.alias("grams"))
     ev = (
         g.filter(F.col("doc_id") % 53 == 0)
         .select(F.explode("grams").alias("gram"))
