@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "q42_log_state",
     "q43_stream_events",
     "q49_stream_hourly",
+    "q50_stream_enrich",
     "q44_sink_roundtrip",
 ]
 

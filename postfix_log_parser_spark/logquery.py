@@ -467,11 +467,75 @@ SELECT date_trunc('hour', ts) AS hour_ts, event_type,
 FROM events GROUP BY 1, 2
 """
 
+
+def q50_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events file stream joins the static
+    customer dim (broadcast — the static side of a stream-static join
+    never shuffles the stream) and aggregates per market segment x event
+    type.  Complete output mode makes the availableNow result exactly the
+    batch join+GROUP BY the oracle runs.  At scale the dim re-broadcasts
+    per micro-batch; for large dims the same query takes a bucketed
+    static table instead."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = spark.readStream.schema(sch).parquet(f"{sf_dir}/events.parque[t]")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    agg = (
+        src.join(F.broadcast(dim), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+    qname = f"q50_sink_{uuid.uuid4().hex[:8]}"
+    work = _work_dir("q50_stream_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.table(qname)
+
+
+_Q50_SQL = """
+SELECT c_mktsegment AS segment, event_type,
+       count(*) AS n_events, round(sum(value), 3) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
 LOG_QUERIES = {
     "q40_log_events": q40_log_events,
     "q45_fused_events": q45_fused_events,
     "q48_pii_mask": q48_pii_mask,
     "q49_stream_hourly": q49_stream_hourly,
+    "q50_stream_enrich": q50_stream_enrich,
     "q41_log_faults": q41_log_faults,
     "q42_log_state": q42_log_state,
     "q43_stream_events": q43_stream_events,
@@ -494,6 +558,7 @@ LOG_ORACLES = {
     "q45_fused_events": _Q40_SQL,
     "q48_pii_mask": _Q48_SQL.format(q40=_Q40_SQL),
     "q49_stream_hourly": _Q49_SQL,
+    "q50_stream_enrich": _Q50_SQL,
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
     "q43_stream_events": _Q43_SQL,
