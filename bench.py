@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q43_stream_events",
     "q49_stream_hourly",
     "q50_stream_enrich",
+    "q51_stream_dedup",
     "q44_sink_roundtrip",
 ]
 

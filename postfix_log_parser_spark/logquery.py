@@ -530,12 +530,63 @@ FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """
 
+
+def q51_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first-seen (user_id, event_type) pairs
+    from the events stream via watermarked dropDuplicates — the standard
+    exactly-once-emission shape (append mode emits each key once; the
+    watermark bounds the dedup state store).  availableNow to completion
+    makes the emitted set exactly the batch DISTINCT the oracle runs."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = spark.readStream.schema(sch).parquet(f"{sf_dir}/events.parque[t]")
+    deduped = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    qname = f"q51_sink_{uuid.uuid4().hex[:8]}"
+    work = _work_dir("q51_stream_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.table(qname)
+
+
+_Q51_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
 LOG_QUERIES = {
     "q40_log_events": q40_log_events,
     "q45_fused_events": q45_fused_events,
     "q48_pii_mask": q48_pii_mask,
     "q49_stream_hourly": q49_stream_hourly,
     "q50_stream_enrich": q50_stream_enrich,
+    "q51_stream_dedup": q51_stream_dedup,
     "q41_log_faults": q41_log_faults,
     "q42_log_state": q42_log_state,
     "q43_stream_events": q43_stream_events,
@@ -559,6 +610,7 @@ LOG_ORACLES = {
     "q48_pii_mask": _Q48_SQL.format(q40=_Q40_SQL),
     "q49_stream_hourly": _Q49_SQL,
     "q50_stream_enrich": _Q50_SQL,
+    "q51_stream_dedup": _Q51_SQL,
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
     "q43_stream_events": _Q43_SQL,
