@@ -55,3 +55,29 @@ def test_fused_matches_unfused_synth(spark):
     assert _rows(ev1, ["_removed_seq"]) == _rows(ev2, ["_removed_seq"])
     assert sorted(_rows(fa1, ["line"])) == sorted(_rows(fa2, ["line"]))
     assert _rows(st1, ["queue_id"]) == _rows(st2, ["queue_id"])
+
+
+def test_fused_empty_input(spark):
+    ev, fa, st = sessionize_raw(lines_df(spark, []))
+    assert ev.count() == 0 and fa.count() == 0 and st.count() == 0
+
+
+def test_fused_garbage_only_input(spark):
+    ev, fa, st = sessionize_raw(
+        lines_df(spark, ["", "   ", "one two", "not a log line at all"])
+    )
+    assert ev.count() == 0 and fa.count() == 0 and st.count() == 0
+
+
+def test_fused_oversized_dim_falls_back(spark):
+    """max_broadcast_dovecot=0 forces the delegation to the unfused
+    engine's interval equi-join fallback — results must be identical."""
+    (ev1, fa1, st1), _ = _run_both(spark, FIXTURES["dovecot"])
+    ev2, fa2, st2 = sessionize_raw(
+        lines_df(spark, FIXTURES["dovecot"].splitlines()),
+        keep_order_columns=True,
+        max_broadcast_dovecot=0,
+    )
+    assert _rows(ev1, ["_removed_seq"]) == _rows(ev2, ["_removed_seq"])
+    assert sorted(_rows(fa1, ["line"])) == sorted(_rows(fa2, ["line"]))
+    assert _rows(st1, ["queue_id"]) == _rows(st2, ["queue_id"])
