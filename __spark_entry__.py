@@ -3,14 +3,21 @@
 ``entry(spark)`` runs the flagship star-join query on sf0.001.
 ``queries()`` exposes every driver-checked operator query:
 
-* q01-q17 — analytics layer (aggregation / joins / windows / top-k /
-  grouping sets / set ops / sessionization / as-of / JSON / approx),
-* q20-q31 — LLM-pipeline extensions (dedup exact / n-gram Jaccard /
-  MinHash-LSH / SimHash / embedding near-dup, ANN brute-force + LSH,
-  text quality / lang-ID / tokens / fingerprints, multimodal),
-* q40-q42 — the postfix parse→sessionize pipeline itself, oracle-checked
-  against literal expected rows derived from the reference's golden tests
-  (``lognormalizer/parse_test.py:26-277``).
+* q01-q19 — analytics layer (aggregation / joins / windows / top-k /
+  grouping sets / set ops / sessionization / as-of / range join / salted
+  skew agg / JSON / approx),
+* q20-q37, q46-q48 — LLM-pipeline extensions (dedup exact / n-gram
+  Jaccard / MinHash-LSH / SimHash / embedding near-dup / connected
+  components / training-mix, ANN brute-force + LSH + IVF, text quality /
+  lang-ID / tokens / fingerprints / TF-IDF / repetition gate /
+  decontamination / PII masking, multimodal),
+* q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
+  fused, streaming, sinks), oracle-checked against literal expected rows
+  derived from the reference's golden tests
+  (``lognormalizer/parse_test.py:26-277``),
+* q49-q51 — Structured Streaming shapes over the events table (windowed
+  aggregation with watermark, stream-static enrichment join, watermarked
+  deduplication), each equal to its batch oracle by construction.
 
 ``oracle_sql()`` returns the DuckDB twin for every query except
 q15_approx_distinct (HLL sketch — algorithm-specific, rows-only check).
