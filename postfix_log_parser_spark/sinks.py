@@ -72,6 +72,24 @@ def write_events(events: DataFrame, path: str, mode: str = "append") -> None:
     )
 
 
+def overwrite_event_days(events: DataFrame, path: str) -> None:
+    """Idempotent day-level reprocessing: DYNAMIC partition overwrite
+    replaces only the ``event_date`` partitions present in ``events``,
+    leaving every other day untouched.  The operational story for a
+    date-partitioned 100 TB events table: re-ingest one corrected day
+    (late logs, a parser fix) without rewriting the table or disturbing
+    readers of other partitions.  Static overwrite mode would instead
+    truncate the whole table — the conf is scoped and restored."""
+    spark = events.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        write_events(events, path, mode="overwrite")
+    finally:
+        spark.conf.set(conf_key, old)
+
+
 def read_events(spark: SparkSession, path: str) -> DataFrame:
     """Read the events table back with the canonical column order."""
     return spark.read.parquet(path).select(*EVENT_COLUMNS)

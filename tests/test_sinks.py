@@ -175,3 +175,43 @@ def test_clickhouse_writer_chunks_large_partitions(spark, tmp_path):
         for f in os.listdir(outdir)
     ]
     assert sorted(i["n_rows"] for i in inserts) == [5, 10, 10]
+
+
+def test_overwrite_event_days_is_partition_scoped(spark, tmp_path):
+    """Dynamic partition overwrite replaces only the days being
+    reprocessed; every other date partition survives byte-for-byte."""
+    import pyspark.sql.functions as F
+
+    from postfix_log_parser_spark.logquery import ALL_EVENTS_FIXTURE, _run
+    from postfix_log_parser_spark.sinks import overwrite_event_days
+
+    events, _faults, _state = _run(spark, ALL_EVENTS_FIXTURE)
+    sinkable, _ = route_sink_faults(events)
+    path = str(tmp_path / "events_table")
+    write_events(sinkable, path)
+
+    def by_day():
+        return {
+            str(r["event_date"]): r["n"]
+            for r in spark.read.parquet(path)
+            .groupBy("event_date")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    before = by_day()
+    target = min(before)  # 2024-04-09 (3 events in the fixture)
+    assert before[target] > 1
+    one_row = sinkable.filter(F.to_date("timestamp") == F.lit(target)).limit(1)
+    overwrite_event_days(one_row, path)
+
+    after = by_day()
+    assert after[target] == 1  # the reprocessed day was replaced
+    for day, n in before.items():
+        if day != target:
+            assert after[day] == n  # untouched partitions survive
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
