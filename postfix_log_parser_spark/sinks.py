@@ -90,6 +90,69 @@ def overwrite_event_days(events: DataFrame, path: str) -> None:
         spark.conf.set(conf_key, old)
 
 
+def compact_event_days(
+    spark: SparkSession,
+    path: str,
+    days: list[str] | None = None,
+    target_file_mb: int = 512,
+) -> None:
+    """Small-files compaction for the date-partitioned events table.
+
+    Streaming ingestion (one writer per micro-batch) accretes many small
+    parquet files per day; small files are the classic large-table decay
+    mode (per-file open cost dominates scans, listing slows planning).
+    This rewrites the selected days — default: every day currently in the
+    table — coalescing each to ~``target_file_mb`` files and re-sorting
+    by timestamp (restoring row-group min/max pruning), then swaps them
+    in atomically per-partition via dynamic partition overwrite.  Days
+    not selected are never touched, so compaction can run incrementally
+    behind ingestion."""
+    df = spark.read.parquet(path)
+    if days is not None:
+        df = df.filter(F.col("event_date").isin([str(d) for d in days]))
+    # estimate rows per target file from the day sizes (cheap metadata agg)
+    stats = (
+        df.groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not stats:
+        return
+    # ~256 bytes/row on-disk for EVENT_COLUMNS; clamp to >= 1 file
+    rows_per_file = max(1, int(target_file_mb * 1024 * 1024 / 256))
+    n_files = {
+        str(r["event_date"]): max(1, -(-int(r["n"]) // rows_per_file))
+        for r in stats
+    }
+    files_expr = F.coalesce(
+        *[
+            F.when(F.col("event_date") == d, F.lit(k))
+            for d, k in n_files.items()
+        ]
+    ) if n_files else F.lit(1)
+    # repartition on (event_date, file slot): one writer task per output
+    # file, partition-local sort restores the time order
+    slot = F.pmod(F.xxhash64(F.col("timestamp"), F.col("queue_id")), files_expr)
+    compacted = (
+        df.withColumn("_slot", slot)
+        .repartition(F.col("event_date"), F.col("_slot"))
+        .drop("_slot")
+        .sortWithinPartitions("timestamp")
+        .select(*EVENT_COLUMNS, "event_date")
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            compacted.write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(conf_key, old)
+
+
 def read_events(spark: SparkSession, path: str) -> DataFrame:
     """Read the events table back with the canonical column order."""
     return spark.read.parquet(path).select(*EVENT_COLUMNS)

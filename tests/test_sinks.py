@@ -215,3 +215,46 @@ def test_overwrite_event_days_is_partition_scoped(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         != "dynamic"
     )
+
+
+def test_compact_event_days(spark, tmp_path):
+    """Many small per-day files compact to ~one file per day with data
+    and time-sort preserved; a day excluded from compaction keeps its
+    original file layout."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from postfix_log_parser_spark.logquery import ALL_EVENTS_FIXTURE, _run
+    from postfix_log_parser_spark.sinks import compact_event_days
+
+    events, _faults, _state = _run(spark, ALL_EVENTS_FIXTURE)
+    sinkable, _ = route_sink_faults(events)
+    path = str(tmp_path / "events_table")
+    # scatter: one file per row (streaming-ingestion decay mode)
+    (
+        sinkable.repartition(8)
+        .withColumn("event_date", F.to_date("timestamp"))
+        .write.partitionBy("event_date")
+        .parquet(path)
+    )
+    rows_before = sorted(
+        r["queue_id"] for r in spark.read.parquet(path).collect()
+    )
+    days = sorted(
+        d.rsplit("=", 1)[1] for d in glob.glob(path + "/event_date=*")
+    )
+    skip_day, compact_days = days[0], days[1:]
+    files_of = lambda d: glob.glob(f"{path}/event_date={d}/*.parquet")  # noqa: E731
+    skip_before = sorted(files_of(skip_day))
+    n_small = sum(len(files_of(d)) for d in compact_days)
+
+    compact_event_days(spark, path, days=compact_days)
+
+    assert sorted(files_of(skip_day)) == skip_before  # untouched day intact
+    assert sum(len(files_of(d)) for d in compact_days) == len(compact_days)
+    assert n_small > len(compact_days)  # compaction actually merged files
+    rows_after = sorted(
+        r["queue_id"] for r in spark.read.parquet(path).collect()
+    )
+    assert rows_after == rows_before
