@@ -55,10 +55,16 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"unknown query name(s): {', '.join(sorted(unknown))}")
+        return 2
     failures = []
+    n_run = 0
     for name, fn in sorted(queries.items()):
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -108,7 +114,7 @@ def main() -> int:
         else:
             failures.append(name)
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} green")
+    print(f"\n{n_run - len(failures)}/{n_run} green")
     if failures:
         print("failures:", ", ".join(failures))
     return 1 if failures else 0
