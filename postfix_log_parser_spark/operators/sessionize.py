@@ -40,7 +40,7 @@ dict in ways we do not replicate (SURVEY.md §2.10 discussion).
 from __future__ import annotations
 
 from bisect import bisect_left
-from typing import Any, Iterator
+from typing import Any
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
