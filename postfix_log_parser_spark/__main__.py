@@ -40,6 +40,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--ttl", default="10 minutes", help="streaming state TTL (default: reference's 10 minutes)")
     p.add_argument(
+        "--ttl-mode",
+        default="event-time",
+        choices=["event-time", "processing-time"],
+        help="eviction clock: event-time (deterministic watermark, default) "
+        "or processing-time (strict reference Q9 parity: wall-clock "
+        "deadline = first event ts + TTL)",
+    )
+    p.add_argument(
         "--once",
         action="store_true",
         help="streaming: process available input (availableNow) and exit",
@@ -75,7 +83,9 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         folded = sessionize_stream(
-            spark.readStream.text(args.inputs[0]), ttl=args.ttl
+            spark.readStream.text(args.inputs[0]),
+            ttl=args.ttl,
+            timeout_mode=args.ttl_mode,
         )
         ev_writer = (
             stream_events(folded)

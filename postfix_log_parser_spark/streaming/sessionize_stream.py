@@ -12,13 +12,21 @@ mirror:
   session (fields map, to-list, raw_log, first timestamp), a ``removed``
   row finalizes it (required-key check → event or Q4 fault, state kept
   open on failure exactly like the batch fold / reference).
-* **A3** — TTL eviction via **event-time timeout**: the state's timeout is
-  ``first_timestamp + ttl`` against the watermark.  The reference mixes
-  event time with wall-clock (`now()` vs stored event ts — quirk Q9); a
-  replayed-log watermark is the principled streaming equivalent and is the
-  documented divergence (SURVEY.md §2.10 Q9).  Evicted sessions surface as
-  ``record_type='evicted'`` rows (the reference drops them silently —
-  emitting them is strictly more observable; filter them out for parity).
+* **A3** — TTL eviction via **event-time timeout** (default): the state's
+  timeout is ``first_timestamp + ttl`` against the watermark.  The
+  reference mixes event time with wall-clock (`now()` vs stored event ts —
+  quirk Q9); a replayed-log watermark is the principled streaming
+  equivalent.  ``timeout_mode="processing-time"`` opts into strict Q9
+  parity: ARRIVAL-DRIVEN wall-clock eviction, exactly the reference's
+  shape — ``feed_line`` calls ``_cleanup_old_entities`` which drops
+  entries with ``now() - stored_event_ts > OLD_LOGS``
+  (``parse.py:385, :272-284``); here, incoming data for a queue whose
+  stored session is wall-clock-stale evicts it first and folds fresh (no
+  engine timers: the reference has none either, and pending processing
+  timers would loop an availableNow replay forever).  Evicted sessions
+  surface as ``record_type='evicted'`` rows (the reference drops them
+  silently — emitting them is strictly more observable; filter them out
+  for parity).
 * **J1** — dovecot sieve correlation: dovecot lines carry legacy syslog
   timestamps (no event time) and are keyed by msgid, not queue_id, so they
   cannot enter the keyed fold directly.  They are resolved to candidate
@@ -33,16 +41,18 @@ mirror:
   exact predicate (``parse.py:370-375``).  A sieve line whose session was
   already finalized finds no open state — which is the reference's
   behavior too (state is deleted on ``removed``, ``parse.py:353``).
-  Residual divergence (documented): a dovecot line with NO preceding
-  parseable timestamp in its scan partition has no event time and is
-  dropped (real syslog partitions always open with timestamped lines).
+  A dovecot line arriving BEFORE the first parseable timestamp in its
+  scan partition is backfilled with the partition's first FOLLOWING
+  timestamp (``_prepare_partition``), so even a partition that opens
+  with a sieve line still correlates.
 
 Scale design: ``prepare_stream`` is one vectorized Arrow pass (pandas
-string ops; the sequential scan only computes per-partition seq and a
-carried-forward timestamp), the join keys on msgid with a ±TTL range
-bound (state evicted by watermark), the fold shuffles once on the
-uniform hex ``queue_id``, and state per key is one bounded session
-(5-20 lines) — no skew, no unbounded state.
+string ops; seq is the stable in-file byte offset computed from the
+scan's ``input_file_block_start`` — no partition-id dependence, so the
+fold's tie order matches batch across micro-batches), the join keys on
+msgid with a ±TTL range bound (state evicted by watermark), the fold
+shuffles once on the uniform hex ``queue_id``, and state per key is one
+bounded session (5-20 lines) — no skew, no unbounded state.
 """
 
 from __future__ import annotations
@@ -68,6 +78,7 @@ from postfix_log_parser_spark.schema import EVENT_COLUMNS
 _PREP_SCHEMA = T.StructType(
     [
         T.StructField("value", T.StringType(), True),
+        T.StructField("file", T.StringType(), True),
         T.StructField("seq", T.LongType(), True),
         T.StructField("_dove_ts", T.TimestampType(), True),
     ]
@@ -87,20 +98,60 @@ def _iso_ts(tok: str) -> datetime.datetime | None:
 def _prepare_partition(
     pdfs: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    # salt seq with the scan partition id so the fold's (timestamp, seq)
-    # sort has distinct tie-breakers across partitions; within a
-    # partition, order is scan order.  (Cross-batch ties remain a
-    # documented divergence: each micro-batch restarts partition ids.)
+    # Stable intra-queue tiebreak: seq = the line's in-FILE byte offset
+    # (split block start + cumulative bytes within the split), paired with
+    # the file path carried alongside.  The fold sorts (timestamp, file,
+    # seq), which is exactly the batch source's global order (read_text
+    # numbers splits in (file, block) order) — so byte-identical
+    # timestamps fold in the same order in stream and batch, across scan
+    # partitions AND micro-batches (file identity does not restart the
+    # way partition ids do).  The newline is counted as 1 byte; a \r\n
+    # file undercounts, which stays safe: offsets remain strictly
+    # increasing within a split and below the next split's block start.
+    # Non-file sources (memory stream: file='', block=-1) fall back to a
+    # partition-id-salted base — per-partition scan order, the pre-r6
+    # behavior.
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
-    seq0 = (ctx.partitionId() << 40) if ctx is not None else 0
+    pid_salt = (ctx.partitionId() << 40) if ctx is not None else 0
+    cur_key: tuple[str, int] | None = None  # (file, block) continuing group
+    cur_off = 0  # next byte offset within that group
     last_ts: datetime.datetime | None = None
+    # Head-of-partition dovecot backfill: a sieve line BEFORE the first
+    # parseable timestamp in its scan partition gets the first FOLLOWING
+    # timestamp instead of being dropped from the correlation join.
+    # Chunks are buffered only until the partition's first timestamp
+    # appears (real syslog partitions open with timestamped lines, so the
+    # buffer is ~one chunk deep in practice).
+    first_ts_seen = False
+    pending: list[tuple[pd.DataFrame, list[int]]] = []  # (frame, unresolved dove idx)
+
     for pdf in pdfs:
-        vals = pdf["value"].astype("string").str.strip().reset_index(drop=True)
+        raw = pdf["value"].reset_index(drop=True)
+        vals = raw.astype("string").str.strip()
         n = len(vals)
-        seq = pd.array(range(seq0, seq0 + n), dtype="Int64")
-        seq0 += n
+        files = pdf["_file"].reset_index(drop=True).fillna("")
+        blocks = pdf["_block"].reset_index(drop=True).fillna(-1).astype("int64")
+        if n == 0:
+            continue
+        # bytes consumed by each line (+1 for the newline), vectorized
+        nbytes = (
+            raw.astype("string").fillna("").str.encode("utf-8").str.len() + 1
+        ).astype("int64")
+        grp = ((files != files.shift()) | (blocks != blocks.shift())).cumsum()
+        start_within = nbytes.groupby(grp).cumsum() - nbytes
+        base_row = blocks.where(files != "", other=pid_salt)
+        seq = base_row.groupby(grp).transform("first") + start_within
+        if cur_key is not None and (files.iat[0], int(blocks.iat[0])) == cur_key:
+            # first group continues the previous chunk's split: resume at
+            # the carried offset instead of the block start
+            first_grp = grp.iat[0]
+            seq = seq.where(
+                grp != first_grp, seq - int(seq.iat[0]) + cur_off
+            )
+        cur_key = (files.iat[-1], int(blocks.iat[-1]))
+        cur_off = int(seq.iat[-1]) + int(nbytes.iat[-1])
         dove_ts: list[Any] = [None] * n
         # dovecot lines have no parseable event time; give them the
         # nearest preceding ISO timestamp in this scan partition (falling
@@ -122,29 +173,66 @@ def _prepare_partition(
                     return ts
             return None
 
+        unresolved: list[int] = []
         if dove_mask.any():
             for i in dove_mask[dove_mask].index:
                 found = _nearest_ts_at_or_before(i)
                 dove_ts[i] = found if found is not None else last_ts
+                if dove_ts[i] is None:
+                    unresolved.append(i)
         # carry the chunk's last parseable timestamp for later chunks
         tail = _nearest_ts_at_or_before(n - 1) if n else None
         if tail is not None:
             last_ts = tail
         out = pd.DataFrame(
             {
-                "value": pdf["value"].reset_index(drop=True),
-                "seq": seq,
+                "value": raw,
+                "file": files,
+                "seq": pd.array(seq, dtype="Int64"),
                 "_dove_ts": pd.array(dove_ts, dtype="object"),
             }
         )
+        if first_ts_seen:
+            yield out
+            continue
+        if tail is None:
+            # still no timestamp anywhere in this partition: hold chunks
+            # with unresolved head doves until one appears
+            pending.append((out, unresolved))
+            continue
+        # first timestamp of the partition: the FIRST parseable ts seen,
+        # i.e. the earliest one in (pending ∪ this chunk) scan order
+        first_ts = None
+        for i in range(n):
+            tok = iso_head[i]
+            if tok is None or pd.isna(tok):
+                continue
+            first_ts = _iso_ts(tok)
+            if first_ts is not None:
+                break
+        for frame, idxs in pending:
+            for i in idxs:
+                frame.iat[i, frame.columns.get_loc("_dove_ts")] = first_ts
+            yield frame
+        pending.clear()
+        for i in unresolved:
+            out.iat[i, out.columns.get_loc("_dove_ts")] = first_ts
+        first_ts_seen = True
         yield out
+
+    for frame, _idxs in pending:  # partition had no timestamps at all
+        yield frame
 
 
 def prepare_stream(lines: DataFrame, line_col: str = "value") -> DataFrame:
-    """Attach ``seq`` (per scan partition) and a carried-forward event
-    time on dovecot lines (``_dove_ts``).  Works on both streaming and
-    batch DataFrames (one narrow Arrow pass)."""
-    df = lines.select(F.col(line_col).alias("value"))
+    """Attach ``file`` + ``seq`` (stable in-file byte offset) and a
+    carried-forward event time on dovecot lines (``_dove_ts``).  Works on
+    both streaming and batch DataFrames (one narrow Arrow pass)."""
+    df = lines.select(
+        F.col(line_col).alias("value"),
+        F.input_file_name().alias("_file"),
+        F.expr("input_file_block_start()").alias("_block"),
+    )
     return df.mapInPandas(_prepare_partition, _PREP_SCHEMA)
 
 
@@ -181,7 +269,7 @@ _REQUIRED_KEYS = ("from", "to", "message-id", "status", "status_description")
 _STATE_VERSION = 1
 
 
-def _make_fold(ttl_seconds: int):
+def _make_fold(ttl_seconds: int, processing_time: bool = False):
     def fold(
         key: Tuple[str],
         pdfs: Iterator[pd.DataFrame],
@@ -190,21 +278,29 @@ def _make_fold(ttl_seconds: int):
         queue_id = key[0]
         out: list[dict[str, Any]] = []
 
+        def _evicted_row(start_ts, fields, to_list, raw_log):
+            return {
+                "record_type": "evicted",
+                "queue_id": queue_id,
+                "timestamp": start_ts,
+                "fields": dict(fields),
+                "to_list": list(to_list),
+                "raw_log": list(raw_log),
+                "fault_reason": None,
+                "fault_line": None,
+            }
+
         if state.hasTimedOut:
             # A3: TTL eviction — the reference silently deletes
             # (parse.py:272-284); we surface the dropped session.
             (start_ts, fk, fv, to_list, raw_log, _v) = state.get
             out.append(
-                {
-                    "record_type": "evicted",
-                    "queue_id": queue_id,
-                    "timestamp": start_ts,
-                    "fields": dict(zip(list(fk or []), list(fv or []))),
-                    "to_list": list(to_list or []),
-                    "raw_log": list(raw_log or []),
-                    "fault_reason": None,
-                    "fault_line": None,
-                }
+                _evicted_row(
+                    start_ts,
+                    dict(zip(list(fk or []), list(fv or []))),
+                    list(to_list or []),
+                    list(raw_log or []),
+                )
             )
             state.remove()
             yield pd.DataFrame(out, columns=[f.name for f in STREAM_FOLD_SCHEMA.fields])
@@ -218,8 +314,33 @@ def _make_fold(ttl_seconds: int):
         else:
             start_ts, fields, to_list, raw_log = None, {}, [], []
 
+        if processing_time and start_ts is not None:
+            # Strict-parity Q9: the reference evicts ON LINE ARRIVAL
+            # (feed_line → _cleanup_old_entities, parse.py:385,:272-284),
+            # comparing wall-clock now() against the stored FIRST event
+            # timestamp — no timers.  So: incoming data for a queue whose
+            # stored session is stale by the live clock evicts it first
+            # and folds the new lines into a fresh session, exactly the
+            # reference's outcome for a reused queue id on old logs.
+            # (The reference's sweep is global across keys and throttled
+            # to 1/minute; per-key-on-arrival lands inside that tolerance
+            # and differs only in state-store residency for keys that
+            # never see another line — their OUTPUT is identical: nothing.)
+            import time as _time
+
+            deadline = (
+                start_ts.replace(tzinfo=datetime.timezone.utc).timestamp()
+                + ttl_seconds
+            )
+            if _time.time() > deadline:
+                out.append(_evicted_row(start_ts, fields, to_list, raw_log))
+                start_ts, fields, to_list, raw_log = None, {}, [], []
+
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["timestamp", "seq"], kind="stable")
+        # (timestamp, file, in-file offset): byte-identical timestamps
+        # fold in the batch source's global order (read_text numbers
+        # splits in (file, block) order) — stream == batch on ties
+        rows = rows.sort_values(["timestamp", "file", "seq"], kind="stable")
 
         opened = False  # did this batch leave an open session?
         for row in rows.itertuples(index=False):
@@ -313,12 +434,17 @@ def _make_fold(ttl_seconds: int):
                     _STATE_VERSION,
                 )
             )
-            # A3 timeout: first-line event time + TTL (reference:
-            # stored ts older than OLD_LOGS=10min → evict), clamped
-            # above the current watermark as the API requires.
-            timeout_ms = int(start_ts.timestamp() * 1000) + ttl_seconds * 1000
-            wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
+            if not processing_time:
+                # A3 timeout: first-line event time + TTL (reference:
+                # stored ts older than OLD_LOGS=10min → evict), clamped
+                # above the current watermark as the API requires.
+                # (Processing-time mode registers NO timers: eviction is
+                # arrival-driven like the reference's feed_line cleanup,
+                # and pending processing timers would keep an availableNow
+                # replay looping no-data batches forever.)
+                timeout_ms = int(start_ts.timestamp() * 1000) + ttl_seconds * 1000
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
         elif state.exists:
             state.remove()
 
@@ -335,6 +461,7 @@ def sessionize_stream(
     ttl: str = "10 minutes",
     watermark_delay: str = "10 minutes",
     line_col: str = "value",
+    timeout_mode: str = "event-time",
 ) -> DataFrame:
     """Raw streaming text lines → folded session-record stream.
 
@@ -343,6 +470,14 @@ def sessionize_stream(
     events / faults shapes.  ``ttl`` mirrors the reference's ``OLD_LOGS``
     10-minute eviction horizon (``parse.py:77``) as an event-time timeout;
     ``watermark_delay`` bounds out-of-order arrival.
+
+    ``timeout_mode``: ``"event-time"`` (default) evicts against the
+    watermark — deterministic on replays; ``"processing-time"`` is the
+    strict-parity Q9 mode mirroring the reference's arrival-driven
+    wall-clock eviction (``parse.py:385, :272-284``): a line arriving for
+    a queue whose stored session's first event timestamp is older than
+    TTL on the live clock evicts that session first and starts fresh —
+    so replaying old logs evicts stale state exactly like the reference.
 
     Two chained stateful stages: the msgid correlation join (stream-stream
     inner join, state bounded by watermark + the ±TTL range condition),
@@ -378,13 +513,14 @@ def sessionize_stream(
         "evt", F.coalesce(head_ts, F.col("_dove_ts"))
     ).withWatermark("evt", watermark_delay)
 
-    parsed = parse_lines(base, passthrough=("evt",))
+    parsed = parse_lines(base, passthrough=("evt", "file"))
     admitted = parsed.filter(F.col("admitted")).select(
         "queue_id",
         # evt == the parsed timestamp for every admitted line (same ISO
         # gate + try_to_timestamp), and it carries the watermark metadata
         # the stateful fold needs
         F.col("evt").alias("timestamp"),
+        "file",
         "seq",
         "line",
         "kind",
@@ -457,6 +593,7 @@ def sessionize_stream(
     dove = base.filter(is_dove_shape & F.col("evt").isNotNull()).select(
         F.substring(d_msgid_raw, 1, F.length(d_msgid_raw) - 1).alias("d_msgid"),
         F.col("evt").alias("d_ts"),
+        F.col("file").alias("d_file"),
         F.col("seq").alias("d_seq"),
         trimmed.alias("d_line"),
         F.concat_ws(
@@ -478,6 +615,7 @@ def sessionize_stream(
     ).select(
         F.col("a_queue").alias("queue_id"),
         F.col("d_ts").alias("timestamp"),
+        F.col("d_file").alias("file"),
         F.col("d_seq").alias("seq"),
         F.col("d_line").alias("line"),
         F.lit("dovecot").alias("kind"),
@@ -493,12 +631,17 @@ def sessionize_stream(
 
     feed = admitted.unionByName(resolved)
     ttl_seconds = _duration_seconds(ttl)
+    if timeout_mode not in ("event-time", "processing-time"):
+        raise ValueError(f"timeout_mode must be event-time|processing-time, got {timeout_mode!r}")
+    processing = timeout_mode == "processing-time"
     return feed.groupBy("queue_id").applyInPandasWithState(
-        _make_fold(ttl_seconds),
+        _make_fold(ttl_seconds, processing_time=processing),
         STREAM_FOLD_SCHEMA,
         STREAM_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.EventTimeTimeout,
+        GroupStateTimeout.NoTimeout
+        if processing
+        else GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -303,3 +303,212 @@ def test_stream_cleanup_eviction_state_shape(spark, tmp_path):
     # no event, no fault was ever emitted for the evicted session
     assert [r for r in out.collect() if r["record_type"] == "event"] == []
     assert [r for r in out.collect() if r["record_type"] == "fault"] == []
+
+
+def test_stream_tie_order_matches_batch_across_files(spark, tmp_path):
+    """Byte-identical timestamps split across FILES fold in the batch
+    source's (file, in-file offset) order, not Spark's size-descending
+    split-packing order.  Regression test for the r5 documented
+    divergence 2: the old partition-id-salted seq ordered the LARGER
+    file first on ties; the stable in-file-byte-offset seq restores
+    last-wins (Q1) agreement with batch."""
+    same_ts = "2024-04-09T20:22:42.000000+03:00 localhost postfix/x[1]: "
+    # a.log: the queue's first from=; b.log (padded LARGER so the old
+    # partition-salt scheme would scan it first): the last-wins from=,
+    # then the close.  All lines share one byte-identical timestamp.
+    a_lines = [same_ts + "AAAAAAAAAAA: from=<first@a>, message-id=<m@t>"]
+    b_lines = (
+        [same_ts + "AAAAAAAAAAA: from=<second@b>"]
+        + [same_ts + "noise line about nothing at all " + "x" * 80] * 50
+        + [
+            same_ts + "AAAAAAAAAAA: to=<x@y.z>, status=sent (250 2.0.0 ok fine)",
+            same_ts + "AAAAAAAAAAA: removed",
+        ]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "a.log").write_text("\n".join(a_lines))
+    (in_dir / "b.log").write_text("\n".join(b_lines))
+
+    folded = _run_stream(spark, in_dir, tmp_path / "ckpt", "stream_tie")
+    s_events = [
+        r.asDict(recursive=True) for r in stream_events(folded).collect()
+    ]
+
+    parsed = parse_lines(lines_df(spark, a_lines + b_lines))
+    b_events_df, _faults, _state = sessionize(parsed)
+    b_events = [r.asDict(recursive=True) for r in b_events_df.collect()]
+
+    assert len(s_events) == len(b_events) == 1
+    assert s_events == b_events
+    # the decisive quirk: last-wins from= is b.log's, despite identical ts
+    # (angle brackets stripped by the P4 projection)
+    assert s_events[0]["message_from"] == "second@b"
+
+
+def test_stream_sieve_line_opens_partition(spark, tmp_path):
+    """A dovecot sieve line that is the FIRST line of its scan partition
+    (no parseable timestamp anywhere before it IN THAT PARTITION) is
+    backfilled with the partition's first FOLLOWING timestamp and still
+    correlates with an assignment that arrived in an EARLIER batch — the
+    r5 residual of divergence 3, closed.  (A sieve line arriving before
+    the assignment itself must NOT correlate — the reference scans only
+    currently-open sessions' message-ids — and batch agrees; that case is
+    covered by the msgid-interval golden tests.)"""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out_dir = tmp_path / "out"
+
+    def run_and_read():
+        folded = sessionize_stream(spark.readStream.text(str(in_dir)))
+        q = (
+            folded.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from postfix_log_parser_spark.streaming import STREAM_OUT_SCHEMA
+
+        return spark.read.schema(STREAM_OUT_SCHEMA).parquet(str(out_dir))
+
+    # batch 1: the session assigns its message-id
+    (in_dir / "01.log").write_text(
+        _line(0, 1, "CCCCCCCCCCC: from=<h@h.com>, message-id=<m@h>")
+    )
+    assert run_and_read().count() == 0
+    # batch 2: the partition OPENS with the sieve line — no preceding
+    # timestamp exists in this file; backfill gives it the removed
+    # line's (following) event time, and it folds before 'removed'
+    (in_dir / "02.log").write_text(
+        "\n".join(
+            [
+                "Apr 30 15:09:27 lmtp(x)<1><y>: Info: sieve: msgid=<m@h>: "
+                "fileinto action: stored mail into mailbox Archive",
+                _line(0, 2, "CCCCCCCCCCC: to=<x@y.z>, status=sent (250 2.0.0 ok fine)"),
+                _line(0, 3, "CCCCCCCCCCC: removed"),
+            ]
+        )
+    )
+    out = run_and_read()
+    evs = [
+        r.asDict(recursive=True)
+        for r in out.collect()
+        if r["record_type"] == "event"
+    ]
+    assert [e["queue_id"] for e in evs] == ["CCCCCCCCCCC"]
+    assert dict(evs[0]["fields"])["dovecot_fileinto_action"] == (
+        "stored mail into mailbox Archive"
+    )
+
+
+def test_stream_processing_time_ttl(spark, tmp_path):
+    """Strict-parity Q9 mode: with timeout_mode='processing-time',
+    eviction is ARRIVAL-DRIVEN against the LIVE clock — the reference's
+    exact shape (feed_line → _cleanup_old_entities drops entries with
+    now() - stored_event_ts > OLD_LOGS, parse.py:385, :272-284).  The
+    fixture's 2024 event times are years stale on the wall clock, so a
+    later line for the same queue evicts the stored session first and
+    folds into a FRESH session — event time never passes first_ts + TTL
+    here; only the wall clock decides."""
+    from postfix_log_parser_spark.streaming import sessionize_stream as ss
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out_dir = tmp_path / "out"
+
+    def run_and_read():
+        folded = ss(
+            spark.readStream.text(str(in_dir)),
+            ttl="10 minutes",
+            timeout_mode="processing-time",
+        )
+        q = (
+            folded.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from postfix_log_parser_spark.streaming import STREAM_OUT_SCHEMA
+
+        return spark.read.schema(STREAM_OUT_SCHEMA).parquet(str(out_dir))
+
+    (in_dir / "01.log").write_text(
+        _line(0, 1, "ACACACACA01: from=<g@g.com>, message-id=<m@g>")
+    )
+    assert run_and_read().count() == 0  # stored, stale, awaiting arrival
+    # batch 2: new lines for the SAME queue -> stale state evicts first,
+    # then the fresh session folds and completes normally
+    (in_dir / "02.log").write_text(
+        "\n".join(
+            [
+                _line(0, 2, "ACACACACA01: from=<g2@g.com>, message-id=<m@g2>"),
+                _line(0, 3, "ACACACACA01: to=<x@y.z>, status=sent (250 2.0.0 ok fine)"),
+                _line(0, 4, "ACACACACA01: removed"),
+            ]
+        )
+    )
+    out = run_and_read()
+    evicted = [r for r in out.collect() if r["record_type"] == "evicted"]
+    assert [r["queue_id"] for r in evicted] == ["ACACACACA01"]
+    assert dict(evicted[0]["fields"])["from"] == "<g@g.com>"
+    events = [r for r in out.collect() if r["record_type"] == "event"]
+    # the fresh session carried NONE of the evicted state (Q9 outcome)
+    assert [r["queue_id"] for r in events] == ["ACACACACA01"]
+    assert dict(events[0]["fields"])["from"] == "<g2@g.com>"
+    assert len(events[0]["raw_log"]) == 3
+
+
+def test_stream_duplicated_sessions_across_batches(spark, tmp_path):
+    """Byte-identical duplicated sessions split across 2 micro-batches
+    fold exactly like the batch replay of the concatenation: the first
+    copy closes (state deleted) before the second arrives, so both events
+    emit — the r5 divergence-2 'done' criterion."""
+    from postfix_log_parser_spark.logquery import BASIC
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out_dir = tmp_path / "out"
+
+    def run_and_read():
+        folded = sessionize_stream(spark.readStream.text(str(in_dir)))
+        q = (
+            folded.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from postfix_log_parser_spark.streaming import STREAM_OUT_SCHEMA
+
+        return spark.read.schema(STREAM_OUT_SCHEMA).parquet(str(out_dir))
+
+    (in_dir / "01.log").write_text(BASIC)
+    run_and_read()
+    (in_dir / "02.log").write_text(BASIC)  # byte-identical duplicate
+    out = run_and_read()
+    s_events = sorted(
+        (
+            r.asDict(recursive=True)
+            for r in stream_events(
+                out.where("record_type = 'event'")
+            ).collect()
+        ),
+        key=lambda d: d["queue_id"],
+    )
+
+    lines = [ln for ln in (BASIC + "\n" + BASIC).splitlines() if ln.strip()]
+    b_events_df, _fa, _st = sessionize(parse_lines(lines_df(spark, lines)))
+    b_events = sorted(
+        (r.asDict(recursive=True) for r in b_events_df.collect()),
+        key=lambda d: d["queue_id"],
+    )
+    assert len(s_events) == 2
+    assert s_events == b_events
