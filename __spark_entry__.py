@@ -6,21 +6,25 @@
 * q01-q19 — analytics layer (aggregation / joins / windows / top-k /
   grouping sets / set ops / sessionization / as-of / range join / salted
   skew agg / JSON / approx),
-* q20-q37, q46-q48 — LLM-pipeline extensions (dedup exact / n-gram
-  Jaccard / MinHash-LSH / SimHash / embedding near-dup / connected
+* q20-q37, q46-q48, q52-q53 — LLM-pipeline extensions (dedup exact /
+  n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup / connected
   components / training-mix, ANN brute-force + LSH + IVF, text quality /
   lang-ID / tokens / fingerprints / TF-IDF / repetition gate /
-  decontamination / PII masking, multimodal),
+  decontamination / PII masking, multimodal, sequence packing,
+  self-verifying approx quantiles),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests
   (``lognormalizer/parse_test.py:26-277``),
-* q49-q51 — Structured Streaming shapes over the events table (windowed
-  aggregation with watermark, stream-static enrichment join, watermarked
-  deduplication), each equal to its batch oracle by construction.
+* q49-q51, q54 — Structured Streaming shapes over the events table
+  (windowed aggregation with watermark, stream-static enrichment join,
+  watermarked deduplication, native session windows), each equal to its
+  batch oracle by construction.
 
-``oracle_sql()`` returns the DuckDB twin for every query except
-q15_approx_distinct (HLL sketch — algorithm-specific, rows-only check).
+``oracle_sql()`` returns the DuckDB twin for every query; q15's sketch is
+self-verifying (the query returns exact counts + within-bound booleans
+the oracle asserts as literal TRUE — the engine-specific estimates
+themselves are never hashed).
 """
 
 from __future__ import annotations
@@ -63,5 +67,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query (q15 intentionally omitted)."""
+    """DuckDB oracle SQL per query."""
     return {**ANALYTICS_ORACLES, **EXT_ORACLES, **LOG_ORACLES}

@@ -9,6 +9,14 @@ Prints ONE JSON line:
 Queries are materialized with a noop write (full execution, no driver
 collect).  Synthetic log: interleaved sessions built from the golden
 fixture patterns (FIXTURES.md), ~5 lines/session.
+
+Repeatability: each query runs $SPARK_GRAFT_BENCH_REPEAT times (or
+``--repeat N``; default 3) in one process and reports the per-query
+MEDIAN — the shared host's ~2x timing weather averages out, so
+round-over-round deltas reflect code, not load.  ``value`` is the sum of
+medians; if ANY query errored, ``value`` is null (a failed round must
+never compare better than a complete one) with per-query details under
+``errors``.
 """
 
 from __future__ import annotations
@@ -16,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -66,6 +75,8 @@ BENCH_QUERIES = [
     "q32_tfidf",
     "q46_repetition_quality",
     "q47_decontamination",
+    "q52_pack_sequences",
+    "q53_approx_quantiles",
     "q34_frame_sample",
     "q35_grouping_sets",
     "q40_log_events",
@@ -77,6 +88,7 @@ BENCH_QUERIES = [
     "q49_stream_hourly",
     "q50_stream_enrich",
     "q51_stream_dedup",
+    "q54_stream_sessions",
     "q44_sink_roundtrip",
 ]
 
@@ -131,6 +143,10 @@ def synth_log_lines(n_sessions: int) -> list[str]:
 
 
 def main() -> None:
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    repeat = max(1, repeat)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bench")
     import __spark_entry__ as entrymod
@@ -143,13 +159,18 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.time()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # one broken query must not zero the round
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(repeat):
+            t0 = time.time()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            except Exception as exc:  # one broken query must not zero the round
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
+                break
+        if runs:
+            timings[name] = round(statistics.median(runs), 3)
 
     # parse→sessionize throughput on a synthetic log scaled with sf
     n_sessions = max(2000, int(200_000 * sf))
@@ -163,31 +184,42 @@ def main() -> None:
         from postfix_log_parser_spark.operators.sessionize import sessionize
         from postfix_log_parser_spark.sources.text import read_text
 
-        t0 = time.time()
-        try:
-            raw = read_text(spark, path)
-            events, faults, state = sessionize(parse_lines_arrow(raw), raw_lines=raw)
-            events.write.format("noop").mode("overwrite").save()
-            parse_sec = time.time() - t0
+        lines_per_sec = None
+        parse_runs: list[float] = []
+        for _ in range(repeat):
+            t0 = time.time()
+            try:
+                raw = read_text(spark, path)
+                events, faults, state = sessionize(
+                    parse_lines_arrow(raw), raw_lines=raw
+                )
+                events.write.format("noop").mode("overwrite").save()
+                parse_runs.append(time.time() - t0)
+            except Exception as exc:
+                errors["parse_sessionize"] = f"{type(exc).__name__}: {exc}"[:500]
+                print(
+                    f"[bench] parse_sessionize FAILED: {errors['parse_sessionize']}",
+                    file=sys.stderr,
+                )
+                break
+        if parse_runs:
+            parse_sec = statistics.median(parse_runs)
             timings["parse_sessionize"] = round(parse_sec, 3)
             lines_per_sec = round(len(log_lines) / parse_sec, 1)
-        except Exception as exc:
-            errors["parse_sessionize"] = f"{type(exc).__name__}: {exc}"[:500]
-            print(
-                f"[bench] parse_sessionize FAILED: {errors['parse_sessionize']}",
-                file=sys.stderr,
-            )
-            lines_per_sec = None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
+    # a round with ANY failed query reports value=null: an incomplete total
+    # must never look faster than a complete one (sum would drop the
+    # missing queries and read as an improvement)
+    total = round(sum(timings.values()), 3) if not errors else None
     result = {
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "repeat": repeat,
         "parse_lines_per_sec": lines_per_sec,
     }
     if errors:

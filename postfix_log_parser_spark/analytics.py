@@ -500,18 +500,38 @@ FROM part GROUP BY p_brand
 
 
 def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch counts — algorithm-specific, so no exact DuckDB oracle
-    (driver records the weaker rows-only check).  Verification lives in
-    two places: ``q15b_exact_distinct`` is the hash-checked exact twin,
-    and ``tests/test_analytics.py::test_q15_approx_within_5pct`` asserts
-    every sketch estimate is within 5% of the exact count at sf0.01."""
+    """HLL sketch counts, made SELF-VERIFYING so the driver can hash it:
+    the sketch estimate itself is algorithm-specific (DuckDB's HLL yields
+    different numbers), so the query returns the exact counts plus
+    ``*_within_bound`` booleans asserting the estimate landed inside the
+    documented 5% band of the exact count — the oracle asserts the
+    booleans are literally TRUE, so a drifting sketch turns the hash red.
+    ``q15b_exact_distinct`` remains the sketch-free perf anchor (at
+    100 TB the sketch path skips this query's per-group de-dup shuffle);
+    ``tests/test_analytics.py::test_q15_approx_within_5pct`` pins the
+    band at sf0.01 too."""
     li = load(spark, sf_dir, "lineitem")
     # rsd=0.01 (vs the 0.05 default): the default's realized error on this
     # data reaches ~9% on one group; 1% target keeps the documented 5%
     # band honest while the sketch stays O(KB)/group
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_approx_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("parts_within_bound"),
+        (
+            F.abs(F.col("_approx_orders") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("orders_within_bound"),
     )
 
 
@@ -534,6 +554,53 @@ SELECT l_returnflag,
        count(DISTINCT l_orderkey) AS exact_orders
 FROM lineitem GROUP BY l_returnflag
 """
+
+# the oracle asserts the within-bound booleans are literally TRUE: the
+# sketch values themselves are engine-specific, the CLAIM about them isn't
+_Q15_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS parts_within_bound,
+       TRUE AS orders_within_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_Q53_PCTS = (0.25, 0.5, 0.75, 0.95)
+
+
+def q53_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch) with the q15-style
+    self-verifying contract: the sketch values are engine-specific, so the
+    query emits the EXACT per-group quantiles (both engines use the same
+    linear interpolation on integer-valued l_quantity — bit-stable) plus
+    ``*_within_bound`` booleans asserting each estimate lands within one
+    quantity step of the exact value.  At 100 TB the sketch is the point:
+    one streaming pass with mergeable per-partition state instead of the
+    per-group full sort the exact form needs."""
+    li = load(spark, sf_dir, "lineitem")
+    pct_sql = ",".join(f"{p}D" for p in _Q53_PCTS)
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_quantity", list(_Q53_PCTS), 10000
+        ).alias("_ap"),
+        F.expr(f"percentile(l_quantity, array({pct_sql}))").alias("_ex"),
+    )
+    cols = [F.col("l_returnflag")]
+    for i, p in enumerate(_Q53_PCTS):
+        nm = f"p{int(p * 100)}"
+        ex = F.element_at("_ex", i + 1)
+        ap = F.element_at("_ap", i + 1)
+        cols.append(F.round(ex, 4).alias(nm))
+        cols.append((F.abs(ap - ex) <= 1.0).alias(f"{nm}_within_bound"))
+    return agg.select(*cols)
+
+
+_Q53_SQL = "SELECT l_returnflag, " + ", ".join(
+    f"round(quantile_cont(l_quantity, {p}), 4) AS p{int(p * 100)}, "
+    f"TRUE AS p{int(p * 100)}_within_bound"
+    for p in _Q53_PCTS
+) + " FROM lineitem GROUP BY l_returnflag"
 
 
 # ---------------------------------------------------------------------------
@@ -722,6 +789,7 @@ ANALYTICS_QUERIES = {
     "q18_range_join": q18_range_join,
     "q19_skew_salted": q19_skew_salted,
     "q35_grouping_sets": q35_grouping_sets,
+    "q53_approx_quantiles": q53_approx_quantiles,
 }
 
 ANALYTICS_ORACLES = {
@@ -739,12 +807,12 @@ ANALYTICS_ORACLES = {
     "q12_customers_without_orders": _Q12_SQL,
     "q13_nation_setops": _Q13_SQL,
     "q14_brand_strings": _Q14_SQL,
-    # q15: intentionally no oracle (approximate sketch); q15b is the
-    # hash-verified exact twin
+    "q15_approx_distinct": _Q15_SQL,
     "q15b_exact_distinct": _Q15B_SQL,
     "q16_json_props": _Q16_SQL,
     "q17_asof_signup": _Q17_SQL,
     "q18_range_join": _Q18_SQL,
     "q19_skew_salted": _Q19_SQL,
     "q35_grouping_sets": _Q35_SQL,
+    "q53_approx_quantiles": _Q53_SQL,
 }

@@ -12,6 +12,7 @@ from postfix_log_parser_spark.ext.multimodal import (
     MULTIMODAL_ORACLES,
     MULTIMODAL_QUERIES,
 )
+from postfix_log_parser_spark.ext.packing import PACKING_ORACLES, PACKING_QUERIES
 from postfix_log_parser_spark.ext.similarity import (
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
@@ -26,6 +27,7 @@ EXT_QUERIES = {
     **SIMILARITY_QUERIES,
     **TEXTSTATS_QUERIES,
     **MULTIMODAL_QUERIES,
+    **PACKING_QUERIES,
 }
 
 EXT_ORACLES = {
@@ -33,4 +35,5 @@ EXT_ORACLES = {
     **SIMILARITY_ORACLES,
     **TEXTSTATS_ORACLES,
     **MULTIMODAL_ORACLES,
+    **PACKING_ORACLES,
 }

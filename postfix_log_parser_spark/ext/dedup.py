@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 N_MINHASH = 8          # minhash permutations
 N_BANDS = 4            # LSH bands (2 rows per band)
@@ -198,7 +199,7 @@ def q21_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+shingle explode per consumer (at scale: a checkpoint table)
     sh = docs.select(
         "doc_id", F.explode(shingles3_udf(F.col("text"))).alias("shingle")
-    ).persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     n_docs = docs.count()
     df_cap = int(n_docs * 0.05)
@@ -278,7 +279,7 @@ def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once (at scale: a checkpoint table)
     with_sh = docs.select(
         "doc_id", shingles3_udf(F.col("text")).alias("shingles")
-    ).filter(F.size("shingles") > 0).persist()
+    ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
     exploded = with_sh.select("doc_id", F.explode("shingles").alias("sh"))
     sig = exploded.groupBy("doc_id").agg(
         *[

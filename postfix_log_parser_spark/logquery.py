@@ -385,7 +385,12 @@ def q48_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "queue_id",
         F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_utc"),
         masked_from.alias("masked_from"),
-        F.concat_ws(",", masked_to).alias("masked_to_csv"),
+        # NULL (not '') for a null/empty recipient list, matching the
+        # oracle's guard — concat_ws alone would yield '' while the SQL
+        # side would mask the empty token from string_split
+        F.when(F.size(masked_to) > 0, F.concat_ws(",", masked_to)).alias(
+            "masked_to_csv"
+        ),
         "domain_from",
     )
 
@@ -394,11 +399,61 @@ _Q48_SQL = f"""
 WITH ev AS ({{q40}})
 SELECT queue_id, ts_utc,
        {_MASK_SQL_CASE.format(x="message_from")} AS masked_from,
-       array_to_string(list_transform(string_split(message_to_csv, ','),
-                       x -> {_MASK_SQL_CASE.format(x="x")}), ',') AS masked_to_csv,
+       CASE WHEN message_to_csv IS NULL OR message_to_csv = '' THEN NULL
+            ELSE array_to_string(list_transform(string_split(message_to_csv, ','),
+                 x -> {_MASK_SQL_CASE.format(x="x")}), ',') END AS masked_to_csv,
        domain_from
 FROM ev
 """
+
+
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events table.  The glob (not the bare
+    file path) is required: the file-stream source monitors a directory
+    or pattern, and events.parquet is a single file."""
+    return (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .parquet(f"{sf_dir}/events.parque[t]")
+    )
+
+
+def _run_stream_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    prefix: str,
+    output_mode: str | None = None,
+) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a memory
+    sink and return the materialized table.  Shuffle partitions are
+    scoped to 8 for the micro-batch state stores; the checkpoint lives in
+    an atexit-cleaned scratch dir."""
+    import uuid
+
+    qname = f"{prefix}_sink_{uuid.uuid4().hex[:8]}"
+    work = _work_dir(f"{prefix}_stream_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        writer = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+        )
+        if output_mode is not None:
+            writer = writer.outputMode(output_mode)
+        query = writer.start()
+        query.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.table(qname)
 
 
 def q49_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,23 +466,7 @@ def q49_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     state for a live deployment.  At scale the state store is keyed on
     (window, event_type) — uniformly distributed, shuffle-partition
     parallel."""
-    import uuid
-
-    from pyspark.sql import types as T
-
-    sch = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    # a glob (not the bare file path): the file-stream source requires a
-    # directory or pattern to monitor, and events.parquet is one file
-    src = spark.readStream.schema(sch).parquet(f"{sf_dir}/events.parque[t]")
+    src = _events_stream(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -436,24 +475,7 @@ def q49_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 3).alias("sum_value"),
         )
     )
-    qname = f"q49_sink_{uuid.uuid4().hex[:8]}"
-    work = _work_dir("q49_stream_")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.table(qname).select(
+    return _run_stream_to_memory(spark, agg, "q49", "complete").select(
         F.col("w.start").alias("hour_ts"),
         "event_type",
         "n_events",
@@ -476,21 +498,7 @@ def q50_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch join+GROUP BY the oracle runs.  At scale the dim re-broadcasts
     per micro-batch; for large dims the same query takes a bucketed
     static table instead."""
-    import uuid
-
-    from pyspark.sql import types as T
-
-    sch = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    src = spark.readStream.schema(sch).parquet(f"{sf_dir}/events.parque[t]")
+    src = _events_stream(spark, sf_dir)
     dim = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
@@ -503,24 +511,7 @@ def q50_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 3).alias("sum_value"),
         )
     )
-    qname = f"q50_sink_{uuid.uuid4().hex[:8]}"
-    work = _work_dir("q50_stream_")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.table(qname)
+    return _run_stream_to_memory(spark, agg, "q50", "complete")
 
 
 _Q50_SQL = """
@@ -537,47 +528,69 @@ def q51_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once-emission shape (append mode emits each key once; the
     watermark bounds the dedup state store).  availableNow to completion
     makes the emitted set exactly the batch DISTINCT the oracle runs."""
-    import uuid
-
-    from pyspark.sql import types as T
-
-    sch = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    src = spark.readStream.schema(sch).parquet(f"{sf_dir}/events.parque[t]")
+    src = _events_stream(spark, sf_dir)
     deduped = (
         src.withWatermark("ts", "1 hour")
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    qname = f"q51_sink_{uuid.uuid4().hex[:8]}"
-    work = _work_dir("q51_stream_")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        query = (
-            deduped.writeStream.format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.table(qname)
+    return _run_stream_to_memory(spark, deduped, "q51")
 
 
 _Q51_SQL = """
 SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def q54_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows: per-user activity sessions with a
+    2-hour inactivity gap via Spark's native ``session_window`` — the
+    dynamic-window stateful shape (windows merge as events arrive; the
+    watermark finalizes a session once no event can extend it).  Complete
+    output mode over availableNow makes the result exactly the batch
+    gap-sessionization the DuckDB oracle computes with a lag/cumsum
+    islands query.  At scale: state is keyed on (user_id, open window) —
+    one open session per quiet user, merged eagerly, watermark-evicted;
+    contrast with q10, the BATCH gap sessionization of the same events."""
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "2 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+    return _run_stream_to_memory(spark, agg, "q54", "complete").select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+# islands twin: a session breaks after >2h of inactivity; session_end is
+# last event + gap (session_window's half-open end bound)
+_Q54_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 2 HOUR
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 2 HOUR AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 3) AS sum_value
+FROM s GROUP BY user_id, sess
 """
 
 LOG_QUERIES = {
@@ -587,6 +600,7 @@ LOG_QUERIES = {
     "q49_stream_hourly": q49_stream_hourly,
     "q50_stream_enrich": q50_stream_enrich,
     "q51_stream_dedup": q51_stream_dedup,
+    "q54_stream_sessions": q54_stream_sessions,
     "q41_log_faults": q41_log_faults,
     "q42_log_state": q42_log_state,
     "q43_stream_events": q43_stream_events,
@@ -611,6 +625,7 @@ LOG_ORACLES = {
     "q49_stream_hourly": _Q49_SQL,
     "q50_stream_enrich": _Q50_SQL,
     "q51_stream_dedup": _Q51_SQL,
+    "q54_stream_sessions": _Q54_SQL,
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
     "q43_stream_events": _Q43_SQL,

@@ -110,18 +110,36 @@ def compact_event_days(
     df = spark.read.parquet(path)
     if days is not None:
         df = df.filter(F.col("event_date").isin([str(d) for d in days]))
-    # estimate rows per target file from the day sizes (cheap metadata agg)
+    # MEASURED sizing from the scan's own file metadata (one row per
+    # input file per day via the per-file min; file size is constant per
+    # file): per-day rows + on-disk bytes, so raw_log-heavy days no
+    # longer overshoot the way the old 256 B/row constant did
     stats = (
-        df.groupBy("event_date")
-        .agg(F.count(F.lit(1)).alias("n"))
+        df.select(
+            "event_date",
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.file_size").alias("_fs"),
+        )
+        .groupBy("event_date", "_fp")
+        .agg(F.min("_fs").alias("_fs"), F.count(F.lit(1)).alias("_n"))
+        .groupBy("event_date")
+        .agg(F.sum("_fs").alias("day_bytes"), F.sum("_n").alias("day_rows"))
         .collect()
     )
     if not stats:
         return
-    # ~256 bytes/row on-disk for EVENT_COLUMNS; clamp to >= 1 file
-    rows_per_file = max(1, int(target_file_mb * 1024 * 1024 / 256))
+    target_bytes = target_file_mb * 1024 * 1024
+    bytes_per_row = max(
+        1.0,
+        sum(int(r["day_bytes"]) for r in stats)
+        / max(1, sum(int(r["day_rows"]) for r in stats)),
+    )
+    # hard per-file cap: the parquet writer splits any task's output at
+    # this row count, so file sizes track the target even when the slot
+    # hash below lands two slots in one shuffle partition
+    rows_per_file = max(1, int(target_bytes / bytes_per_row))
     n_files = {
-        str(r["event_date"]): max(1, -(-int(r["n"]) // rows_per_file))
+        str(r["event_date"]): max(1, -(-int(r["day_rows"]) // rows_per_file))
         for r in stats
     }
     files_expr = F.coalesce(
@@ -130,8 +148,9 @@ def compact_event_days(
             for d, k in n_files.items()
         ]
     ) if n_files else F.lit(1)
-    # repartition on (event_date, file slot): one writer task per output
-    # file, partition-local sort restores the time order
+    # repartition on (event_date, file slot): write PARALLELISM scales
+    # with the day size (one task per ~target_file_mb of input); the
+    # partition-local sort restores the time order
     slot = F.pmod(F.xxhash64(F.col("timestamp"), F.col("queue_id")), files_expr)
     compacted = (
         df.withColumn("_slot", slot)
@@ -146,6 +165,7 @@ def compact_event_days(
     try:
         (
             compacted.write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
             .partitionBy("event_date")
             .parquet(path)
         )

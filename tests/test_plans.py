@@ -112,6 +112,19 @@ def test_fused_engine_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_q21_persist_reused_and_spillable(spark):
+    """The exploded shingle set feeds four consumers through ONE
+    materialization (InMemoryTableScan reuse), and the cache is
+    MEMORY_AND_DISK so a skewed corpus spills instead of OOMing an
+    executor at scale."""
+    from postfix_log_parser_spark.ext.dedup import q21_dedup_ngram_jaccard
+
+    df = q21_dedup_ngram_jaccard(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 2  # shared materialization
+    assert "StorageLevel(disk, memory" in plan  # MEMORY_AND_DISK level
+
+
 def test_q47_broadcasts_eval_grams(spark):
     """Decontamination joins the exploded training grams against the eval
     gram set — the eval side must broadcast; the training side must never

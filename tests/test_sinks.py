@@ -258,3 +258,121 @@ def test_compact_event_days(spark, tmp_path):
         r["queue_id"] for r in spark.read.parquet(path).collect()
     )
     assert rows_after == rows_before
+
+
+import os as _os
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("CLICKHOUSE_URL"),
+    reason="live ClickHouse smoke: set CLICKHOUSE_URL (dsn) to enable; this "
+    "sandbox has no server, so the executor-side insert path is covered by "
+    "the fake-client tests above (same untested-live status as the "
+    "reference's own sink)",
+)
+def test_clickhouse_live_roundtrip(spark):
+    """Insert → count round-trip of ``clickhouse_batch_writer`` against a
+    REAL server (env-gated).  Uses the all-string 22-column batch from the
+    chunking test against a matching String DDL; the factory ships the dsn
+    by value (executors don't see the driver env)."""
+    import uuid
+
+    import clickhouse_connect
+
+    from postfix_log_parser_spark.schema import EVENT_COLUMNS as COLS
+    from pyspark.sql import functions as F
+
+    dsn = _os.environ["CLICKHOUSE_URL"]
+    table = f"events_smoke_{uuid.uuid4().hex[:8]}"
+    admin = clickhouse_connect.get_client(dsn=dsn)
+    cols_ddl = ", ".join(f"`{c}` String" for c in COLS)
+    admin.command(
+        f"CREATE TABLE {table} ({cols_ddl}) ENGINE = MergeTree ORDER BY queue_id"
+    )
+    try:
+
+        def factory(dsn=dsn):
+            import clickhouse_connect as cc
+
+            return cc.get_client(dsn=dsn)
+
+        batch = spark.range(25).select(
+            *[F.col("id").cast("string").alias(c) for c in COLS]
+        )
+        writer = clickhouse_batch_writer(
+            client_factory=factory, table=table, rows_per_insert=10
+        )
+        writer(batch, batch_id=0)
+        assert int(admin.command(f"SELECT count() FROM {table}")) == 25
+    finally:
+        admin.command(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_sizes_from_measured_bytes(spark, tmp_path):
+    """A raw_log-heavy day compacts to files near target_file_mb because
+    sizing comes from the day's MEASURED on-disk bytes (scan _metadata),
+    not a per-row constant — the r5-flagged overshoot mode."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from postfix_log_parser_spark.sinks import compact_event_days
+
+    # ~3000 events with ~2.5 KB of hard-to-compress raw_log each
+    fat = F.array(
+        *[
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{i}")))
+            for i in range(80)
+        ]
+    )
+    arr1 = F.array(F.md5(F.col("id").cast("string")))
+    events = spark.range(3000).select(
+        F.timestamp_seconds(F.lit(1712685762) + F.col("id")).alias("timestamp"),
+        F.lpad(F.upper(F.hex(F.col("id"))), 11, "0").alias("queue_id"),
+        F.lit("d.com").alias("domain_from"),
+        arr1.alias("domains_to"),
+        F.lit("<a@d.com>").alias("message_from"),
+        arr1.alias("message_to"),
+        F.md5(F.col("id").cast("string")).alias("message_id"),
+        F.lit(None).cast("string").alias("message_subject"),
+        F.lit("sent").alias("status"),
+        F.lit(250).alias("status_code"),
+        F.lit("2.0.0").alias("status_postfix_code"),
+        F.lit("ok").alias("status_description"),
+        F.lit(None).cast("string").alias("client"),
+        F.lit(None).cast("string").alias("orig_to"),
+        F.lit(None).cast("string").alias("dovecot_fileinto_action"),
+        F.lit(None).cast("string").alias("delay"),
+        F.lit(None).cast("string").alias("delays"),
+        F.lit(None).cast("string").alias("dsn"),
+        F.lit(None).cast("string").alias("nrcpt"),
+        F.lit(None).cast("string").alias("relay"),
+        F.lit(None).cast("string").alias("size"),
+        fat.alias("raw_log"),
+    )
+    path = str(tmp_path / "events_fat")
+    (
+        events.repartition(16)
+        .withColumn("event_date", F.to_date("timestamp"))
+        .write.partitionBy("event_date")
+        .parquet(path)
+    )
+    day_files = glob.glob(path + "/event_date=*/*.parquet")
+    day_bytes = sum(os.path.getsize(f) for f in day_files)
+    assert day_bytes > 2 * 1024 * 1024  # the fixture is genuinely fat
+
+    compact_event_days(spark, path, target_file_mb=1)
+
+    out_files = glob.glob(path + "/event_date=*/*.parquet")
+    sizes_mb = sorted(os.path.getsize(f) / 2**20 for f in out_files)
+    # enough files that none can be a 10x-overshoot monolith...
+    expected = max(1, -(-day_bytes // (1024 * 1024)))
+    assert len(out_files) >= expected - 1, (len(out_files), expected)
+    # ...and the typical file lands within ±50% of the target (remainder
+    # files after the maxRecordsPerFile split may be smaller; none larger)
+    median_mb = sizes_mb[len(sizes_mb) // 2]
+    assert 0.5 <= median_mb <= 1.5, sizes_mb
+    assert sizes_mb[-1] <= 1.6, sizes_mb
