@@ -88,10 +88,11 @@ def gen_lines(n: int) -> list[str]:
     return lines
 
 
-def gen_stream_lines(n: int) -> list[str]:
-    """Streaming-exact domain: globally monotone unique event times inside
-    the 10-minute TTL horizon (no eviction, no order ambiguity), single
-    file (scan-local dovecot resolution sees every prior assignment)."""
+def gen_stream_lines(n: int, ties: bool = False) -> list[str]:
+    """Streaming-exact domain: globally monotone event times inside the
+    10-minute TTL horizon (no eviction).  ``ties=True`` repeats ~30% of
+    timestamps (byte-identical neighbors) — legal since r6's stable
+    (file, in-file offset) tiebreak made stream tie order == batch."""
     out = []
     base_us = 0
     for line in gen_lines(n):
@@ -103,7 +104,8 @@ def gen_stream_lines(n: int) -> list[str]:
             m, rem = divmod(base_us, 60_000_000)
             ts = f"2024-04-09T20:{m:02d}:{rem // 1_000_000:02d}.{rem % 1_000_000:06d}+00:00"
             out.append(" ".join([ts] + toks[1:]))
-            base_us += 110_003
+            if not (ties and R.random() < 0.3):
+                base_us += 110_003
         else:
             out.append(line)  # legacy-syslog dovecot lines keep their head
     return out
@@ -152,6 +154,61 @@ def test_fuzz_stream_matches_batch(spark, tmp_path):
     )
 
     assert len(b_events) > 30
+    assert s_events == b_events
+    assert s_faults == b_faults
+
+
+def test_fuzz_stream_multifile_ties_match_batch(spark, tmp_path):
+    """Adversarial tie-order case: duplicated timestamps scattered across
+    THREE deliberately size-skewed files in one batch.  Spark packs scan
+    partitions by size (descending), so the old partition-id-salted seq
+    folded the big file first on ties; the stable (file, offset) tiebreak
+    must reproduce the batch concatenation order exactly."""
+    lines = gen_stream_lines(1500, ties=True)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # unequal contiguous splits, file-name order == concatenation order;
+    # padding makes a.log the SMALLEST so size-order != name-order
+    (in_dir / "a.log").write_text("\n".join(lines[:200]))
+    (in_dir / "b.log").write_text("\n".join(lines[200:1100]))
+    (in_dir / "c.log").write_text("\n".join(lines[1100:]))
+
+    from postfix_log_parser_spark.streaming import (
+        sessionize_stream,
+        stream_events,
+        stream_faults,
+    )
+
+    folded = sessionize_stream(spark.readStream.text(str(in_dir)))
+    q = (
+        folded.writeStream.format("memory")
+        .queryName("fuzz_stream_ties")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(400)
+    folded_tbl = spark.table("fuzz_stream_ties")
+    key = lambda d: (d["queue_id"], str(d["timestamp"]), d["raw_log"])  # noqa: E731
+    s_events = sorted(
+        (r.asDict(recursive=True) for r in stream_events(folded_tbl).collect()),
+        key=key,
+    )
+    s_faults = sorted(
+        (r["fault_reason"], r["line"]) for r in stream_faults(folded_tbl).collect()
+    )
+
+    ev, fa, _st = sessionize(parse_lines(lines_df(spark, lines)))
+    b_events = sorted(
+        (r.asDict(recursive=True) for r in ev.collect()), key=key
+    )
+    b_faults = sorted(
+        (r["fault_reason"], r["line"])
+        for r in fa.collect()
+        if r["fault_reason"] != "IndexError: dovecot-shaped line too short"
+    )
+
+    assert len(b_events) > 20
     assert s_events == b_events
     assert s_faults == b_faults
 
