@@ -3,10 +3,12 @@ one batch, asserting (a) Arrow parse ≡ Catalyst parse row-for-row and
 (b) partitioned fold ≡ pandas-oracle fold on the same feed.
 
 Not hypothesis-per-example (a Spark round trip per example is too slow);
-a fixed seed keeps failures reproducible.  The generator deliberately
-avoids the two documented divergence zones: k=v keys named raw_log /
-timestamp (reference-state-corrupting, SURVEY §2.10), and byte-identical
-duplicated sessions (streaming order ambiguity — batch only here anyway).
+a fixed seed keeps failures reproducible.  Since r6 the generator also
+emits k=v keys named raw_log / timestamp: the reference corrupts its own
+state dict on those (COVERAGE.md divergence 4 — every later line for the
+queue faults, or the process dies in cleanup); here they are ordinary
+fields-map keys, namespaced away from the engine's bookkeeping, and the
+differentials pin that ALL engine variants agree on that sane semantics.
 """
 
 import random
@@ -18,7 +20,8 @@ R = random.Random(42)
 
 QIDS = [format(i, "011X") for i in range(40)] + ["85c6c10208a", "SHORT:", "ZZZ"]
 KEYS = ["from", "to", "message-id", "status", "client", "orig_to", "relay",
-        "dsn", "nrcpt", "size", "delay", "delays", "sasl_method", "weird-key"]
+        "dsn", "nrcpt", "size", "delay", "delays", "sasl_method", "weird-key",
+        "raw_log", "timestamp"]
 VALS = ["<a@b.c>", "<x@y.z>,", "bare", "a=b=c", "<m@1>", "", "<>", "x,y,,",
         "=?broken", "<root>"]
 STATUSES = [

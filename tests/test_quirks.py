@@ -271,3 +271,35 @@ def test_dovecot_join_fallback_matches_broadcast(spark):
         e["dovecot_fileinto_action"] == f"stored mail into mailbox 'Box {i}'"
         for i, e in enumerate(bcast[0])
     )
+
+
+def test_divergence4_state_keyed_tokens_are_inert(run_both):
+    """COVERAGE.md divergence 4, pinned: k=v tokens literally named
+    raw_log= / timestamp= corrupt the reference's state dict (its
+    _set_fields writes them into the same namespace as its bookkeeping,
+    parse.py:299-302 — raw_log becomes a string so every later line for
+    the queue faults on .append; a string timestamp kills the cleanup
+    comparison).  Here the fields map is namespaced away from the
+    engine's bookkeeping, so these keys are ordinary inert fields: the
+    session folds and closes normally, raw_log holds the actual lines,
+    and the event timestamp is the first line's parsed head timestamp —
+    a deliberate, documented robustness improvement, identical across
+    all three fold strategies."""
+    import datetime
+
+    r = run_both(
+        f"""
+{_line(0, 1, 'AAAAAAAAAAA: from=<a@b.c>, raw_log=evil, message-id=<m@1>')}
+{_line(0, 2, 'AAAAAAAAAAA: timestamp=2030-01-01T00:00:00, size=9')}
+{_line(0, 3, 'AAAAAAAAAAA: to=<x@c.com>, status=sent (250 2.0.0 ok fine)')}
+{_line(0, 4, 'AAAAAAAAAAA: removed')}
+"""
+    )
+    assert r.faults == []
+    assert len(r.events) == 1
+    e = r.events[0]
+    assert e["message_from"] == "a@b.c"
+    assert len(e["raw_log"]) == 4  # the real lines, not the injected value
+    assert all("AAAAAAAAAAA" in ln for ln in e["raw_log"])
+    # first HEAD timestamp, not the injected timestamp= token
+    assert e["timestamp"] == datetime.datetime(2024, 4, 9, 17, 22, 40, 1)
