@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "q53_approx_quantiles",
     "q34_frame_sample",
     "q35_grouping_sets",
+    "q55_pivot_segments",
+    "q56_unpivot_metrics",
     "q40_log_events",
     "q45_fused_events",
     "q48_pii_mask",

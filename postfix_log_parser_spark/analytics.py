@@ -610,6 +610,75 @@ _Q53_SQL = "SELECT l_returnflag, " + ", ".join(
 ) + " FROM lineitem GROUP BY l_returnflag"
 
 
+_Q55_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+def q55_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per (priority x market segment), segments as
+    columns.  Uses the explicit-values form — at scale, pivot WITHOUT a
+    value list first runs a distinct scan over the pivot column to
+    discover headers (an extra job over the fact table); pinning the
+    values keeps it one pass, and Catalyst compiles it to a single
+    grouped conditional aggregation (map-side combinable, one shuffle)."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    joined = orders.join(F.broadcast(cust), "o_custkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .pivot("c_mktsegment", list(_Q55_SEGMENTS))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_Q55_SEGMENTS))
+    )
+
+
+_Q55_SQL = "SELECT o_orderpriority, " + ", ".join(
+    f"""count(*) FILTER (c_mktsegment = '{s}') AS "{s}\"""" for s in _Q55_SEGMENTS
+) + """
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderpriority
+"""
+
+
+def q56_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long): per-returnflag aggregate metrics melted into
+    (flag, metric, value) rows — the standard shape for feeding metric
+    stores / plotting layers.  ``unpivot`` is a zero-shuffle narrow
+    projection over the already-aggregated 3-row frame; the whole query
+    is one hash aggregation + a constant-size melt."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.max("l_discount"), 2).alias("max_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "avg_price", "max_disc"],
+        "metric",
+        "value",
+    )
+
+
+_Q56_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(avg(l_extendedprice), 2) AS avg_price,
+         round(max(l_discount), 2) AS max_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value FROM (
+  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'avg_price', avg_price FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'max_disc', max_disc FROM wide
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # q16 — JSON extraction from the events props column
 # ---------------------------------------------------------------------------
@@ -797,6 +866,8 @@ ANALYTICS_QUERIES = {
     "q19_skew_salted": q19_skew_salted,
     "q35_grouping_sets": q35_grouping_sets,
     "q53_approx_quantiles": q53_approx_quantiles,
+    "q55_pivot_segments": q55_pivot_segments,
+    "q56_unpivot_metrics": q56_unpivot_metrics,
 }
 
 ANALYTICS_ORACLES = {
@@ -822,4 +893,6 @@ ANALYTICS_ORACLES = {
     "q19_skew_salted": _Q19_SQL,
     "q35_grouping_sets": _Q35_SQL,
     "q53_approx_quantiles": _Q53_SQL,
+    "q55_pivot_segments": _Q55_SQL,
+    "q56_unpivot_metrics": _Q56_SQL,
 }
