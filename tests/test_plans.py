@@ -142,3 +142,27 @@ def test_q46_partial_aggregates(spark):
 
     plan = _plan(q46_repetition_quality(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 4  # partial+final x (word, bigram)
+
+
+def test_q52_packing_single_shuffle(spark):
+    """Sequence packing is ONE hash exchange: the window's source
+    partitioning is reused by the (source, pack_id) aggregate — partial+
+    final with no second exchange, and the scan prunes to 3 columns."""
+    from postfix_log_parser_spark.ext.packing import q52_pack_sequences
+
+    plan = _plan(q52_pack_sequences(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    read = scan.split("ReadSchema:")[1]
+    assert "lang" not in read and "n_chars" not in read  # pruned
+
+
+def test_q55_pivot_broadcasts_dim_no_discovery_scan(spark):
+    """Pivot with explicit values: the customer dim broadcasts, and the
+    orders fact is scanned exactly once (no distinct-discovery job over
+    the pivot column)."""
+    from postfix_log_parser_spark.analytics import q55_pivot_segments
+
+    plan = _plan(q55_pivot_segments(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert sum("orders.parquet" in ln for ln in plan.splitlines() if "FileScan" in ln) == 1
