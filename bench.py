@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q50_stream_enrich",
     "q51_stream_dedup",
     "q54_stream_sessions",
+    "q57_stream_rollup_mv",
     "q44_sink_roundtrip",
 ]
 

@@ -593,6 +593,123 @@ SELECT user_id,
 FROM s GROUP BY user_id, sess
 """
 
+def rollup_upsert_writer(spark: SparkSession, mv_path: str):
+    """Incremental materialized-view maintenance for a streaming rollup —
+    the Spark-native equivalent of the ClickHouse MATERIALIZED VIEW a
+    reference deployment would hang off its events table.
+
+    Each micro-batch:
+    1. aggregates ITS OWN rows per (hour_ts, event_type) — a partial
+       delta, map-side combinable;
+    2. reads back only the MV day-partitions the delta touches
+       (partition pruning on ``day_key``; the touched-days collect is
+       bounded by days-per-batch, not data size — the MV stores hourly
+       rows but partitions by DAY, the usual MV layout: hour-level dirs
+       are small-files decay for zero pruning benefit at this row count);
+    3. merges delta + existing (sum of sums) and swaps exactly those
+       day partitions in with dynamic partition overwrite.
+    Exactly-once on retries: a committed-batch marker under
+    ``_batch_commits/`` makes the merge idempotent — a replayed batch id
+    is skipped (classic foreachBatch idempotence pattern).
+
+    At 100 TB this is the continuous-aggregate shape: per-batch work is
+    O(batch + touched partitions), never a full-table recompute, and the
+    MV stays queryable (hour-pruned) throughout.
+    """
+    commits = f"{mv_path}/_batch_commits"
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        marker = f"{commits}/{batch_id}"
+        if os.path.exists(marker):
+            return  # replayed batch: already merged
+        delta = batch.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        ).withColumn(
+            "day_key", F.date_format("hour_ts", "yyyy-MM-dd")
+        )
+        touched = [r["day_key"] for r in delta.select("day_key").distinct().collect()]
+        if not touched:
+            return
+        data_exists = any(
+            f.startswith("day_key=") for f in (os.listdir(mv_path) if os.path.isdir(mv_path) else [])
+        )
+        merged = delta
+        if data_exists:
+            existing = (
+                spark.read.parquet(mv_path)
+                .filter(F.col("day_key").isin(touched))
+            )
+            merged = (
+                delta.unionByName(existing)
+                .groupBy("hour_ts", "event_type", "day_key")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        old = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            (
+                merged.repartition(F.col("day_key"))
+                .write.mode("overwrite")
+                .partitionBy("day_key")
+                .parquet(mv_path)
+            )
+        finally:
+            spark.conf.set(conf_key, old)
+        os.makedirs(commits, exist_ok=True)
+        with open(marker, "w", encoding="utf-8"):
+            pass
+
+    return write_batch
+
+
+def q57_stream_rollup_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events → incrementally-maintained hourly rollup TABLE
+    (``rollup_upsert_writer``) → read the table back.  The oracle is the
+    batch GROUP BY over all events, so the driver verifies that per-batch
+    delta merging reproduces the full aggregate exactly.  Incremental
+    multi-batch behavior (merge with existing partitions, replay
+    idempotence) is pinned by ``tests/test_sinks.py::test_rollup_*``."""
+    work = _work_dir("q57_mv_")
+    mv_path = f"{work}/rollup"
+    src = _events_stream(spark, sf_dir)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            src.writeStream.foreachBatch(rollup_upsert_writer(spark, mv_path))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        mv = spark.read.parquet(mv_path).select(
+            "hour_ts",
+            "event_type",
+            "n_events",
+            F.round("sum_value", 3).alias("sum_value"),
+        )
+        # materialize before the temp dir is cleaned at process exit
+        rows = mv.collect()
+        return spark.createDataFrame(rows, mv.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+_Q57_SQL = """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       count(*) AS n_events, round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 LOG_QUERIES = {
     "q40_log_events": q40_log_events,
     "q45_fused_events": q45_fused_events,
@@ -601,6 +718,7 @@ LOG_QUERIES = {
     "q50_stream_enrich": q50_stream_enrich,
     "q51_stream_dedup": q51_stream_dedup,
     "q54_stream_sessions": q54_stream_sessions,
+    "q57_stream_rollup_mv": q57_stream_rollup_mv,
     "q41_log_faults": q41_log_faults,
     "q42_log_state": q42_log_state,
     "q43_stream_events": q43_stream_events,
@@ -626,6 +744,7 @@ LOG_ORACLES = {
     "q50_stream_enrich": _Q50_SQL,
     "q51_stream_dedup": _Q51_SQL,
     "q54_stream_sessions": _Q54_SQL,
+    "q57_stream_rollup_mv": _Q57_SQL,
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
     "q43_stream_events": _Q43_SQL,

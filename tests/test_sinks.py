@@ -376,3 +376,52 @@ def test_compact_sizes_from_measured_bytes(spark, tmp_path):
     median_mb = sizes_mb[len(sizes_mb) // 2]
     assert 0.5 <= median_mb <= 1.5, sizes_mb
     assert sizes_mb[-1] <= 1.6, sizes_mb
+
+
+def test_rollup_incremental_merge_and_replay(spark, tmp_path):
+    """The MV writer merges per-batch deltas into only the touched day
+    partitions, leaves untouched partitions byte-stable, and is
+    idempotent on batch replay (the foreachBatch retry case)."""
+    import pyspark.sql.functions as F
+
+    from postfix_log_parser_spark.logquery import rollup_upsert_writer
+
+    mv = str(tmp_path / "mv")
+    writer = rollup_upsert_writer(spark, mv)
+    sch = "ts timestamp, event_type string, value double"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, sch)
+
+    import datetime as dt
+
+    h1 = dt.datetime(2024, 1, 1, 10, 15)
+    h2 = dt.datetime(2024, 1, 1, 12, 5)
+    h3 = dt.datetime(2024, 1, 2, 9, 0)  # different day partition
+
+    writer(batch([(h1, "A", 1.0), (h1, "A", 2.0), (h2, "B", 3.0)]), 0)
+
+    def snapshot():
+        return {
+            (str(r["hour_ts"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(mv).collect()
+        }
+
+    s0 = snapshot()
+    assert s0[("2024-01-01 10:00:00", "A")] == (2, 3.0)
+    assert s0[("2024-01-01 12:00:00", "B")] == (1, 3.0)
+
+    # batch 1: extends hour H1 (same day -> merge) and opens a new day
+    writer(batch([(h1, "A", 4.0), (h3, "C", 5.0)]), 1)
+    s1 = snapshot()
+    assert s1[("2024-01-01 10:00:00", "A")] == (3, 7.0)  # delta merged
+    assert s1[("2024-01-01 12:00:00", "B")] == (1, 3.0)  # untouched hour kept
+    assert s1[("2024-01-02 09:00:00", "C")] == (1, 5.0)  # new day partition
+
+    # replayed batch id: skipped entirely (exactly-once on retry)
+    writer(batch([(h1, "A", 4.0), (h3, "C", 5.0)]), 1)
+    assert snapshot() == s1
+
+    # an empty batch is a no-op
+    writer(batch([]), 2)
+    assert snapshot() == s1
