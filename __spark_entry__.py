@@ -6,12 +6,13 @@
 * q01-q19, q35, q53, q55-q56 — analytics layer (aggregation / joins /
   windows / top-k / grouping sets / set ops / sessionization / as-of /
   range join / salted skew agg / JSON / approx / pivot / unpivot),
-* q20-q37, q46-q48, q52-q53 — LLM-pipeline extensions (dedup exact /
-  n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup / connected
-  components / training-mix, ANN brute-force + LSH + IVF, text quality /
-  lang-ID / tokens / fingerprints / TF-IDF / repetition gate /
-  decontamination / PII masking, multimodal, sequence packing,
-  self-verifying approx quantiles),
+* q20-q37, q46-q48, q52-q53, q58-q60 — LLM-pipeline extensions (dedup
+  exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup /
+  connected components / training-mix, ANN brute-force + LSH + IVF +
+  product-quantization ADC, text quality / lang-ID / tokens /
+  fingerprints / TF-IDF / repetition gate / decontamination / PII
+  masking, multimodal, sequence packing, self-verifying approx
+  quantiles, distributed k-means, int8 embedding quantization),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "q47_decontamination",
     "q52_pack_sequences",
     "q53_approx_quantiles",
+    "q58_kmeans",
+    "q59_ann_pq",
+    "q60_int8_quant",
     "q34_frame_sample",
     "q35_grouping_sets",
     "q55_pivot_segments",

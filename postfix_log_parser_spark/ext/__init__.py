@@ -7,12 +7,14 @@ column plumbing — all designed scale-first (bucketed joins, no all-pairs
 on the scale path, no collect loops).
 """
 
+from postfix_log_parser_spark.ext.cluster import CLUSTER_ORACLES, CLUSTER_QUERIES
 from postfix_log_parser_spark.ext.dedup import DEDUP_ORACLES, DEDUP_QUERIES
 from postfix_log_parser_spark.ext.multimodal import (
     MULTIMODAL_ORACLES,
     MULTIMODAL_QUERIES,
 )
 from postfix_log_parser_spark.ext.packing import PACKING_ORACLES, PACKING_QUERIES
+from postfix_log_parser_spark.ext.quantize import QUANTIZE_ORACLES, QUANTIZE_QUERIES
 from postfix_log_parser_spark.ext.similarity import (
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
@@ -28,6 +30,8 @@ EXT_QUERIES = {
     **TEXTSTATS_QUERIES,
     **MULTIMODAL_QUERIES,
     **PACKING_QUERIES,
+    **CLUSTER_QUERIES,
+    **QUANTIZE_QUERIES,
 }
 
 EXT_ORACLES = {
@@ -36,4 +40,6 @@ EXT_ORACLES = {
     **TEXTSTATS_ORACLES,
     **MULTIMODAL_ORACLES,
     **PACKING_ORACLES,
+    **CLUSTER_ORACLES,
+    **QUANTIZE_ORACLES,
 }

@@ -1,0 +1,258 @@
+"""Embedding quantization for the similarity-search scale path.
+
+* q59 — **product quantization (PQ) + ADC search**: vectors are split
+  into M=8 subspaces of 8 dims; each subspace has a 16-entry codebook
+  (deterministic "training sample": the subvectors of the 16 smallest
+  vec_ids, so the DuckDB oracle is exact — production would k-means the
+  sample, q58 shows that loop).  Every vector is encoded to 8 small
+  codes (8 bytes instead of 512), and search is asymmetric-distance
+  computation: the query precomputes an M×16 lookup table of
+  query-sub · codeword dot products (broadcast), and candidate scoring
+  touches ONLY the codes — ``score = Σ_m lut[m][code_m]`` — never the
+  raw vectors.  The top-k then reranks with the exact cosine (one
+  equi-join back to the vector table).  At 100 TB this is the classic
+  IVF-PQ memory shape: the scan side holds 8-byte codes, a 64× smaller
+  working set, and the LUT join is a broadcast.
+* q60 — **int8 scalar quantization round-trip**: per-dimension min/max
+  (one agg), uniform 8-bit encode/decode, and the per-dimension
+  reconstruction-error report a curation pipeline needs before shipping
+  compressed embeddings.  The 64-row dim-stats table is broadcast back
+  onto the exploded values — no second pass over the driver.
+
+Both oracles are exact: codebooks/stats derive from raw table values
+(float→double is exact), distances and ADC sums fold in identical term
+order on both engines, and display columns round late.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from postfix_log_parser_spark.ext.similarity import _dot, _emb, _with_norm
+
+M = 8  # subspaces
+SUB = 8  # dims per subspace
+CW = 16  # codewords per subspace
+PQ_TOP_K = 3
+
+
+def _const_arr(xs: list[float]) -> Column:
+    return F.array(*[F.lit(x) for x in xs])
+
+
+def _cb_lit(cb: list[list[list[float]]]) -> Column:
+    """The whole codebook as ONE literal array<array<array<double>>> so
+    encode/LUT are single higher-order-function expressions — a compact
+    Catalyst tree instead of M×CW unrolled folds (which parse/compile
+    ~10× slower for identical results)."""
+    return F.array(*[F.array(*[_const_arr(cw) for cw in cbm]) for cbm in cb])
+
+
+def _sqd(sub: Column, cw: Column) -> Column:
+    """Squared L2, sequential fold (oracle term order)."""
+    return F.aggregate(
+        F.zip_with(sub, cw, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebook(emb: DataFrame) -> list[list[list[float]]]:
+    """cb[m][c] = subvector m of the c-th smallest vec_id (bounded
+    collect: CW rows — the PQ training sample is driver-resident by
+    construction, like any trained codebook)."""
+    rows = sorted(
+        emb.filter(F.col("vec_id") < CW).collect(), key=lambda r: r.vec_id
+    )
+    return [
+        [list(r.v[m * SUB : (m + 1) * SUB]) for r in rows] for m in range(M)
+    ]
+
+
+def q59_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the table, ADC-score candidates against broadcast query
+    LUTs, exact-cosine rerank columns on the winners."""
+    emb = _with_norm(_emb(spark, sf_dir))
+    cb_lit = _cb_lit(_codebook(emb))
+
+    # encode: argmin codeword per subspace (first-index tie-break)
+    def codes_expr(v: Column) -> Column:
+        def per_m(cbm: Column, m: Column) -> Column:
+            sub = F.slice(v, m * SUB + 1, SUB)
+            ds = F.transform(cbm, lambda cw: _sqd(sub, cw))
+            return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+        return F.transform(cb_lit, per_m)
+
+    codes = emb.select("vec_id", codes_expr(F.col("v")).alias("codes"))
+
+    # query side: LUT of query-sub · codeword, all (m, c)
+    def lut_expr(v: Column) -> Column:
+        def per_m(cbm: Column, m: Column) -> Column:
+            sub = F.slice(v, m * SUB + 1, SUB)
+            return F.transform(cbm, lambda cw: _dot(sub, cw))
+
+        return F.transform(cb_lit, per_m)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        lut_expr(F.col("v")).alias("lut"),
+    )
+
+    # ADC: codes-only scoring (the raw vector never enters this join);
+    # zip_with keeps the m-ascending fold order the oracle uses
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("lut"), F.col("codes"), lambda l, c: F.element_at(l, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_raw").desc(), F.col("vec_id"))
+    top = (
+        codes.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        .withColumn("adc_raw", adc)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOP_K)
+        .select("qid", "rn", "vec_id", "adc_raw", "qv", "qn")
+    )
+
+    # exact-cosine rerank columns for the winners only
+    exact = top.join(emb.select("vec_id", "v", "nrm"), "vec_id")
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    return exact.select(
+        "qid",
+        "rn",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.col("adc_raw"), 4).alias("adc_dot"),
+        F.round(cos, 4).alias("cosine"),
+    )
+
+
+_SUBD = "(cb.m - 1) * 8"
+_Q59_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nrm
+  FROM e
+),
+cbv AS (SELECT vec_id AS c, v FROM e WHERE vec_id < {CW}),
+cb AS (
+  SELECT m, c, v[(m - 1) * {SUB} + 1 : (m - 1) * {SUB} + {SUB}] AS sub
+  FROM cbv, unnest(range(1, {M} + 1)) AS t(m)
+),
+enc AS (
+  SELECT e.vec_id, cb.m, cb.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id, cb.m
+           ORDER BY list_sum(list_transform(range(1, {SUB} + 1),
+             i -> (e.v[{_SUBD} + i] - cb.sub[i]) * (e.v[{_SUBD} + i] - cb.sub[i]))),
+             cb.c) AS rn
+  FROM e, cb
+),
+codes AS (SELECT vec_id, m, c AS code FROM enc WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v, nrm FROM n WHERE vec_id % 100 = 0),
+lut AS (
+  SELECT q.qid, cb.m, cb.c,
+         list_sum(list_transform(range(1, {SUB} + 1),
+           i -> q.v[{_SUBD} + i] * cb.sub[i])) AS dp
+  FROM q, cb
+),
+scored AS (
+  SELECT l.qid, cd.vec_id AS neighbor_id,
+         list_sum(list(l.dp ORDER BY l.m)) AS adc_raw
+  FROM codes cd
+  JOIN lut l ON l.m = cd.m AND l.c = cd.code AND cd.vec_id != l.qid
+  GROUP BY l.qid, cd.vec_id
+),
+ranked AS (
+  SELECT qid, neighbor_id, adc_raw,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_raw DESC, neighbor_id) AS rn
+  FROM scored
+),
+top AS (SELECT * FROM ranked WHERE rn <= {PQ_TOP_K})
+SELECT t.qid, t.rn, t.neighbor_id,
+       round(t.adc_raw, 4) AS adc_dot,
+       round(list_sum(list_transform(range(1, len(q.v) + 1),
+               i -> q.v[i] * b.v[i])) / (q.nrm * b.nrm), 4) AS cosine
+FROM top t
+JOIN q ON q.qid = t.qid
+JOIN n b ON b.vec_id = t.neighbor_id
+"""
+
+
+def q60_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform int8 quantization round-trip: per-dimension min/max →
+    8-bit encode → decode → per-dimension reconstruction-error report.
+    One explode, one 64-group agg, a 64-row broadcast join back, one
+    final agg — no UDF, no collect."""
+    emb = _emb(spark, sf_dir)
+    x = emb.select("vec_id", F.posexplode("v").alias("pos0", "x"))
+    stats = x.groupBy("pos0").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(255.0),
+            F.greatest(F.lit(0.0), F.round((F.col("x") - F.col("mn")) / scale, 0)),
+        ),
+    ).otherwise(F.lit(0.0))
+    enc = (
+        x.join(F.broadcast(stats), "pos0")
+        .withColumn("code", code)
+        .withColumn("decoded", F.col("mn") + F.col("code") * scale)
+        .withColumn("err", F.abs(F.col("x") - F.col("decoded")))
+    )
+    return enc.groupBy("pos0").agg(
+        F.count("*").alias("n_values"),
+        F.round(F.first("mn"), 6).alias("qmin"),
+        F.round(F.first("mx"), 6).alias("qmax"),
+        F.round(F.max("err"), 6).alias("max_abs_err"),
+        F.round(F.avg("err"), 6).alias("avg_abs_err"),
+    ).select(
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        "n_values",
+        "qmin",
+        "qmax",
+        "max_abs_err",
+        "avg_abs_err",
+    )
+
+
+_Q60_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT vec_id, pos, v[pos] AS x
+  FROM e, unnest(range(1, len(v) + 1)) AS t(pos)
+),
+s AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY pos),
+enc AS (
+  SELECT x.pos, x.x, s.mn, s.mx,
+         CASE WHEN s.mx > s.mn
+              THEN least(255.0, greatest(0.0,
+                     round((x.x - s.mn) / ((s.mx - s.mn) / 255.0))))
+              ELSE 0.0 END AS code
+  FROM x JOIN s USING (pos)
+),
+dec AS (
+  SELECT pos, mn, mx,
+         abs(x - (mn + code * ((mx - mn) / 255.0))) AS err
+  FROM enc
+)
+SELECT CAST(pos AS INTEGER) AS pos,
+       count(*) AS n_values,
+       round(min(mn), 6) AS qmin,
+       round(min(mx), 6) AS qmax,
+       round(max(err), 6) AS max_abs_err,
+       round(avg(err), 6) AS avg_abs_err
+FROM dec GROUP BY pos
+"""
+
+QUANTIZE_QUERIES = {"q59_ann_pq": q59_ann_pq, "q60_int8_quant": q60_int8_quant}
+QUANTIZE_ORACLES = {"q59_ann_pq": _Q59_SQL, "q60_int8_quant": _Q60_SQL}

@@ -166,3 +166,49 @@ def test_q55_pivot_broadcasts_dim_no_discovery_scan(spark):
     plan = _plan(q55_pivot_segments(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert sum("orders.parquet" in ln for ln in plan.splitlines() if "FileScan" in ln) == 1
+
+
+def _final_plan(df) -> str:
+    """Executed plan's FINAL section only (AQE's toString appends the
+    initial plan after '== Initial Plan ==', double-counting operators)."""
+    df.collect()
+    return _plan(df).split("== Initial Plan ==")[0]
+
+
+def test_q58_assignment_is_narrow_single_shuffle(spark):
+    """k-means assignment is a pure Catalyst map over the scan; the final
+    summary is ONE hash exchange (partial+final agg), no join anywhere —
+    the shape that scales linearly at 100 TB."""
+    from postfix_log_parser_spark.ext.cluster import q58_kmeans
+
+    plan = _final_plan(q58_kmeans(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_q59_adc_join_is_broadcast_codes_only(spark):
+    """PQ search: candidate scoring joins the 8-byte codes against the
+    BROADCAST query LUTs (non-equi → BroadcastNestedLoopJoin with a
+    constant-size broadcast side); the exact rerank is a broadcast hash
+    join; nothing sort-merges or goes cartesian."""
+    from postfix_log_parser_spark.ext.quantize import q59_ann_pq
+
+    plan = _final_plan(q59_ann_pq(spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # tiny query side only
+    assert plan.count("BroadcastHashJoin") >= 1  # exact-cosine rerank
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 3  # codes, queries, rerank
+
+
+def test_q60_stats_join_back_is_broadcast(spark):
+    """int8 quantization: the 64-row dim-stats aggregate broadcasts back
+    onto the exploded values; exactly two hash exchanges (stats agg +
+    error agg), never a sort-merge of the exploded table."""
+    from postfix_log_parser_spark.ext.quantize import q60_int8_quant
+
+    plan = _final_plan(q60_int8_quant(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
