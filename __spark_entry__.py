@@ -3,10 +3,11 @@
 ``entry(spark)`` runs the flagship star-join query on sf0.001.
 ``queries()`` exposes every driver-checked operator query:
 
-* q01-q19, q35, q53, q55-q56 — analytics layer (aggregation / joins /
-  windows / top-k / grouping sets / set ops / sessionization / as-of /
-  range join / salted skew agg / JSON / approx / pivot / unpivot),
-* q20-q37, q46-q48, q52-q53, q58-q60 — LLM-pipeline extensions (dedup
+* q01-q19, q35, q53, q55-q56, q61 — analytics layer (aggregation /
+  joins / windows / top-k / grouping sets / set ops / sessionization /
+  as-of / range join / salted skew agg / JSON / approx / pivot /
+  unpivot / SCD2 changelog compaction),
+* q20-q37, q46-q48, q52-q53, q58-q60, q62 — LLM-pipeline extensions (dedup
   exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup /
   connected components / training-mix, ANN brute-force + LSH + IVF +
   product-quantization ADC, text quality / lang-ID / tokens /

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "q47_decontamination",
     "q52_pack_sequences",
     "q53_approx_quantiles",
+    "q61_scd2_user_state",
+    "q62_weighted_sample",
     "q58_kmeans",
     "q59_ann_pq",
     "q60_int8_quant",

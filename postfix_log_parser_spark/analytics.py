@@ -843,6 +843,45 @@ def q35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q35_SQL)
 
 
+# ---------------------------------------------------------------------------
+# q61 — changelog → SCD2 compaction (warehouse dimension maintenance)
+# ---------------------------------------------------------------------------
+
+def q61_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from a changelog: each
+    user's event stream becomes versioned validity intervals —
+    ``valid_from`` = the change's event time, ``valid_to`` = the next
+    change (NULL while current).  ONE shuffle (window on user_id, the
+    natural uniform key); the shape a 100 TB dimension-history build
+    needs — no self-join, no driver state.  Sampled to user_id % 10 = 0
+    to bound the driver-hashed output."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead(F.col("ts")).over(w)
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.unix_micros(F.col("ts")).alias("valid_from_us"),
+        F.unix_micros(valid_to).alias("valid_to_us"),
+        F.col("event_type").alias("state"),
+        "value",
+    ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+_Q61_SQL = """
+SELECT user_id,
+       row_number() OVER w AS version,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       event_type AS state,
+       value,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WHERE user_id % 10 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 ANALYTICS_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -868,6 +907,7 @@ ANALYTICS_QUERIES = {
     "q53_approx_quantiles": q53_approx_quantiles,
     "q55_pivot_segments": q55_pivot_segments,
     "q56_unpivot_metrics": q56_unpivot_metrics,
+    "q61_scd2_user_state": q61_scd2_user_state,
 }
 
 ANALYTICS_ORACLES = {
@@ -895,4 +935,5 @@ ANALYTICS_ORACLES = {
     "q53_approx_quantiles": _Q53_SQL,
     "q55_pivot_segments": _Q55_SQL,
     "q56_unpivot_metrics": _Q56_SQL,
+    "q61_scd2_user_state": _Q61_SQL,
 }

@@ -15,6 +15,7 @@ from postfix_log_parser_spark.ext.multimodal import (
 )
 from postfix_log_parser_spark.ext.packing import PACKING_ORACLES, PACKING_QUERIES
 from postfix_log_parser_spark.ext.quantize import QUANTIZE_ORACLES, QUANTIZE_QUERIES
+from postfix_log_parser_spark.ext.sampling import SAMPLING_ORACLES, SAMPLING_QUERIES
 from postfix_log_parser_spark.ext.similarity import (
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
@@ -32,6 +33,7 @@ EXT_QUERIES = {
     **PACKING_QUERIES,
     **CLUSTER_QUERIES,
     **QUANTIZE_QUERIES,
+    **SAMPLING_QUERIES,
 }
 
 EXT_ORACLES = {
@@ -42,4 +44,5 @@ EXT_ORACLES = {
     **PACKING_ORACLES,
     **CLUSTER_ORACLES,
     **QUANTIZE_ORACLES,
+    **SAMPLING_ORACLES,
 }

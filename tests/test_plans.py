@@ -212,3 +212,25 @@ def test_q60_stats_join_back_is_broadcast(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q61_scd2_single_window_shuffle(spark):
+    """SCD2 compaction is ONE hash exchange (the user_id window) — no
+    join, no second shuffle; linear at dimension-history scale."""
+    from postfix_log_parser_spark.analytics import q61_scd2_user_state
+
+    plan = _final_plan(q61_scd2_user_state(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_q62_topk_never_global_sorts(spark):
+    """The weighted sample's top-k must be TakeOrderedAndProject (per-
+    partition heaps + k-row merge), never a range-partitioned global
+    sort; the rank window runs on the k survivors only."""
+    from postfix_log_parser_spark.ext.sampling import q62_weighted_sample
+
+    plan = _final_plan(q62_weighted_sample(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort

@@ -1,0 +1,58 @@
+"""Behavioral invariants for SCD2 compaction (q61) and weighted
+reservoir sampling (q62).  Value-level parity is the oracle harness's
+job; these pin the semantic guarantees."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_scd2_intervals_chain_and_single_current(spark):
+    from postfix_log_parser_spark.analytics import q61_scd2_user_state
+
+    rows = q61_scd2_user_state(spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r.version)
+        # versions are contiguous from 1
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1))
+        # exactly one open (current) interval, and it is the last version
+        current = [r for r in hist if r.is_current]
+        assert len(current) == 1 and current[0].version == len(hist)
+        # intervals chain: valid_to(k) == valid_from(k+1), no gaps/overlap
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.valid_from_us <= a.valid_to_us
+
+
+def test_weighted_sample_shape_and_weight_bias(spark):
+    from postfix_log_parser_spark.ext.sampling import SAMPLE_K, q62_weighted_sample
+
+    rows = q62_weighted_sample(spark, SF_DIR).collect()
+    assert len(rows) == SAMPLE_K
+    assert sorted(r.sample_rank for r in rows) == list(range(1, SAMPLE_K + 1))
+    assert len({r.doc_id for r in rows}) == SAMPLE_K  # without replacement
+    # n_chars-weighted: the sample must over-represent long documents
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pop_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > pop_mean
+
+
+def test_weighted_sample_stable_under_repartitioning(spark):
+    """The md5-keyed sample is a function of the DATA, not the layout:
+    shuffling the input into a different partitioning yields the
+    identical sample (the property RNG-based sampling lacks)."""
+    from postfix_log_parser_spark.ext.sampling import q62_weighted_sample, weighted_sample
+
+    a = {(r.sample_rank, r.doc_id) for r in q62_weighted_sample(spark, SF_DIR).collect()}
+    shuffled = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .repartition(7, "source")
+        .sortWithinPartitions(F.col("doc_id").desc())
+    )
+    b = {(r.sample_rank, r.doc_id) for r in weighted_sample(shuffled).collect()}
+    assert a == b
