@@ -7,13 +7,15 @@
   joins / windows / top-k / grouping sets / set ops / sessionization /
   as-of / range join / salted skew agg / JSON / approx / pivot /
   unpivot / SCD2 changelog compaction),
-* q20-q37, q46-q48, q52-q53, q58-q60, q62 — LLM-pipeline extensions (dedup
+* q20-q37, q46-q48, q52-q53, q58-q60, q62-q64 — LLM-pipeline extensions (dedup
   exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup /
   connected components / training-mix, ANN brute-force + LSH + IVF +
   product-quantization ADC, text quality / lang-ID / tokens /
   fingerprints / TF-IDF / repetition gate / decontamination / PII
   masking, multimodal, sequence packing, self-verifying approx
-  quantiles, distributed k-means, int8 embedding quantization),
+  quantiles, distributed k-means, int8 embedding quantization,
+  weighted A-ES sampling, char-bigram LM quality gate, table
+  profiling),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "q32_tfidf",
     "q46_repetition_quality",
     "q47_decontamination",
+    "q63_bigram_lm_quality",
+    "q64_table_profile",
     "q52_pack_sequences",
     "q53_approx_quantiles",
     "q61_scd2_user_state",

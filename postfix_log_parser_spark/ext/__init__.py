@@ -14,6 +14,7 @@ from postfix_log_parser_spark.ext.multimodal import (
     MULTIMODAL_QUERIES,
 )
 from postfix_log_parser_spark.ext.packing import PACKING_ORACLES, PACKING_QUERIES
+from postfix_log_parser_spark.ext.profile import PROFILE_ORACLES, PROFILE_QUERIES
 from postfix_log_parser_spark.ext.quantize import QUANTIZE_ORACLES, QUANTIZE_QUERIES
 from postfix_log_parser_spark.ext.sampling import SAMPLING_ORACLES, SAMPLING_QUERIES
 from postfix_log_parser_spark.ext.similarity import (
@@ -34,6 +35,7 @@ EXT_QUERIES = {
     **CLUSTER_QUERIES,
     **QUANTIZE_QUERIES,
     **SAMPLING_QUERIES,
+    **PROFILE_QUERIES,
 }
 
 EXT_ORACLES = {
@@ -45,4 +47,5 @@ EXT_ORACLES = {
     **CLUSTER_ORACLES,
     **QUANTIZE_ORACLES,
     **SAMPLING_ORACLES,
+    **PROFILE_ORACLES,
 }

@@ -409,6 +409,101 @@ FROM tr JOIN ev USING (gram) GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q63 — char-bigram LM quality score (KenLM-style perplexity gate)
+# ---------------------------------------------------------------------------
+
+_LM_V = 37 * 37  # charset [a-z0-9 ] → bigram vocabulary for +1 smoothing
+_LM_GATE = 8.0  # avg NLL threshold for the keep flag
+
+
+def q63_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality gate: train a +1-smoothed char-bigram model
+    on a reference slice (the lexicographically first ``source`` — a
+    deterministic, engine-portable stand-in for a curated corpus), score
+    every document's average negative log-likelihood, and flag documents
+    under the gate.  The model (≤ 37² rows) rides a BROADCAST join onto
+    the exploded bigrams — at 100 TB both the train counts and the score
+    pass are one explode + hash-agg each, no driver state beyond the
+    1-row corpus-size scalar (same bounded-collect shape as a trained
+    model's parameters anywhere).
+
+    Parity notes: text is normalized by collapsing runs of non-[ASCII
+    alnum/space] into ONE space BEFORE lowering — run-collapsing makes
+    the result identical whether the engine sees UTF-16 code units
+    (JVM) or codepoints (DuckDB); ln() runs on identical rationals and
+    the per-doc average rounds to 4 decimals."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    norm = F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]+", " "))
+    # bigrams via zip_with over two slices of the chars array: the HOF
+    # lambda touches only its element vars, so projection collapse can't
+    # inline the regexp into a per-element loop (transform(sequence(...),
+    # i -> substr(norm, i, 2)) re-runs regexp_replace PER BIGRAM after
+    # collapse — O(n²) per document, 6x the whole bench at sf0.1)
+    chars = F.split(F.col("norm"), "")
+    n1 = F.length("norm") - 1
+    bgs = F.zip_with(
+        F.slice(chars, 1, n1), F.slice(chars, 2, n1), lambda a, b: F.concat(a, b)
+    )
+    b = (
+        docs.withColumn("norm", norm)
+        .filter(F.length("norm") >= 2)
+        .withColumn("bgs", bgs)
+        .select("doc_id", "source", "bgs")
+    )
+    ref_source = docs.agg(F.min("source")).collect()[0][0]  # 1-row scalar
+    cnt = (
+        b.filter(F.col("source") == ref_source)
+        .select(F.explode("bgs").alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = cnt.agg(F.sum("c")).collect()[0][0]  # 1-row scalar
+    nll = -F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0)) / F.lit(float(total + _LM_V)))
+    return (
+        b.select("doc_id", F.explode("bgs").alias("bg"))
+        .join(F.broadcast(cnt), "bg", "left")
+        .withColumn("nll", nll)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            (F.avg("nll") < _LM_GATE).alias("keep"),
+        )
+    )
+
+
+_Q63_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         lower(regexp_replace(text, '[^A-Za-z0-9 ]+', ' ', 'g')) AS norm
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         list_transform(range(1, length(norm)), i -> substr(norm, i, 2)) AS bgs
+  FROM d WHERE length(norm) >= 2
+),
+refsrc AS (SELECT min(source) AS s FROM documents),
+cnt AS (
+  SELECT bg, count(*) AS c
+  FROM (SELECT unnest(bgs) AS bg FROM b, refsrc WHERE b.source = refsrc.s)
+  GROUP BY bg
+),
+tot AS (SELECT sum(c) AS total FROM cnt),
+x AS (SELECT doc_id, unnest(bgs) AS bg FROM b),
+scored AS (
+  SELECT x.doc_id,
+         -ln((coalesce(cnt.c, 0) + 1.0) / (tot.total + {_LM_V}.0)) AS nll
+  FROM x LEFT JOIN cnt USING (bg), tot
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(nll), 4) AS avg_nll,
+       (avg(nll) < {_LM_GATE}) AS keep
+FROM scored GROUP BY doc_id
+"""
+
+
 TEXTSTATS_QUERIES = {
     "q27_text_quality": q27_text_quality,
     "q28_lang_id": q28_lang_id,
@@ -417,6 +512,7 @@ TEXTSTATS_QUERIES = {
     "q32_tfidf": q32_tfidf,
     "q46_repetition_quality": q46_repetition_quality,
     "q47_decontamination": q47_decontamination,
+    "q63_bigram_lm_quality": q63_bigram_lm_quality,
 }
 
 TEXTSTATS_ORACLES = {
@@ -427,4 +523,5 @@ TEXTSTATS_ORACLES = {
     "q32_tfidf": _Q32_SQL,
     "q46_repetition_quality": _Q46_SQL,
     "q47_decontamination": _Q47_SQL,
+    "q63_bigram_lm_quality": _Q63_SQL,
 }

@@ -234,3 +234,28 @@ def test_q62_topk_never_global_sorts(spark):
     plan = _final_plan(q62_weighted_sample(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_q63_model_join_is_broadcast(spark):
+    """The bigram-LM score pass joins exploded bigrams against the ≤37²-
+    row model — must broadcast, never sort-merge the exploded corpus."""
+    from postfix_log_parser_spark.ext.textstats import q63_bigram_lm_quality
+
+    plan = _final_plan(q63_bigram_lm_quality(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q64_profile_scans_are_column_pruned(spark):
+    """The profile is one single-column pass per column — each of the 5
+    scans must read exactly its own column (no Expand multi-distinct)."""
+    from postfix_log_parser_spark.ext.profile import PROFILE_COLUMNS, q64_table_profile
+
+    plan = _final_plan(q64_table_profile(spark, SF_DIR))
+    assert "Expand" not in plan  # the multi-count-distinct blow-up
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == len(PROFILE_COLUMNS)
+    for scan in scans:
+        read = scan.split("ReadSchema:")[1]
+        n_cols = read.count(":")  # struct<field:type,...> one colon per field
+        assert n_cols == 1, read

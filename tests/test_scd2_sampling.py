@@ -56,3 +56,50 @@ def test_weighted_sample_stable_under_repartitioning(spark):
     )
     b = {(r.sample_rank, r.doc_id) for r in weighted_sample(shuffled).collect()}
     assert a == b
+
+
+def test_bigram_lm_scores_every_normalizable_doc(spark):
+    from postfix_log_parser_spark.ext.textstats import q63_bigram_lm_quality
+
+    rows = q63_bigram_lm_quality(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_scorable = docs.filter(
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]+", " ")) >= 2
+    ).count()
+    assert len(rows) == n_scorable
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert r.avg_nll > 0
+        assert r.keep == (r.avg_nll < 8.0) or abs(r.avg_nll - 8.0) < 1e-3
+
+
+def test_bigram_lm_model_fits_training_source_best(spark):
+    """The reference-source documents must score (weakly) better than the
+    corpus at large — the model was trained on them."""
+    from postfix_log_parser_spark.ext.textstats import q63_bigram_lm_quality
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref = docs.agg(F.min("source")).collect()[0][0]
+    scored = q63_bigram_lm_quality(spark, SF_DIR).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    means = dict(
+        scored.groupBy(F.col("source") == ref)
+        .agg(F.avg("avg_nll"))
+        .collect()
+    )
+    assert means[True] <= means[False] + 0.1
+
+
+def test_profile_counts_match_table(spark):
+    from postfix_log_parser_spark.ext.profile import q64_table_profile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    rows = {r.col_name: r for r in q64_table_profile(spark, SF_DIR).collect()}
+    assert set(rows) == {"doc_id", "lang", "source", "n_chars", "text"}
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_nulls <= n
+        assert r.n_distinct <= n - r.n_nulls
+    assert rows["doc_id"].n_distinct == n  # primary key
