@@ -3,11 +3,12 @@
 ``entry(spark)`` runs the flagship star-join query on sf0.001.
 ``queries()`` exposes every driver-checked operator query:
 
-* q01-q19, q35, q53, q55-q56, q61 — analytics layer (aggregation /
-  joins / windows / top-k / grouping sets / set ops / sessionization /
-  as-of / range join / salted skew agg / JSON / approx / pivot /
-  unpivot / SCD2 changelog compaction),
-* q20-q37, q46-q48, q52-q53, q58-q60, q62-q64 — LLM-pipeline extensions (dedup
+* q01-q19, q35, q53, q55-q56, q61, q66-q67 — analytics layer
+  (aggregation / joins / windows / top-k / grouping sets / set ops /
+  sessionization / as-of / range join / salted skew agg / JSON /
+  approx / pivot / unpivot / SCD2 changelog compaction / ordered
+  funnel / retention cohorts),
+* q20-q37, q46-q48, q52-q53, q58-q60, q62-q65 — LLM-pipeline extensions (dedup
   exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup /
   connected components / training-mix, ANN brute-force + LSH + IVF +
   product-quantization ADC, text quality / lang-ID / tokens /
@@ -15,7 +16,7 @@
   masking, multimodal, sequence packing, self-verifying approx
   quantiles, distributed k-means, int8 embedding quantization,
   weighted A-ES sampling, char-bigram LM quality gate, table
-  profiling),
+  profiling, grouped OLS regression),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "q16_json_props",
     "q17_asof_signup",
     "q18_range_join",
+    "q66_funnel",
+    "q67_retention_cohorts",
     "q19_skew_salted",
     "q20_dedup_exact",
     "q21_dedup_ngram_jaccard",
@@ -77,6 +79,7 @@ BENCH_QUERIES = [
     "q47_decontamination",
     "q63_bigram_lm_quality",
     "q64_table_profile",
+    "q65_ols_tokens_vs_chars",
     "q52_pack_sequences",
     "q53_approx_quantiles",
     "q61_scd2_user_state",

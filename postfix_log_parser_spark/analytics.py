@@ -882,6 +882,104 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# q66 — ordered funnel analysis (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+def q66_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel over the event stream: first
+    view, first click AFTER that view, first purchase AFTER that click —
+    per user, then one global count.  Both stage timestamps come from
+    windows over the SAME user_id partitioning, so the whole funnel is
+    ONE shuffle (no self-joins — the join formulation shuffles the event
+    table once per stage)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    ev = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    ev = ev.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+        )
+    ).over(w)
+    per_user = (
+        ev.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
+    )
+
+
+_Q66_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_after_click
+"""
+
+
+# ---------------------------------------------------------------------------
+# q67 — retention cohort matrix
+# ---------------------------------------------------------------------------
+
+def q67_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by the day of their first
+    event, crossed with the days they were active.  Two shuffles (first-
+    event agg on user_id; cohort×day agg) plus one equi-join back on
+    user_id — the 100 TB shape with uniform keys."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_day", "day")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+        )
+    )
+
+
+_Q67_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+fst AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, day FROM ev)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       datediff('day', cohort_day, day) AS day_offset,
+       count(*) AS n_active
+FROM active JOIN fst USING (user_id)
+GROUP BY fst.cohort_day, day
+"""
+
+
 ANALYTICS_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -908,6 +1006,8 @@ ANALYTICS_QUERIES = {
     "q55_pivot_segments": q55_pivot_segments,
     "q56_unpivot_metrics": q56_unpivot_metrics,
     "q61_scd2_user_state": q61_scd2_user_state,
+    "q66_funnel": q66_funnel,
+    "q67_retention_cohorts": q67_retention_cohorts,
 }
 
 ANALYTICS_ORACLES = {
@@ -936,4 +1036,6 @@ ANALYTICS_ORACLES = {
     "q55_pivot_segments": _Q55_SQL,
     "q56_unpivot_metrics": _Q56_SQL,
     "q61_scd2_user_state": _Q61_SQL,
+    "q66_funnel": _Q66_SQL,
+    "q67_retention_cohorts": _Q67_SQL,
 }

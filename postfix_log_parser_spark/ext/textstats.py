@@ -504,6 +504,73 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q65 — grouped OLS regression via exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+def q65_ols_tokens_vs_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source least-squares fit of BPE-token count against character
+    count (the tokens-per-byte calibration a data pipeline uses for
+    budget planning).  The whole regression is ONE map-side-partial
+    aggregation of exact INTEGER sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²) — order-independent, so bit-identical across engines and
+    partitionings; slope/intercept/R² derive from the exact sums.  At
+    100 TB this is a single shuffle of 6 longs per group."""
+    docs = _docs(spark, sf_dir)
+    x = F.col("n_chars").cast("long")
+    y = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), F.lit(0))
+    ).cast("long")
+    s = (
+        docs.select("source", x.alias("x"), y.alias("y"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx"), F.col("sy")
+    cov_n = n * F.col("sxy") - sx * sy
+    var_x = n * F.col("sxx") - sx * sx
+    var_y = n * F.col("syy") - sy * sy
+    slope = cov_n / var_x
+    return s.select(
+        "source",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+_Q65_SQL = f"""
+WITH s AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM (
+    SELECT source, n_chars AS x,
+           len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS y
+    FROM documents
+  )
+  GROUP BY source
+)
+SELECT source, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
 TEXTSTATS_QUERIES = {
     "q27_text_quality": q27_text_quality,
     "q28_lang_id": q28_lang_id,
@@ -513,6 +580,7 @@ TEXTSTATS_QUERIES = {
     "q46_repetition_quality": q46_repetition_quality,
     "q47_decontamination": q47_decontamination,
     "q63_bigram_lm_quality": q63_bigram_lm_quality,
+    "q65_ols_tokens_vs_chars": q65_ols_tokens_vs_chars,
 }
 
 TEXTSTATS_ORACLES = {
@@ -524,4 +592,5 @@ TEXTSTATS_ORACLES = {
     "q46_repetition_quality": _Q46_SQL,
     "q47_decontamination": _Q47_SQL,
     "q63_bigram_lm_quality": _Q63_SQL,
+    "q65_ols_tokens_vs_chars": _Q65_SQL,
 }

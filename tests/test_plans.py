@@ -259,3 +259,23 @@ def test_q64_profile_scans_are_column_pruned(spark):
         read = scan.split("ReadSchema:")[1]
         n_cols = read.count(":")  # struct<field:type,...> one colon per field
         assert n_cols == 1, read
+
+
+def test_q66_funnel_single_shuffle(spark):
+    """All three funnel stages ride windows over ONE user_id exchange —
+    a per-stage self-join would shuffle the events table three times."""
+    from postfix_log_parser_spark.analytics import q66_funnel
+
+    plan = _final_plan(q66_funnel(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_q65_regression_is_one_aggregation(spark):
+    """The grouped OLS fit is a single partial+final aggregation of
+    integer sufficient statistics — one shuffle, no second pass."""
+    from postfix_log_parser_spark.ext.textstats import q65_ols_tokens_vs_chars
+
+    plan = _final_plan(q65_ols_tokens_vs_chars(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2

@@ -103,3 +103,32 @@ def test_profile_counts_match_table(spark):
         assert 0 <= r.n_nulls <= n
         assert r.n_distinct <= n - r.n_nulls
     assert rows["doc_id"].n_distinct == n  # primary key
+
+
+def test_funnel_stages_are_monotone(spark):
+    from postfix_log_parser_spark.analytics import q66_funnel
+
+    r = q66_funnel(spark, SF_DIR).collect()[0]
+    assert r.n_users >= r.n_viewed >= r.n_clicked_after_view >= r.n_purchased_after_click
+    assert r.n_purchased_after_click >= 0
+
+
+def test_retention_cohort_offsets_nonnegative_and_complete(spark):
+    from postfix_log_parser_spark.analytics import q67_retention_cohorts
+
+    rows = q67_retention_cohorts(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.day_offset >= 0 for r in rows)
+    # day 0 of every cohort contains the cohort itself (first event day)
+    day0 = {r.cohort_day for r in rows if r.day_offset == 0}
+    assert day0 == {r.cohort_day for r in rows}
+
+
+def test_ols_outputs_are_sane(spark):
+    from postfix_log_parser_spark.ext.textstats import q65_ols_tokens_vs_chars
+
+    rows = q65_ols_tokens_vs_chars(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0 + 1e-9
+        assert r.slope > 0  # more chars -> more tokens, always on this data
