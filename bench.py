@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q58_kmeans",
     "q59_ann_pq",
     "q60_int8_quant",
+    "q68_ann_ivfpq",
     "q34_frame_sample",
     "q35_grouping_sets",
     "q55_pivot_segments",

@@ -71,30 +71,52 @@ def _codebook(emb: DataFrame) -> list[list[list[float]]]:
     ]
 
 
+def _codes_expr(v: Column, cb_lit: Column) -> Column:
+    """PQ encode: argmin codeword per subspace (first-index tie-break)."""
+
+    def per_m(cbm: Column, m: Column) -> Column:
+        sub = F.slice(v, m * SUB + 1, SUB)
+        ds = F.transform(cbm, lambda cw: _sqd(sub, cw))
+        return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+    return F.transform(cb_lit, per_m)
+
+
+def _lut_expr(v: Column, cb_lit: Column) -> Column:
+    """ADC lookup table: query-sub · codeword for every (m, c)."""
+
+    def per_m(cbm: Column, m: Column) -> Column:
+        sub = F.slice(v, m * SUB + 1, SUB)
+        return F.transform(cbm, lambda cw: _dot(sub, cw))
+
+    return F.transform(cb_lit, per_m)
+
+
+def _adc_expr() -> Column:
+    """Σ_m lut[m][code_m] — zip_with keeps the m-ascending fold order
+    the oracle uses."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("lut"), F.col("codes"), lambda l, c: F.element_at(l, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def q59_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-encode the table, ADC-score candidates against broadcast query
     LUTs, exact-cosine rerank columns on the winners."""
     emb = _with_norm(_emb(spark, sf_dir))
     cb_lit = _cb_lit(_codebook(emb))
 
-    # encode: argmin codeword per subspace (first-index tie-break)
     def codes_expr(v: Column) -> Column:
-        def per_m(cbm: Column, m: Column) -> Column:
-            sub = F.slice(v, m * SUB + 1, SUB)
-            ds = F.transform(cbm, lambda cw: _sqd(sub, cw))
-            return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
-
-        return F.transform(cb_lit, per_m)
+        return _codes_expr(v, cb_lit)
 
     codes = emb.select("vec_id", codes_expr(F.col("v")).alias("codes"))
 
-    # query side: LUT of query-sub · codeword, all (m, c)
     def lut_expr(v: Column) -> Column:
-        def per_m(cbm: Column, m: Column) -> Column:
-            sub = F.slice(v, m * SUB + 1, SUB)
-            return F.transform(cbm, lambda cw: _dot(sub, cw))
-
-        return F.transform(cb_lit, per_m)
+        return _lut_expr(v, cb_lit)
 
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"),
@@ -103,15 +125,8 @@ def q59_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         lut_expr(F.col("v")).alias("lut"),
     )
 
-    # ADC: codes-only scoring (the raw vector never enters this join);
-    # zip_with keeps the m-ascending fold order the oracle uses
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("lut"), F.col("codes"), lambda l, c: F.element_at(l, c + 1)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # ADC: codes-only scoring (the raw vector never enters this join)
+    adc = _adc_expr()
     w = Window.partitionBy("qid").orderBy(F.col("adc_raw").desc(), F.col("vec_id"))
     top = (
         codes.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
@@ -254,5 +269,152 @@ SELECT CAST(pos AS INTEGER) AS pos,
 FROM dec GROUP BY pos
 """
 
-QUANTIZE_QUERIES = {"q59_ann_pq": q59_ann_pq, "q60_int8_quant": q60_int8_quant}
-QUANTIZE_ORACLES = {"q59_ann_pq": _Q59_SQL, "q60_int8_quant": _Q60_SQL}
+def q68_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN layout (FAISS's default): the coarse
+    quantizer (q33's 16 cells) prunes candidates to nprobe=2 cells via an
+    EQUI-join on the cell id (partition-prunable at scale, unlike q59's
+    whole-table nested loop), and scoring inside the probed cells touches
+    only the 8-byte PQ codes against the broadcast query LUTs; the exact
+    cosine reranks the top-k winners.  At 100 TB the table is stored
+    partitioned by cell with a codes column — a query reads nprobe/16 of
+    the codes, ~64× smaller than the vectors."""
+    from postfix_log_parser_spark.ext.similarity import _cell_scores
+
+    emb = _with_norm(_emb(spark, sf_dir))
+    cb_lit = _cb_lit(_codebook(emb))
+    base = emb.withColumn("cs", _cell_scores(F.col("v")))
+    cell = (F.array_position(F.col("cs"), F.array_max("cs")) - 1).cast("int")
+    base = base.withColumn("cell", cell)
+
+    cand = base.select(
+        "vec_id", "cell", _codes_expr(F.col("v"), cb_lit).alias("codes")
+    )
+
+    masked = F.transform(
+        F.col("cs"),
+        lambda x, i: F.when(i == F.col("cell"), F.lit(float("-inf"))).otherwise(x),
+    )
+    p2 = (F.array_position(masked, F.array_max(masked)) - 1).cast("int")
+    q = base.filter(F.col("vec_id") % 100 == 0).withColumn("p2", p2)
+    queries = q.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        _lut_expr(F.col("v"), cb_lit).alias("lut"),
+        F.explode(F.array(F.col("cell"), F.col("p2"))).alias("probe_cell"),
+    )
+
+    w = Window.partitionBy("qid").orderBy(F.col("adc_raw").desc(), F.col("vec_id"))
+    top = (
+        cand.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .withColumn("adc_raw", _adc_expr())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOP_K)
+        .select("qid", "rn", "vec_id", "adc_raw", "qv", "qn")
+    )
+    exact = top.join(emb.select("vec_id", "v", "nrm"), "vec_id")
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    return exact.select(
+        "qid",
+        "rn",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.col("adc_raw"), 4).alias("adc_dot"),
+        F.round(cos, 4).alias("cosine"),
+    )
+
+
+def _q68_sql() -> str:
+    from postfix_log_parser_spark.ext.similarity import CENTROIDS
+
+    cents_sql = ", ".join(
+        "[" + ", ".join(repr(x) for x in cent) + "]" for cent in CENTROIDS
+    )
+    score = (
+        "list_transform(cents, c -> "
+        "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * c[i])))"
+    )
+    return f"""
+WITH cfg AS (SELECT [{cents_sql}]::DOUBLE[][] AS cents),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nrm,
+         {score} AS cs
+  FROM e, cfg
+),
+cells AS (
+  SELECT vec_id, v, nrm, cs,
+         CAST(list_position(cs, list_max(cs)) - 1 AS INTEGER) AS cell
+  FROM n
+),
+q0 AS (
+  SELECT vec_id AS qid, v, nrm, cell AS p1,
+         CAST(list_position(cs, list_max(list_transform(range(1, len(cs) + 1),
+              j -> CASE WHEN j - 1 = cell THEN '-infinity'::DOUBLE
+                        ELSE cs[j] END))) - 1 AS INTEGER) AS p2
+  FROM cells WHERE vec_id % 100 = 0
+),
+probes AS (SELECT qid, unnest([p1, p2]) AS probe_cell FROM q0),
+cbv AS (SELECT vec_id AS c, v FROM e WHERE vec_id < {CW}),
+cb AS (
+  SELECT m, c, v[(m - 1) * {SUB} + 1 : (m - 1) * {SUB} + {SUB}] AS sub
+  FROM cbv, unnest(range(1, {M} + 1)) AS t(m)
+),
+enc AS (
+  SELECT e.vec_id, cb.m, cb.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id, cb.m
+           ORDER BY list_sum(list_transform(range(1, {SUB} + 1),
+             i -> (e.v[{_SUBD} + i] - cb.sub[i]) * (e.v[{_SUBD} + i] - cb.sub[i]))),
+             cb.c) AS rn
+  FROM e, cb
+),
+codes AS (SELECT vec_id, m, c AS code FROM enc WHERE rn = 1),
+lut AS (
+  SELECT q0.qid, cb.m, cb.c,
+         list_sum(list_transform(range(1, {SUB} + 1),
+           i -> q0.v[{_SUBD} + i] * cb.sub[i])) AS dp
+  FROM q0, cb
+),
+candpairs AS (
+  SELECT p.qid, c.vec_id
+  FROM probes p JOIN cells c ON c.cell = p.probe_cell AND c.vec_id != p.qid
+),
+adc AS (
+  SELECT cp.qid, cp.vec_id AS neighbor_id,
+         list_sum(list(l.dp ORDER BY l.m)) AS adc_raw
+  FROM candpairs cp
+  JOIN codes cd ON cd.vec_id = cp.vec_id
+  JOIN lut l ON l.qid = cp.qid AND l.m = cd.m AND l.c = cd.code
+  GROUP BY cp.qid, cp.vec_id
+),
+ranked AS (
+  SELECT qid, neighbor_id, adc_raw,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_raw DESC, neighbor_id) AS rn
+  FROM adc
+),
+top AS (SELECT * FROM ranked WHERE rn <= {PQ_TOP_K})
+SELECT t.qid, t.rn, t.neighbor_id,
+       round(t.adc_raw, 4) AS adc_dot,
+       round(list_sum(list_transform(range(1, len(q0.v) + 1),
+               i -> q0.v[i] * b.v[i])) / (q0.nrm * b.nrm), 4) AS cosine
+FROM top t
+JOIN q0 ON q0.qid = t.qid
+JOIN cells b ON b.vec_id = t.neighbor_id
+"""
+
+
+QUANTIZE_QUERIES = {
+    "q59_ann_pq": q59_ann_pq,
+    "q60_int8_quant": q60_int8_quant,
+    "q68_ann_ivfpq": q68_ann_ivfpq,
+}
+QUANTIZE_ORACLES = {
+    "q59_ann_pq": _Q59_SQL,
+    "q60_int8_quant": _Q60_SQL,
+    "q68_ann_ivfpq": _q68_sql(),
+}

@@ -279,3 +279,15 @@ def test_q65_regression_is_one_aggregation(spark):
     plan = _final_plan(q65_ols_tokens_vs_chars(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") == 2
+
+
+def test_q68_ivfpq_candidates_are_equi_join(spark):
+    """IVF-PQ's candidate generation must be a broadcast HASH join on
+    the cell id (partition-prunable at scale) — not q59's nested loop —
+    and scoring must still ride the codes column only."""
+    from postfix_log_parser_spark.ext.quantize import q68_ann_ivfpq
+
+    plan = _final_plan(q68_ann_ivfpq(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # ADC cell join + rerank
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

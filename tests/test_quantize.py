@@ -104,3 +104,27 @@ def test_int8_quant_error_bounded_by_half_step(spark):
         # qmin/qmax/max_abs_err are each rounded to 1e-6 in-query
         assert r.max_abs_err <= step / 2 + 2e-6, r
         assert 0 <= r.avg_abs_err <= r.max_abs_err + 1e-9
+
+
+def test_ivfpq_candidates_subset_of_probed_cells(spark):
+    """Every IVF-PQ neighbor must live in one of its query's two probed
+    cells, and ranks must be dense from 1."""
+    from pyspark.sql import functions as F
+
+    from postfix_log_parser_spark.ext.quantize import PQ_TOP_K, q68_ann_ivfpq
+    from postfix_log_parser_spark.ext.similarity import _cell_scores, _emb
+
+    rows = q68_ann_ivfpq(spark, SF_DIR).collect()
+    emb = _emb(spark, SF_DIR).withColumn("cs", _cell_scores(F.col("v")))
+    cell = (F.array_position(F.col("cs"), F.array_max("cs")) - 1).cast("int")
+    cells = {r.vec_id: r.cell for r in emb.withColumn("cell", cell).select("vec_id", "cell").collect()}
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.qid
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, got in by_q.items():
+        got.sort(key=lambda r: r.rn)
+        assert [r.rn for r in got] == list(range(1, len(got) + 1))
+        assert len(got) <= PQ_TOP_K
+        probed_ok = {cells[r.neighbor_id] for r in got}
+        assert len(probed_ok) <= 2  # at most the two probed cells
