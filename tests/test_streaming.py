@@ -512,3 +512,45 @@ def test_stream_duplicated_sessions_across_batches(spark, tmp_path):
     )
     assert len(s_events) == 2
     assert s_events == b_events
+
+
+def test_stream_restart_without_new_data_is_idempotent(spark, tmp_path):
+    """Exactly-once sink contract: restarting the checkpointed query with
+    NO new input must add nothing to the file sink — no replayed events,
+    no duplicated state output."""
+    from postfix_log_parser_spark.streaming import STREAM_OUT_SCHEMA
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out_dir = tmp_path / "out"
+
+    def run_and_read():
+        folded = sessionize_stream(spark.readStream.text(str(in_dir)))
+        q = (
+            folded.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.schema(STREAM_OUT_SCHEMA).parquet(str(out_dir))
+
+    (in_dir / "01.log").write_text(
+        "\n".join(
+            [
+                _line(0, 1, "AAAAAAAAAAA: from=<a@a.com>, message-id=<m@a>"),
+                _line(0, 2, "AAAAAAAAAAA: to=<x@y.z>, status=sent (250 ok)"),
+                _line(0, 3, "AAAAAAAAAAA: removed"),
+            ]
+        )
+    )
+    first = run_and_read().collect()
+    assert [r["queue_id"] for r in first if r["record_type"] == "event"] == [
+        "AAAAAAAAAAA"
+    ]
+    # restart twice with no new files: byte-identical output set
+    for _ in range(2):
+        again = run_and_read().collect()
+        assert sorted(map(str, again)) == sorted(map(str, first))
