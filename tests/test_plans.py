@@ -236,14 +236,16 @@ def test_q62_topk_never_global_sorts(spark):
     assert "Exchange rangepartitioning" not in plan  # no global sort
 
 
-def test_q63_model_join_is_broadcast(spark):
-    """The bigram-LM score pass joins exploded bigrams against the ≤37²-
-    row model — must broadcast, never sort-merge the exploded corpus."""
+def test_q63_scoring_is_narrow(spark):
+    """The bigram-LM score pass folds each doc's bigrams against the
+    constant-folded ≤37²-entry model map — a pure narrow projection over
+    the scan: no explode-join, no exchange, no shuffle at all."""
     from postfix_log_parser_spark.ext.textstats import q63_bigram_lm_quality
 
     plan = _final_plan(q63_bigram_lm_quality(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode in the scoring pass
 
 
 def test_q64_profile_scans_are_column_pruned(spark):
