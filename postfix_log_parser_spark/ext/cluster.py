@@ -88,6 +88,10 @@ def q58_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = sorted(
         emb.filter(F.col("vec_id") < K).collect(), key=lambda r: r.vec_id
     )  # bounded: K rows
+    if not init:  # empty table → empty summary, not an unresolvable plan
+        return spark.createDataFrame(
+            [], "cluster_id int, n_members long, mean_sq_dist double"
+        )
     cents = [list(r.v) for r in init]
     for it in range(ITERS - 1):
         cents = _update(_assign(emb, cents), cents)

@@ -104,11 +104,17 @@ def _adc_expr() -> Column:
     )
 
 
+_PQ_EMPTY_SCHEMA = "qid long, rn int, neighbor_id long, adc_dot double, cosine double"
+
+
 def q59_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-encode the table, ADC-score candidates against broadcast query
     LUTs, exact-cosine rerank columns on the winners."""
     emb = _with_norm(_emb(spark, sf_dir))
-    cb_lit = _cb_lit(_codebook(emb))
+    cb = _codebook(emb)
+    if not cb[0]:  # empty table → no codebook; empty result, not a crash
+        return spark.createDataFrame([], _PQ_EMPTY_SCHEMA)
+    cb_lit = _cb_lit(cb)
 
     def codes_expr(v: Column) -> Column:
         return _codes_expr(v, cb_lit)
@@ -281,7 +287,10 @@ def q68_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postfix_log_parser_spark.ext.similarity import _cell_scores
 
     emb = _with_norm(_emb(spark, sf_dir))
-    cb_lit = _cb_lit(_codebook(emb))
+    cb = _codebook(emb)
+    if not cb[0]:  # empty table → no codebook; empty result, not a crash
+        return spark.createDataFrame([], _PQ_EMPTY_SCHEMA)
+    cb_lit = _cb_lit(cb)
     base = emb.withColumn("cs", _cell_scores(F.col("v")))
     cell = (F.array_position(F.col("cs"), F.array_max("cs")) - 1).cast("int")
     base = base.withColumn("cell", cell)

@@ -690,6 +690,16 @@ def q57_stream_rollup_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
+        import os as _os
+
+        if not _os.path.exists(mv_path):
+            # zero input batches → foreachBatch never created the table;
+            # an empty source must yield an empty rollup, not a crash
+            return spark.createDataFrame(
+                [],
+                "hour_ts timestamp, event_type string, "
+                "n_events long, sum_value double",
+            )
         mv = spark.read.parquet(mv_path).select(
             "hour_ts",
             "event_type",

@@ -1,0 +1,51 @@
+"""Empty-input totality: every contract query must run against EMPTY
+tables and return an empty (or summary) result — never throw.  At 100 TB
+a pipeline routinely sees empty partitions, empty days, and empty
+sources; a query surface that crashes on zero rows is not deployable.
+
+Queries whose bounded model-collect is data-dependent (k-means init, PQ
+codebook, bigram-LM reference slice, q57's foreachBatch-created table)
+must degrade to an empty frame with their normal schema.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+from postfix_log_parser_spark.analytics import TABLES
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        df.limit(0).write.mode("overwrite").parquet(str(tmp / f"{t}.parquet"))
+    return str(tmp)
+
+
+# aggregate-without-groupBy queries legitimately return one summary row
+# on empty input (SQL semantics: global aggregates always emit)
+_GLOBAL_AGG = {"q64_table_profile", "q66_funnel", "q15_approx_distinct"}
+
+# the parse-pipeline queries run on the EMBEDDED golden log fixtures
+# (their oracle is literal VALUES), not the sf tables — non-empty by
+# design; here we only require they still execute with the empty dir
+_FIXTURE_INPUT = {
+    "q40_log_events",
+    "q41_log_faults",
+    "q42_log_state",
+    "q43_stream_events",
+    "q44_sink_roundtrip",
+    "q45_fused_events",
+    "q48_pii_mask",
+}
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_query_is_total_on_empty_tables(spark, empty_sf_dir, name):
+    fn = entry.queries()[name]
+    out = fn(spark, empty_sf_dir)
+    n = out.count()
+    assert out.columns  # schema survives
+    if name not in _GLOBAL_AGG and name not in _FIXTURE_INPUT:
+        assert n == 0, f"{name} fabricated {n} rows from empty input"
