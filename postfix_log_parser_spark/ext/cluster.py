@@ -76,7 +76,9 @@ def _update(assigned: DataFrame, cents: list[list[float]]) -> list[list[float]]:
     fresh: dict[int, list[float]] = {}
     for r in rows:
         fresh.setdefault(r.cluster, [0.0] * DIM)[r.pos] = r.m
-    return [fresh.get(c, cents[c]) for c in range(K)]
+    # len(cents) may be < K when init rows were null-dropped — the
+    # cluster count follows the actual centroid list, not the constant
+    return [fresh.get(c, cents[c]) for c in range(len(cents))]
 
 
 def q58_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,7 +110,7 @@ _D2 = (
 )
 
 _Q58_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 c0 AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < {K}),
 d1 AS (
   SELECT e.vec_id, e.v, c.c, {_D2} AS d2,

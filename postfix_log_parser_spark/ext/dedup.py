@@ -483,8 +483,10 @@ def q24_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def scan() -> DataFrame:
         # two independent scans (not one aliased lineage) keep the
         # self-cogroup unambiguous; the file reads are the cheap part
-        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        return (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("embedding").isNotNull())  # null vectors poison matmul
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         )
 
     k = N_COS_TILES
@@ -534,6 +536,7 @@ def q24_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q24_SQL = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 n AS (
   SELECT vec_id, v,

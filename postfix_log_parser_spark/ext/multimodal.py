@@ -50,7 +50,7 @@ def to_media_table(docs: DataFrame) -> DataFrame:
     struct.  At scale this is the storage schema for image/audio shards:
     payload stays opaque to the optimizer, metadata columns stay
     filterable/prunable (predicate pushdown works on ``meta.*``)."""
-    return docs.select(
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         "source",
         F.encode(F.col("text"), "UTF-8").alias("content"),
@@ -59,7 +59,7 @@ def to_media_table(docs: DataFrame) -> DataFrame:
             F.col("n_chars").cast("long").alias("n_chars"),
             F.col("lang").alias("lang"),
         ).alias("meta"),
-    )
+    )  # a NULL payload has no bytes to decode — dropped at the source
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -104,7 +104,7 @@ SELECT source, count(*) AS n_items,
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        count(DISTINCT md5(text)) AS n_distinct_digests,
        min(md5(text)) AS min_digest
-FROM documents GROUP BY source
+FROM documents WHERE text IS NOT NULL GROUP BY source
 """
 
 
@@ -244,7 +244,8 @@ def q34_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q34_SQL = f"""
 WITH d AS (
-  SELECT doc_id, source, octet_length(encode(text)) AS n FROM documents
+  SELECT doc_id, source, octet_length(encode(text)) AS n
+  FROM documents WHERE text IS NOT NULL
 ),
 f AS (
   SELECT source, n, unnest(range(0, CAST((n + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS BIGINT))) AS j

@@ -156,7 +156,7 @@ def q59_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBD = "(cb.m - 1) * 8"
 _Q59_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 n AS (
   SELECT vec_id, v,
          sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nrm
@@ -247,7 +247,7 @@ def q60_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q60_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 x AS (
   SELECT vec_id, pos, v[pos] AS x
   FROM e, unnest(range(1, len(v) + 1)) AS t(pos)
@@ -347,7 +347,7 @@ def _q68_sql() -> str:
     )
     return f"""
 WITH cfg AS (SELECT [{cents_sql}]::DOUBLE[][] AS cents),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 n AS (
   SELECT vec_id, v,
          sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nrm,

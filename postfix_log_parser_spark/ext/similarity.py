@@ -45,8 +45,13 @@ def _dot(u: Column, w: Column) -> Column:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    """NULL embeddings are dropped at the scan: no vector operator can
+    use them, and a single null row would poison every driver-collected
+    model (k-means init, PQ codebooks) and the cogroup matmuls."""
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
 
 
@@ -84,7 +89,7 @@ def q25_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q25_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 n AS (SELECT vec_id, v, {_DUCK_NORM} AS nrm FROM e),
 q AS (SELECT vec_id AS qid, v, nrm FROM n WHERE vec_id % 100 = 0),
 scored AS (
@@ -160,7 +165,7 @@ def _q26_sql() -> str:
     )
     return f"""
 WITH p AS (SELECT [{planes_sql}]::DOUBLE[][] AS planes),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 n AS (
   SELECT vec_id, v, {_DUCK_NORM} AS nrm,
          CAST({bucket_terms} AS INTEGER) AS bucket
@@ -271,7 +276,7 @@ def _q33_sql() -> str:
     )
     return f"""
 WITH cfg AS (SELECT [{cents_sql}]::DOUBLE[][] AS cents),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 scored AS (
   SELECT vec_id, v, {_DUCK_NORM} AS nrm, {score} AS cs
   FROM e, cfg
