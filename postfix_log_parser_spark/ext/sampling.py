@@ -54,8 +54,12 @@ def weighted_sample(docs: DataFrame, k: int = SAMPLE_K) -> DataFrame:
 
 
 def q62_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "source", "n_chars"
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # a zero/negative weight has zero selection probability in A-ES —
+        # and would divide ln(u) by zero under ANSI mode
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars")
     )
     return weighted_sample(docs)
 
@@ -65,7 +69,7 @@ WITH d AS (
   SELECT doc_id, source, n_chars,
          ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
             % 1000000000) + 0.5) / 1000000000.0 AS u
-  FROM documents
+  FROM documents WHERE n_chars > 0
 ),
 k AS (SELECT doc_id, source, n_chars, ln(u) / n_chars AS es_key FROM d),
 ranked AS (
