@@ -8,9 +8,9 @@
   sessionization / as-of / range join / salted skew agg / JSON /
   approx / pivot / unpivot / SCD2 changelog compaction / ordered
   funnel / retention cohorts),
-* q20-q37, q46-q48, q52-q53, q58-q60, q62-q65, q68 — LLM-pipeline extensions (dedup
+* q20-q37, q46-q48, q52-q53, q58-q60, q62-q65, q68-q69 — LLM-pipeline extensions (dedup
   exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup /
-  connected components / training-mix, ANN brute-force + LSH + IVF +
+  connected components / incremental-vs-index / training-mix, ANN brute-force + LSH + IVF +
   product-quantization ADC + IVF-PQ, text quality / lang-ID / tokens /
   fingerprints / TF-IDF / repetition gate / decontamination / PII
   masking, multimodal, sequence packing, self-verifying approx

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q23_dedup_simhash",
     "q24_embed_neardup",
     "q36_dedup_components",
+    "q69_incremental_dedup",
     "q37_training_mix",
     "q25_ann_bruteforce",
     "q26_ann_lsh",

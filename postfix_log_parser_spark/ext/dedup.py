@@ -264,22 +264,10 @@ WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 3) >= 0.3
 # q22 — MinHash + banded LSH near-dup
 # ---------------------------------------------------------------------------
 
-def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 md5-derived permutations), 4 bands × 2 rows;
-    candidate pairs from band-key equi-joins, verified with exact Jaccard
-    >= 0.5 on the full shingle sets.
-
-    Scale shape: signature computation is one shuffle (explode shingles →
-    groupBy doc, min per permutation); candidate generation is an
-    equi-join on (band_idx, band_key) — output-proportional, never
-    all-pairs.  False negatives are a property of the (deterministic)
-    hash family, identical in the oracle."""
-    docs = _augmented(spark, sf_dir)
-    # shingle sets feed the signature explode AND both verify-join sides —
-    # materialize once (at scale: a checkpoint table)
-    with_sh = docs.select(
-        "doc_id", shingles3_udf(F.col("text")).alias("shingles")
-    ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+def _minhash_bands(with_sh: DataFrame) -> DataFrame:
+    """(doc_id, shingles) → (doc_id, band_idx, band_key): 8 md5-derived
+    minhash permutations, 4 bands × 2 rows, band key = md5 of the band's
+    signature slice.  One shuffle (explode → groupBy doc)."""
     exploded = with_sh.select("doc_id", F.explode("shingles").alias("sh"))
     sig = exploded.groupBy("doc_id").agg(
         *[
@@ -299,13 +287,47 @@ def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"b{b}")
         for b in range(N_BANDS)
     ]
-    banded = sig.select("doc_id", *[F.col(f"h{i}") for i in range(N_MINHASH)], *band_keys)
-    bands = banded.select(
+    banded = sig.select("doc_id", *band_keys)
+    return banded.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
             "band_idx", "band_key"
         ),
     )
+
+
+def _jaccard_verified(cand: DataFrame, with_sh: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b) candidates → exact-Jaccard-verified pairs ≥ threshold."""
+    sh_a = with_sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = with_sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jacc = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(jacc, 3))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5-derived permutations), 4 bands × 2 rows;
+    candidate pairs from band-key equi-joins, verified with exact Jaccard
+    >= 0.5 on the full shingle sets.
+
+    Scale shape: signature computation is one shuffle (explode shingles →
+    groupBy doc, min per permutation); candidate generation is an
+    equi-join on (band_idx, band_key) — output-proportional, never
+    all-pairs.  False negatives are a property of the (deterministic)
+    hash family, identical in the oracle."""
+    docs = _augmented(spark, sf_dir)
+    # shingle sets feed the signature explode AND both verify-join sides —
+    # materialize once (at scale: a checkpoint table)
+    with_sh = docs.select(
+        "doc_id", shingles3_udf(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _minhash_bands(with_sh)
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -318,17 +340,7 @@ def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     )
-    sh_a = with_sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = with_sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jacc = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
-    return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", F.round(jacc, 3))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_verified(cand, with_sh, 0.5)
 
 
 def _q22_sql() -> str:
@@ -380,6 +392,59 @@ WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
             (len(a.shingles) + len(b.shingles)
              - len(list_intersect(a.shingles, b.shingles))), 3) >= 0.5
 """
+
+
+# ---------------------------------------------------------------------------
+# q69 — incremental dedup: new batch vs existing LSH index
+# ---------------------------------------------------------------------------
+
+def q69_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPERATIONAL dedup mode at 100 TB: a daily ingest batch is
+    checked against the existing corpus's persisted LSH band index —
+    never re-deduping the whole corpus.  Here the augmented corpus's
+    perturbed copies (doc_id ≥ 100000) play the new batch; the originals
+    are the index.  Candidates come from the asymmetric equi-join of
+    new-batch band keys against index band keys (at scale the index side
+    is a bucketed table partitioned by band_key, and the small new batch
+    broadcasts — the scan reads only the matching buckets), then exact
+    Jaccard ≥ 0.5 verifies.  Output: (new doc, matched index doc,
+    jaccard)."""
+    docs = _augmented(spark, sf_dir)
+    with_sh = docs.select(
+        "doc_id", shingles3_udf(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _minhash_bands(with_sh)
+    new_b = bands.filter(F.col("doc_id") >= 100000).alias("x")
+    idx_b = bands.filter(F.col("doc_id") < 100000).alias("y")
+    cand = (
+        new_b.join(
+            idx_b,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return _jaccard_verified(cand, with_sh, 0.5).select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("index_id"),
+        "jaccard",
+    )
+
+
+def _q69_sql() -> str:
+    base = _q22_sql()
+    return base.replace(
+        """  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id""",
+        """  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id >= 100000 AND y.doc_id < 100000""",
+    ).replace(
+        "SELECT id_a, id_b,",
+        "SELECT id_a AS new_id, id_b AS index_id,",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -715,6 +780,7 @@ DEDUP_QUERIES = {
     "q20_dedup_exact": q20_dedup_exact,
     "q21_dedup_ngram_jaccard": q21_dedup_ngram_jaccard,
     "q22_dedup_minhash_lsh": q22_dedup_minhash_lsh,
+    "q69_incremental_dedup": q69_incremental_dedup,
     "q23_dedup_simhash": q23_dedup_simhash,
     "q24_embed_neardup": q24_embed_neardup,
     "q36_dedup_components": q36_dedup_components,
@@ -725,6 +791,7 @@ DEDUP_ORACLES = {
     "q20_dedup_exact": _Q20_SQL,
     "q21_dedup_ngram_jaccard": _Q21_SQL,
     "q22_dedup_minhash_lsh": _q22_sql(),
+    "q69_incremental_dedup": _q69_sql(),
     "q23_dedup_simhash": _q23_sql(),
     "q24_embed_neardup": _Q24_SQL,
     "q36_dedup_components": _q36_sql(),

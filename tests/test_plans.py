@@ -293,3 +293,15 @@ def test_q68_ivfpq_candidates_are_equi_join(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # ADC cell join + rerank
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q69_incremental_join_no_cartesian(spark):
+    """Incremental dedup's candidate generation is the band-key equi-join
+    of new batch against index — no cartesian, no sort-merge explosion;
+    the shared shingle materialization is reused across signature and
+    verify consumers."""
+    from postfix_log_parser_spark.ext.dedup import q69_incremental_dedup
+
+    plan = _final_plan(q69_incremental_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # persisted shingles reused

@@ -132,3 +132,18 @@ def test_ols_outputs_are_sane(spark):
     for r in rows:
         assert 0.0 <= r.r2 <= 1.0 + 1e-9
         assert r.slope > 0  # more chars -> more tokens, always on this data
+
+
+def test_incremental_dedup_matches_are_new_vs_index(spark):
+    """Every match pairs a new-batch doc (id >= 100000) with an index doc,
+    and each perturbed copy finds its own original when LSH recalls it."""
+    from postfix_log_parser_spark.ext.dedup import q69_incremental_dedup
+
+    rows = q69_incremental_dedup(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.new_id >= 100000 and r.index_id < 100000
+        assert 0.0 <= r.jaccard <= 1.0
+    # self-match recall: most perturbed copies should hit their original
+    self_matches = [r for r in rows if r.new_id - 100000 == r.index_id]
+    assert len(self_matches) >= len({r.new_id for r in rows}) * 0.8
