@@ -1,0 +1,123 @@
+"""Seeded differential fuzz for the r6 analytics/curation operators.
+
+The driver contract compares Spark vs DuckDB on the FIXED testdata; this
+suite replays the same comparison on randomized small tables engineered
+to hit what the fixed data cannot: duplicate timestamps within and
+across users (q61's (ts, event_id) tie-break), funnel events landing
+EXACTLY on a prior stage's timestamp (q66's strict ``>``), multi-day
+cohorts (q67), zero/short texts and duplicate weights (q62/q64/q65).
+
+Comparison protocol mirrors ``tools/check_contract.py``: row count,
+sorted column names, order-insensitive values with floats at 9
+significant digits.
+"""
+
+import datetime
+import math
+import random
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+FUZZED = [
+    "q61_scd2_user_state",
+    "q66_funnel",
+    "q67_retention_cohorts",
+    "q62_weighted_sample",
+    "q64_table_profile",
+    "q65_ols_tokens_vs_chars",
+]
+
+_TYPES = ["view", "click", "purchase", "signup", "error"]
+_WORDS = "the quick brown fox jumps over a lazy dog and runs far away".split()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def _gen_tables(spark, rng, out_dir):
+    base = datetime.datetime(2024, 3, 1)
+    # events: heavy timestamp collisions, incl. duplicate (user, ts) pairs
+    ts_pool = [
+        base + datetime.timedelta(minutes=rng.randrange(0, 60 * 24 * 4))
+        for _ in range(40)
+    ]
+    ev = []
+    for eid in range(250):
+        user = rng.randrange(0, 18)
+        ts = rng.choice(ts_pool)
+        ev.append(
+            (
+                eid,
+                ts,
+                user,
+                rng.choice(_TYPES),
+                round(rng.uniform(0, 50), 2),
+                '{"k": %d}' % rng.randrange(100),
+            )
+        )
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    docs = []
+    for did in range(60):
+        n_words = rng.choice([0, 1, 2, 5, 30, 80])
+        text = " ".join(rng.choice(_WORDS) for _ in range(n_words))
+        docs.append(
+            (
+                did,
+                text,
+                rng.choice(["en", "de"]),
+                rng.choice(["web", "news", "wiki"]),
+                len(text),
+            )
+        )
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+@pytest.mark.parametrize("seed", [7, 23, 51])
+@pytest.mark.parametrize("name", FUZZED)
+def test_fuzz_differential(spark, tmp_path, name, seed):
+    rng = random.Random(seed)
+    sf_dir = str(tmp_path / f"fuzz_{seed}")
+    _gen_tables(spark, rng, sf_dir)
+
+    got = entry.queries()[name](spark, sf_dir)
+    got_rows = got.collect()
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        # Spark writes a parquet DIRECTORY; glob its part files
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
+    oracle = con.sql(entry.oracle_sql()[name])
+    o_cols = [c.lower() for c in oracle.columns]
+    o_rows = oracle.fetchall()
+
+    g_cols = [c.lower() for c in got.columns]
+    assert sorted(g_cols) == sorted(o_cols), (name, g_cols, o_cols)
+    assert len(got_rows) == len(o_rows), (name, len(got_rows), len(o_rows))
+    assert _norm_rows(g_cols, [tuple(r) for r in got_rows]) == _norm_rows(
+        o_cols, o_rows
+    ), name
