@@ -22,12 +22,37 @@ import pytest
 import __spark_entry__ as entry
 
 FUZZED = [
+    # r6 analytics
     "q61_scd2_user_state",
     "q66_funnel",
     "q67_retention_cohorts",
     "q62_weighted_sample",
     "q64_table_profile",
     "q65_ols_tokens_vs_chars",
+    # dedup family (random corpora rarely near-dup — both engines must
+    # agree on exactly WHICH pairs survive, including none)
+    "q20_dedup_exact",
+    "q21_dedup_ngram_jaccard",
+    "q22_dedup_minhash_lsh",
+    "q23_dedup_simhash",
+    "q69_incremental_dedup",
+    "q37_training_mix",
+    # text family
+    "q27_text_quality",
+    "q28_lang_id",
+    "q29_token_stats",
+    "q30_fingerprint",
+    "q46_repetition_quality",
+    "q47_decontamination",
+    "q63_bigram_lm_quality",
+    # vector family (random embeddings)
+    "q25_ann_bruteforce",
+    "q26_ann_lsh",
+    "q33_ann_ivf",
+    "q58_kmeans",
+    "q59_ann_pq",
+    "q60_int8_quant",
+    "q68_ann_ivfpq",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -93,6 +118,20 @@ def _gen_tables(spark, rng, out_dir):
         docs, "doc_id long, text string, lang string, source string, n_chars long"
     ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
+    # embeddings: 40 vectors, 64 dims, float32 (values exactly
+    # representable so float→double casts agree across engines)
+    embs = [
+        (
+            vid,
+            [round(rng.uniform(-1, 1), 3) for _ in range(64)],
+            rng.randrange(4),
+        )
+        for vid in range(40)
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
 
 @pytest.mark.parametrize("seed", [7, 23, 51])
 @pytest.mark.parametrize("name", FUZZED)
@@ -105,7 +144,7 @@ def test_fuzz_differential(spark, tmp_path, name, seed):
     got_rows = got.collect()
 
     con = duckdb.connect()
-    for t in ("events", "documents"):
+    for t in ("events", "documents", "embeddings"):
         # Spark writes a parquet DIRECTORY; glob its part files
         con.sql(
             f"CREATE OR REPLACE VIEW {t} AS "
