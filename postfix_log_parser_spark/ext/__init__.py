@@ -9,6 +9,7 @@ on the scale path, no collect loops).
 
 from postfix_log_parser_spark.ext.cluster import CLUSTER_ORACLES, CLUSTER_QUERIES
 from postfix_log_parser_spark.ext.dedup import DEDUP_ORACLES, DEDUP_QUERIES
+from postfix_log_parser_spark.ext.graph import GRAPH_ORACLES, GRAPH_QUERIES
 from postfix_log_parser_spark.ext.multimodal import (
     MULTIMODAL_ORACLES,
     MULTIMODAL_QUERIES,
@@ -17,6 +18,10 @@ from postfix_log_parser_spark.ext.packing import PACKING_ORACLES, PACKING_QUERIE
 from postfix_log_parser_spark.ext.profile import PROFILE_ORACLES, PROFILE_QUERIES
 from postfix_log_parser_spark.ext.quantize import QUANTIZE_ORACLES, QUANTIZE_QUERIES
 from postfix_log_parser_spark.ext.sampling import SAMPLING_ORACLES, SAMPLING_QUERIES
+from postfix_log_parser_spark.ext.sketches import (
+    SKETCHES_ORACLES,
+    SKETCHES_QUERIES,
+)
 from postfix_log_parser_spark.ext.similarity import (
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
@@ -24,6 +29,10 @@ from postfix_log_parser_spark.ext.similarity import (
 from postfix_log_parser_spark.ext.textstats import (
     TEXTSTATS_ORACLES,
     TEXTSTATS_QUERIES,
+)
+from postfix_log_parser_spark.ext.timeseries import (
+    TIMESERIES_ORACLES,
+    TIMESERIES_QUERIES,
 )
 
 EXT_QUERIES = {
@@ -36,6 +45,9 @@ EXT_QUERIES = {
     **QUANTIZE_QUERIES,
     **SAMPLING_QUERIES,
     **PROFILE_QUERIES,
+    **TIMESERIES_QUERIES,
+    **SKETCHES_QUERIES,
+    **GRAPH_QUERIES,
 }
 
 EXT_ORACLES = {
@@ -48,4 +60,7 @@ EXT_ORACLES = {
     **QUANTIZE_ORACLES,
     **SAMPLING_ORACLES,
     **PROFILE_ORACLES,
+    **TIMESERIES_ORACLES,
+    **SKETCHES_ORACLES,
+    **GRAPH_ORACLES,
 }

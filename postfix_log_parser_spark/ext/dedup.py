@@ -729,9 +729,14 @@ def q37_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != F.lit(""))
     n_words = F.size("words")
-    avg_wlen = F.aggregate(
-        F.transform(F.col("words"), F.length), F.lit(0), lambda a, x: a + x
-    ) / n_words
+    # try_divide: zero-word doc → NULL avg_wlen → NULL filter → dropped,
+    # matching the DuckDB oracle's divide-by-zero-is-NULL semantics
+    avg_wlen = F.try_divide(
+        F.aggregate(
+            F.transform(F.col("words"), F.length), F.lit(0), lambda a, x: a + x
+        ),
+        n_words,
+    )
     gated = (
         canon.withColumn("words", words)
         .filter((n_words >= 20) & (avg_wlen <= 12.0))
@@ -776,6 +781,114 @@ FROM picked GROUP BY source, lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q74 — passage-level (chunk) dedup: sub-document boilerplate detection
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 8
+
+
+def q74_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup: split each document into consecutive 8-word
+    passages, hash each, and flag documents whose passages recur in other
+    documents (the CCNet/RefinedWeb-style sub-document dedup that exact
+    or near-dup misses: a unique page wrapping a boilerplate footer).
+
+    Output: (doc_id, n_chunks, n_dup_chunks, dup_frac, keep) for every
+    doc with ≥1 full chunk; keep = dup_frac ≤ 0.5.
+
+    Scale shape: one narrow chunk explode (output-proportional: ~n_words/8
+    rows per doc), one hash aggregate on chunk_key with map-side partials
+    to find cross-doc chunks, one broadcast-able semi-join back.  Never
+    all-pairs; the chunk-key shuffle is uniform (md5 keys).
+    """
+    docs = _load_docs(spark, sf_dir).select(
+        "doc_id", words_of(F.col("text")).alias("words")
+    )
+    n_full = F.floor(F.size("words") / CHUNK_WORDS)
+    chunks = (
+        docs.filter(F.size("words") >= CHUNK_WORDS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_full - 1),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.col("words"),
+                                i * CHUNK_WORDS + 1,
+                                CHUNK_WORDS,
+                            ),
+                        )
+                    ),
+                )
+            ).alias("ck"),
+        )
+    )
+    # chunks seen in ≥2 distinct docs; small relative to the corpus, so
+    # the join back is broadcast-able at scale
+    dup_keys = (
+        chunks.groupBy("ck")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ck")
+    )
+    marked = chunks.join(
+        F.broadcast(dup_keys.withColumn("dup", F.lit(1))), "ck", "left"
+    )
+    dup_frac = F.round(
+        F.col("n_dup_chunks") / F.col("n_chunks"), 4
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            dup_frac.alias("dup_frac"),
+            (dup_frac <= 0.5).alias("keep"),
+        )
+    )
+
+
+_Q74_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+),
+idx AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, len(words) // {CHUNK_WORDS} - 1)) AS i
+  FROM d WHERE len(words) >= {CHUNK_WORDS}
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_slice(words, i * {CHUNK_WORDS} + 1, (i + 1) * {CHUNK_WORDS}),
+             ' ')) AS ck
+  FROM idx
+),
+dup_keys AS (
+  SELECT ck FROM chunks GROUP BY ck HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT c.doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN dk.ck IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_chunks
+  FROM chunks c LEFT JOIN dup_keys dk ON c.ck = dk.ck
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_chunks, n_dup_chunks,
+       round(n_dup_chunks::DOUBLE / n_chunks, 4) AS dup_frac,
+       round(n_dup_chunks::DOUBLE / n_chunks, 4) <= 0.5 AS keep
+FROM per_doc
+"""
+
+
 DEDUP_QUERIES = {
     "q20_dedup_exact": q20_dedup_exact,
     "q21_dedup_ngram_jaccard": q21_dedup_ngram_jaccard,
@@ -785,6 +898,7 @@ DEDUP_QUERIES = {
     "q24_embed_neardup": q24_embed_neardup,
     "q36_dedup_components": q36_dedup_components,
     "q37_training_mix": q37_training_mix,
+    "q74_passage_dedup": q74_passage_dedup,
 }
 
 DEDUP_ORACLES = {
@@ -796,4 +910,5 @@ DEDUP_ORACLES = {
     "q24_embed_neardup": _Q24_SQL,
     "q36_dedup_components": _q36_sql(),
     "q37_training_mix": _Q37_SQL,
+    "q74_passage_dedup": _Q74_SQL,
 }

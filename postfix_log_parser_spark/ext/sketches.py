@@ -1,0 +1,162 @@
+"""Sketch-based approximate aggregation — count-min sketch heavy hitters.
+
+The reference's ClickHouse half exposes approximate aggregation through
+combinators (``uniq``/``topK`` over the events MergeTree,
+``lognormalizer/parse.py:27-54``); q15 already covers the distinct-count
+sketch (HLL via ``approx_count_distinct``).  This module adds the
+frequency sketch: a count-min sketch (Cormode & Muthukrishnan 2005)
+built entirely with Catalyst aggregates.
+
+Scale notes (100 TB):
+
+* The sketch build explodes each row into ``d`` (row, bucket) pairs and
+  hash-aggregates on (row, bucket).  Cardinality of the agg key space is
+  ``d × w`` (4 × 512 = 2048), so map-side partial aggregation collapses
+  every input partition to ≤2048 rows before the exchange — shuffle
+  volume is O(d·w·partitions), independent of input rows or key
+  cardinality.  That is the entire point of the sketch on a cluster:
+  counters travel, keys don't.
+* The finished sketch (≤2048 rows) is broadcast back to score candidate
+  keys — no second big-side shuffle.
+* The query is self-verifying the same way q15 is: it carries the exact
+  count next to the estimate and a ``within_bound`` flag for the CMS
+  guarantee est ≤ exact + ⌈e·N/w⌉ (the md5-derived hashes are shared
+  bit-for-bit with the DuckDB oracle, so estimates match exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from postfix_log_parser_spark.analytics import load
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+TOP_K = 20
+# e/w error factor: est <= exact + ceil(E * N / CMS_WIDTH) w.p. 1 - e^-d
+_E = 2.718281828459045
+
+
+def _bucket(i: int, key) -> F.Column:
+    """Portable md5-derived CMS bucket, shared with the DuckDB oracle."""
+    s = F.concat(F.lit(f"{i}|"), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def q71_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by count-min-sketch estimate over ``events``.
+
+    Output: (user_id, est_count, exact_count, within_bound) — exact is
+    carried for verification only; on a real corpus where per-key exact
+    counts are unaffordable, the sketch columns are the product.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id")
+    pairs = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _bucket(i, F.col("user_id")).alias("bucket"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "p.i", "p.bucket")
+    # ≤ d×w rows after the map-side partial agg collapses each partition
+    counters = pairs.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+    total = ev.agg(F.count("*").alias("n"))
+
+    keys = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    key_buckets = keys.select(
+        "user_id",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _bucket(i, F.col("user_id")).alias("bucket"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "exact_count", "p.i", "p.bucket")
+    est = (
+        key_buckets.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    ranked = est.join(F.broadcast(total)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("est_count"), F.asc("user_id"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") <= TOP_K)
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (
+                F.col("est_count")
+                <= F.col("exact_count")
+                + F.ceil(F.lit(_E) * F.col("n") / F.lit(CMS_WIDTH))
+            ).alias("within_bound"),
+        )
+    )
+
+
+_Q71_SQL = f"""
+WITH ev AS (SELECT user_id FROM events),
+tot AS (SELECT count(*) AS n FROM ev),
+rows_i AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS i),
+pairs AS (
+  SELECT user_id, i,
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' ||
+               CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM ev CROSS JOIN rows_i
+),
+counters AS (SELECT i, bucket, count(*) AS c FROM pairs GROUP BY 1, 2),
+keys AS (SELECT user_id, count(*) AS exact_count FROM ev GROUP BY 1),
+key_buckets AS (
+  SELECT user_id, exact_count, i,
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' ||
+               CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM keys CROSS JOIN rows_i
+),
+est AS (
+  SELECT kb.user_id, kb.exact_count, min(c.c) AS est_count
+  FROM key_buckets kb JOIN counters c USING (i, bucket)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY est_count DESC, user_id) AS rn
+  FROM est
+)
+SELECT user_id, est_count, exact_count,
+       est_count <= exact_count
+         + CAST(ceil({_E} * (SELECT n FROM tot) / {CMS_WIDTH}) AS BIGINT)
+         AS within_bound
+FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+SKETCHES_QUERIES = {
+    "q71_heavy_hitters_cms": q71_heavy_hitters_cms,
+}
+
+SKETCHES_ORACLES = {
+    "q71_heavy_hitters_cms": _Q71_SQL,
+}

@@ -58,11 +58,13 @@ def q27_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    stop_ratio = _count_in(F.col("words"), STOPWORDS) / n_words
+    # try_divide: a zero-word doc yields NULL ratios (exactly DuckDB's
+    # divide-by-zero semantics), which avg() then skips on both engines
+    stop_ratio = F.try_divide(_count_in(F.col("words"), STOPWORDS), n_words)
     per_doc = docs.select(
         "lang",
         n_words.alias("n_words"),
-        (word_chars / n_words).alias("avg_word_len"),
+        F.try_divide(word_chars, n_words).alias("avg_word_len"),
         stop_ratio.alias("stop_ratio"),
         F.length("text").alias("n_chars"),
     )
@@ -447,7 +449,11 @@ def q63_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # i -> substr(norm, i, 2)) re-runs regexp_replace PER BIGRAM after
     # collapse — O(n²) per document, 6x the whole bench at sf0.1)
     chars = F.split(F.col("norm"), "")
-    n1 = F.length("norm") - 1
+    # greatest(…, 0): rows with empty norm are filtered below, but codegen
+    # may evaluate this expression inside a reordered predicate first —
+    # slice() with a negative length throws, so the expression must be
+    # total on every input row (fuzz: zero-word documents)
+    n1 = F.greatest(F.length("norm") - 1, F.lit(0))
     bgs = F.zip_with(
         F.slice(chars, 1, n1), F.slice(chars, 2, n1), lambda a, b: F.concat(a, b)
     )
@@ -484,7 +490,8 @@ def q63_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     n_bg = F.size("bgs")
-    avg_nll = nll_sum / n_bg
+    # try_divide for the same reorder-safety; survivors have n_bg >= 1
+    avg_nll = F.try_divide(nll_sum, n_bg)
     return b.select(
         "doc_id",
         n_bg.cast("long").alias("n_bigrams"),
