@@ -980,6 +980,51 @@ GROUP BY fst.cohort_day, day
 """
 
 
+# ---------------------------------------------------------------------------
+# q72 — semi-join with runtime bloom-filter pruning
+# ---------------------------------------------------------------------------
+
+def q72_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag for lineitems whose order is URGENT —
+    a selective dim-side filter feeding a fact-side semi-join, the shape
+    Spark's runtime bloom filter exists for.
+
+    At 100 TB the optimizer injects a bloom filter built from the
+    filtered orders keys into the lineitem scan
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default;
+    its creation/application size thresholds are met at real scale, so
+    most lineitem rows are dropped AT THE SCAN before the shuffle).
+    ``tests/test_plans.py`` lowers the thresholds and pins the
+    ``bloom_filter_might_contain`` injection on this exact query; at
+    local scale the plan falls back to the plain shuffled semi-join.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    return (
+        li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"], "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+_Q72_SQL = """
+SELECT l_returnflag, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
 ANALYTICS_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1008,6 +1053,7 @@ ANALYTICS_QUERIES = {
     "q61_scd2_user_state": q61_scd2_user_state,
     "q66_funnel": q66_funnel,
     "q67_retention_cohorts": q67_retention_cohorts,
+    "q72_bloom_semijoin": q72_bloom_semijoin,
 }
 
 ANALYTICS_ORACLES = {
@@ -1038,4 +1084,5 @@ ANALYTICS_ORACLES = {
     "q61_scd2_user_state": _Q61_SQL,
     "q66_funnel": _Q66_SQL,
     "q67_retention_cohorts": _Q67_SQL,
+    "q72_bloom_semijoin": _Q72_SQL,
 }

@@ -9,6 +9,8 @@ on the scale path, no collect loops).
 
 from postfix_log_parser_spark.ext.cluster import CLUSTER_ORACLES, CLUSTER_QUERIES
 from postfix_log_parser_spark.ext.dedup import DEDUP_ORACLES, DEDUP_QUERIES
+from postfix_log_parser_spark.ext.entity import ENTITY_ORACLES, ENTITY_QUERIES
+from postfix_log_parser_spark.ext.formats import FORMATS_ORACLES, FORMATS_QUERIES
 from postfix_log_parser_spark.ext.graph import GRAPH_ORACLES, GRAPH_QUERIES
 from postfix_log_parser_spark.ext.multimodal import (
     MULTIMODAL_ORACLES,
@@ -48,6 +50,8 @@ EXT_QUERIES = {
     **TIMESERIES_QUERIES,
     **SKETCHES_QUERIES,
     **GRAPH_QUERIES,
+    **ENTITY_QUERIES,
+    **FORMATS_QUERIES,
 }
 
 EXT_ORACLES = {
@@ -63,4 +67,6 @@ EXT_ORACLES = {
     **TIMESERIES_ORACLES,
     **SKETCHES_ORACLES,
     **GRAPH_ORACLES,
+    **ENTITY_ORACLES,
+    **FORMATS_ORACLES,
 }

@@ -806,27 +806,23 @@ def q74_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", words_of(F.col("text")).alias("words")
     )
     n_full = F.floor(F.size("words") / CHUNK_WORDS)
-    chunks = (
-        docs.filter(F.size("words") >= CHUNK_WORDS)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_full - 1),
-                    lambda i: F.md5(
-                        F.concat_ws(
-                            " ",
-                            F.slice(
-                                F.col("words"),
-                                i * CHUNK_WORDS + 1,
-                                CHUNK_WORDS,
-                            ),
-                        )
-                    ),
+    # the when() keeps sequence() unevaluated on <8-word (or null-text)
+    # rows: sequence(0, -1) would count DOWN and feed slice() negative
+    # offsets (adversarial/null corpora; same lazy-If guard as
+    # shingles_of)
+    chunk_hashes = F.when(
+        F.size("words") >= CHUNK_WORDS,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(F.col("words"), i * CHUNK_WORDS + 1, CHUNK_WORDS),
                 )
-            ).alias("ck"),
-        )
-    )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = docs.select("doc_id", F.explode(chunk_hashes).alias("ck"))
     # chunks seen in ≥2 distinct docs; small relative to the corpus, so
     # the join back is broadcast-able at scale
     dup_keys = (

@@ -53,6 +53,12 @@ def q73_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_nodes = nodes.count()  # node-type cardinality: tiny, loop constant
+    if n_nodes == 0:
+        # empty-input totality: no edges → empty ranks with the schema
+        return nodes.select(
+            F.col("node").alias("event_type"),
+            F.lit(0.0).alias("pagerank"),
+        )
     out_w = edges.groupBy("src").agg(F.sum("wgt").alias("outw"))
     edges_n = edges.join(out_w, "src").select(
         "src", "dst", (F.col("wgt") / F.col("outw")).alias("frac")

@@ -37,6 +37,13 @@ FUZZED = [
     "q23_dedup_simhash",
     "q69_incremental_dedup",
     "q37_training_mix",
+    "q74_passage_dedup",
+    # r6-continuation additions over the fuzz tables
+    "q70_gapfill_hourly",
+    "q71_heavy_hitters_cms",
+    "q73_pagerank_transitions",
+    "q78_jsonl_roundtrip",
+    "q79_csv_roundtrip",
     # text family
     "q27_text_quality",
     "q28_lang_id",

@@ -305,3 +305,101 @@ def test_q69_incremental_join_no_cartesian(spark):
     plan = _final_plan(q69_incremental_dedup(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # persisted shingles reused
+
+
+def test_q72_bloom_filter_injected(spark):
+    """With the runtime bloom filter enabled and its size thresholds met
+    (at 100 TB they are; here we lower them), the optimizer must inject a
+    bloom_filter_might_contain probe from the filtered orders keys into
+    the lineitem side of the semi-join — dropping fact rows at the scan,
+    before the shuffle."""
+    from postfix_log_parser_spark.analytics import q72_bloom_semijoin
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force the semi-join onto the shuffle path (broadcast joins don't
+        # need a runtime filter — at 100 TB the urgent-orders key set
+        # outgrows the broadcast threshold, which is the scenario pinned)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = q72_bloom_semijoin(spark, SF_DIR)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt and "bloom_filter_agg" in opt
+        df.collect()  # the filtered plan still executes
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_q70_grid_is_generated_after_aggregation(spark):
+    """The dense hourly grid must be exploded from the per-user [min,max]
+    AGGREGATE (one row per user), never joined against a global calendar
+    — and the forward-fill window must be key-partitioned."""
+    from postfix_log_parser_spark.ext.timeseries import q70_gapfill_hourly
+
+    plan = _plan(q70_gapfill_hourly(spark, SF_DIR))
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    gen = next(ln for ln in plan.splitlines() if "Generate explode" in ln)
+    assert "sequence" in gen  # grid from the agg row, not a calendar scan
+    assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_q71_sketch_is_broadcast_back(spark):
+    """The finished d×w counter table (≤2048 rows) must ride a broadcast
+    to score candidate keys — no second big-side shuffle — and the
+    counter aggregation must keep its map-side partial phase."""
+    from postfix_log_parser_spark.ext.sketches import q71_heavy_hitters_cms
+
+    plan = _plan(q71_heavy_hitters_cms(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × (counters, keys)
+    assert "CartesianProduct" not in plan
+
+
+def test_q73_iterations_are_equi_joins(spark):
+    """Every PageRank iteration must be an equi-join + hash aggregate;
+    no cartesian products, no global sort."""
+    from postfix_log_parser_spark.ext.graph import q73_pagerank_transitions
+
+    plan = _plan(q73_pagerank_transitions(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Sort [pr" not in plan
+
+
+def test_q74_chunk_join_is_broadcast_equi(spark):
+    """Dup-chunk marking must be a broadcast equi-join on the chunk hash
+    (the dup-key set is small relative to the corpus) — never a shuffle
+    of all chunks against all chunks."""
+    from postfix_log_parser_spark.ext.dedup import q74_passage_dedup
+
+    plan = _plan(q74_passage_dedup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q76_blocking_join_is_equi(spark):
+    """Entity-resolution candidates must come from the blocking equi-join
+    — a nested-loop/cartesian compare of the two record sets would be the
+    O(N²) plan this operator exists to avoid."""
+    from postfix_log_parser_spark.ext.entity import q76_entity_resolution
+
+    plan = _plan(q76_entity_resolution(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
