@@ -3,11 +3,11 @@
 ``entry(spark)`` runs the flagship star-join query on sf0.001.
 ``queries()`` exposes every driver-checked operator query:
 
-* q01-q19, q35, q53, q55-q56, q61, q66-q67 — analytics layer
+* q01-q19, q35, q53, q55-q56, q61, q66-q67, q72 — analytics layer
   (aggregation / joins / windows / top-k / grouping sets / set ops /
   sessionization / as-of / range join / salted skew agg / JSON /
   approx / pivot / unpivot / SCD2 changelog compaction / ordered
-  funnel / retention cohorts),
+  funnel / retention cohorts / runtime-bloom-pruned semi-join),
 * q20-q37, q46-q48, q52-q53, q58-q60, q62-q65, q68-q69 — LLM-pipeline extensions (dedup
   exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup /
   connected components / incremental-vs-index / training-mix, ANN brute-force + LSH + IVF +
@@ -17,6 +17,14 @@
   quantiles, distributed k-means, int8 embedding quantization,
   weighted A-ES sampling, char-bigram LM quality gate, table
   profiling, grouped OLS regression),
+* q70-q79 (q72/q75/q77 live in the analytics layer) — r6-continuation
+  extensions: per-key hourly gap-fill resample with forward fill (q70),
+  count-min-sketch heavy hitters (q71, self-verifying like q15),
+  fixed-iteration weighted PageRank over event-type transitions (q73),
+  passage-level chunk dedup (q74), rolling 7-day RANGE-frame window
+  (q75), blocked entity resolution via levenshtein (q76), fixed-bin
+  value histograms (q77), JSONL and CSV sink→source round-trips with
+  schema-explicit reads (q78/q79),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

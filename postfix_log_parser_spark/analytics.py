@@ -1025,6 +1025,76 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# q75 — rolling 7-day window aggregate (RANGE frame, not ROWS)
+# ---------------------------------------------------------------------------
+
+def q75_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 7-day sum/count over events — the time-RANGE
+    window frame (every event sees the sum of its user's trailing week),
+    complementing q08's ROWS frame.
+
+    The frame is expressed on ``unix_micros`` so the boundary arithmetic
+    is exact integer µs on both engines (a seconds-granularity frame
+    would disagree with the oracle's INTERVAL arithmetic on sub-second
+    timestamps).  Scale shape: one key-partitioned window — partition by
+    user, never a global sort; Spark evaluates the sliding frame with a
+    two-pointer pass over each partition, O(n) per key.
+    """
+    ev = load(spark, sf_dir, "events")
+    week_us = 7 * 86400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-week_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("sum_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+_Q75_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 2) AS sum_7d,
+       count(*) OVER w AS n_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q77 — fixed-bin value histogram per event type
+# ---------------------------------------------------------------------------
+
+def q77_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling: 10 fixed-width bins over ``value`` in
+    [0, 50], counted per event type.  The bin id is a pure narrow
+    expression, so the whole query is one hash aggregate with map-side
+    partials — the profiling plan that costs one shuffle of ≤ (types ×
+    bins) rows regardless of input size."""
+    ev = load(spark, sf_dir, "events")
+    bin_id = F.least(F.floor(F.col("value") / 5.0), F.lit(9)).cast("int")
+    return (
+        ev.groupBy("event_type", bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", (F.col("bin") * 5.0))
+    )
+
+
+_Q77_SQL = """
+SELECT event_type,
+       CAST(least(floor(value / 5.0), 9) AS INTEGER) AS bin,
+       count(*) AS n,
+       (CAST(least(floor(value / 5.0), 9) AS INTEGER) * 5.0)::DOUBLE AS bin_lo
+FROM events
+GROUP BY event_type, least(floor(value / 5.0), 9)
+"""
+
+
 ANALYTICS_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1054,6 +1124,8 @@ ANALYTICS_QUERIES = {
     "q66_funnel": q66_funnel,
     "q67_retention_cohorts": q67_retention_cohorts,
     "q72_bloom_semijoin": q72_bloom_semijoin,
+    "q75_rolling_7d": q75_rolling_7d,
+    "q77_value_histogram": q77_value_histogram,
 }
 
 ANALYTICS_ORACLES = {
@@ -1085,4 +1157,6 @@ ANALYTICS_ORACLES = {
     "q66_funnel": _Q66_SQL,
     "q67_retention_cohorts": _Q67_SQL,
     "q72_bloom_semijoin": _Q72_SQL,
+    "q75_rolling_7d": _Q75_SQL,
+    "q77_value_histogram": _Q77_SQL,
 }

@@ -44,6 +44,8 @@ FUZZED = [
     "q73_pagerank_transitions",
     "q78_jsonl_roundtrip",
     "q79_csv_roundtrip",
+    "q75_rolling_7d",
+    "q77_value_histogram",
     # text family
     "q27_text_quality",
     "q28_lang_id",
