@@ -24,7 +24,12 @@
   passage-level chunk dedup (q74), rolling 7-day RANGE-frame window
   (q75), blocked entity resolution via levenshtein (q76), fixed-bin
   value histograms (q77), JSONL and CSV sink→source round-trips with
-  schema-explicit reads (q78/q79),
+  schema-explicit reads (q78/q79), deterministic md5-sharded corpus
+  export with read-back verification (q80), range-partitioned sorted
+  layout with self-verified disjoint ranges (q81), BPE merge-candidate
+  pair counting (q82), deterministic train/val/test split (q83),
+  context-window chunking with stride (q84), per-source Shannon-entropy
+  diversity stats (q85),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -91,6 +91,22 @@ BENCH_QUERIES = [
     "q68_ann_ivfpq",
     "q34_frame_sample",
     "q35_grouping_sets",
+    "q70_gapfill_hourly",
+    "q80_shard_export",
+    "q81_range_export",
+    "q82_bpe_pair_counts",
+    "q83_train_split",
+    "q84_context_chunks",
+    "q85_source_diversity",
+    "q71_heavy_hitters_cms",
+    "q72_bloom_semijoin",
+    "q73_pagerank_transitions",
+    "q74_passage_dedup",
+    "q75_rolling_7d",
+    "q76_entity_resolution",
+    "q77_value_histogram",
+    "q78_jsonl_roundtrip",
+    "q79_csv_roundtrip",
     "q55_pivot_segments",
     "q56_unpivot_metrics",
     "q40_log_events",

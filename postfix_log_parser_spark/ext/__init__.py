@@ -7,8 +7,11 @@ column plumbing — all designed scale-first (bucketed joins, no all-pairs
 on the scale path, no collect loops).
 """
 
+from postfix_log_parser_spark.ext.bpe import BPE_ORACLES, BPE_QUERIES
 from postfix_log_parser_spark.ext.cluster import CLUSTER_ORACLES, CLUSTER_QUERIES
+from postfix_log_parser_spark.ext.export import EXPORT_ORACLES, EXPORT_QUERIES
 from postfix_log_parser_spark.ext.dedup import DEDUP_ORACLES, DEDUP_QUERIES
+from postfix_log_parser_spark.ext.corpus import CORPUS_ORACLES, CORPUS_QUERIES
 from postfix_log_parser_spark.ext.entity import ENTITY_ORACLES, ENTITY_QUERIES
 from postfix_log_parser_spark.ext.formats import FORMATS_ORACLES, FORMATS_QUERIES
 from postfix_log_parser_spark.ext.graph import GRAPH_ORACLES, GRAPH_QUERIES
@@ -52,6 +55,9 @@ EXT_QUERIES = {
     **GRAPH_QUERIES,
     **ENTITY_QUERIES,
     **FORMATS_QUERIES,
+    **EXPORT_QUERIES,
+    **BPE_QUERIES,
+    **CORPUS_QUERIES,
 }
 
 EXT_ORACLES = {
@@ -69,4 +75,7 @@ EXT_ORACLES = {
     **GRAPH_ORACLES,
     **ENTITY_ORACLES,
     **FORMATS_ORACLES,
+    **EXPORT_ORACLES,
+    **BPE_ORACLES,
+    **CORPUS_ORACLES,
 }

@@ -1,0 +1,182 @@
+"""Training-corpus export operators — deterministic sharding and
+range-partitioned sorted layout.
+
+The last stage of a pretraining-data pipeline is the export: the
+deduplicated, filtered corpus has to land on disk (a) split into a fixed
+number of shards a training job can map 1:1 to data-loader workers, with
+a placement that is DETERMINISTIC (re-running the export yields
+byte-identical shard membership, so checkpoint resume sees the same
+data), and (b) optionally range-ordered (e.g. by length for sequence
+bucketing) with disjoint per-file ranges so readers can prune.
+
+The reference stops at a ClickHouse sink (``lognormalizer/parse.py:447-505``);
+these operators are the corresponding batch-corpus sinks, Spark-first:
+
+* q80 — hash-sharded export: ``shard = md5(doc_id) % N``, a pure column
+  expression (portable, engine-independent — NOT Spark's ``hash()``,
+  whose seed is an implementation detail), one hash repartition aligned
+  to the write so each task writes exactly one shard directory, then a
+  schema-checked read-back through partition discovery and a per-shard
+  verifying aggregate.  At 100 TB this is one shuffle; the
+  ``partitionBy`` layout gives readers per-shard partition pruning.
+* q81 — range-partitioned sorted layout: ``repartitionByRange`` (range
+  exchange with sampled boundaries — the one shuffle) +
+  ``sortWithinPartitions`` (no global sort barrier; each partition sorts
+  locally).  The query is SELF-VERIFYING in the q15 style: it returns
+  the corpus row count plus three invariant booleans (partition count
+  bounded, per-partition key ranges pairwise disjoint, rows
+  non-decreasing within every partition) that the oracle asserts as
+  literal TRUE — sampled range boundaries are engine-internal and are
+  never hashed.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from postfix_log_parser_spark.analytics import load
+
+N_SHARDS = 8
+N_RANGES = 8
+
+_WORK_ROOT: list[str] = []
+
+
+def _work_dir(prefix: str) -> str:
+    if not _WORK_ROOT:
+        root = tempfile.mkdtemp(prefix="plps_export_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _WORK_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_WORK_ROOT[0])
+
+
+def _shard_col(key: F.Column) -> F.Column:
+    """Portable md5-derived shard id, shared bit-for-bit with DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % N_SHARDS
+    )
+
+
+def q80_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharded corpus export → read-back stats.
+
+    Output: one row per shard (shard, n_docs, sum_chars, min_doc,
+    max_doc); the oracle recomputes shard membership from the source
+    table, so the round trip proves placement determinism end-to-end.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sharded = docs.withColumn("shard", _shard_col(F.col("doc_id")))
+    path = _work_dir("q80_shards_") + "/corpus"
+    # one hash exchange on the shard key: every write task owns whole
+    # shards, so partitionBy emits one file per (task, shard) = 1 file
+    # per shard here, N files per shard at scale with maxRecordsPerFile
+    (
+        sharded.repartition(N_SHARDS, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+_Q80_SQL = f"""
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         % {N_SHARDS} AS shard,
+       count(*) AS n_docs,
+       sum(n_chars) AS sum_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+def q81_range_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned, locally sorted corpus layout, self-verified.
+
+    ``repartitionByRange(n_chars, doc_id)`` + ``sortWithinPartitions``
+    is the scalable total-order layout: one sampled range exchange, no
+    single-partition global sort.  Returns (total_docs, parts_bounded,
+    ranges_disjoint, sorted_within) — the booleans are the layout
+    invariants; the oracle asserts them as literal TRUE.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranged = (
+        docs.repartitionByRange(N_RANGES, F.col("n_chars"), F.col("doc_id"))
+        .sortWithinPartitions("n_chars", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        # mid is assigned sequentially per partition in row order, so it
+        # witnesses the physical in-partition ordering for the check
+        .withColumn("mid", F.monotonically_increasing_id())
+    )
+    in_order = (
+        F.col("prev_chars").isNull()
+        | (F.col("prev_chars") < F.col("n_chars"))
+        | (
+            (F.col("prev_chars") == F.col("n_chars"))
+            & (F.col("prev_doc") <= F.col("doc_id"))
+        )
+    )
+    wp = Window.partitionBy("pid").orderBy("mid")
+    per_row = ranged.select(
+        "pid",
+        "n_chars",
+        "doc_id",
+        F.lag("n_chars").over(wp).alias("prev_chars"),
+        F.lag("doc_id").over(wp).alias("prev_doc"),
+    ).select("pid", "n_chars", "doc_id", in_order.alias("row_ok"))
+    parts = per_row.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("n_chars", "doc_id")).alias("lo"),
+        F.max(F.struct("n_chars", "doc_id")).alias("hi"),
+        F.min("row_ok").alias("part_sorted"),
+    )
+    wo = Window.orderBy("pid")  # ≤ N_RANGES rows: driver-scale window
+    checked = parts.select(
+        "cnt",
+        "part_sorted",
+        (
+            F.lag("hi").over(wo).isNull()
+            | (F.lag("hi").over(wo) < F.col("lo"))
+        ).alias("part_disjoint"),
+    )
+    return checked.agg(
+        F.sum("cnt").alias("total_docs"),
+        (F.count(F.lit(1)) <= N_RANGES).alias("parts_bounded"),
+        F.min("part_disjoint").alias("ranges_disjoint"),
+        F.min("part_sorted").alias("sorted_within"),
+    )
+
+
+_Q81_SQL = """
+SELECT count(*) AS total_docs,
+       TRUE AS parts_bounded,
+       TRUE AS ranges_disjoint,
+       TRUE AS sorted_within
+FROM documents
+"""
+
+
+EXPORT_QUERIES = {
+    "q80_shard_export": q80_shard_export,
+    "q81_range_export": q81_range_export,
+}
+
+EXPORT_ORACLES = {
+    "q80_shard_export": _Q80_SQL,
+    "q81_range_export": _Q81_SQL,
+}

@@ -95,7 +95,11 @@ def q71_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "exact_count")
         .agg(F.min("c").alias("est_count"))
     )
-    ranked = est.join(F.broadcast(total)).withColumn(
+    # limit-first so Spark plans TakeOrderedAndProject (per-partition
+    # heaps, no single-partition global Window) over the |distinct users|
+    # estimate table; row_number then ranks only the TOP_K survivors.
+    topk = est.orderBy(F.desc("est_count"), F.asc("user_id")).limit(TOP_K)
+    ranked = topk.join(F.broadcast(total)).withColumn(
         "rn",
         F.row_number().over(
             Window.orderBy(F.desc("est_count"), F.asc("user_id"))

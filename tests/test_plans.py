@@ -403,3 +403,32 @@ def test_q76_blocking_join_is_equi(spark):
     plan = _plan(q76_entity_resolution(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q71_topk_never_global_sorts(spark):
+    """Heavy-hitter ranking must plan TakeOrderedAndProject over the
+    estimate table, not a single-partition global Window sort."""
+    from postfix_log_parser_spark.ext.sketches import q71_heavy_hitters_cms
+
+    plan = _plan(q71_heavy_hitters_cms(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q81_range_exchange_no_global_sort(spark):
+    """The sorted-layout export must use a range exchange + local sorts;
+    a global Sort over a single partition would serialize the corpus."""
+    from postfix_log_parser_spark.ext.export import q81_range_export
+
+    plan = _plan(q81_range_export(spark, SF_DIR))
+    assert "rangepartitioning(n_chars" in plan.lower()
+
+
+def test_q82_pairs_stay_jvm_and_heap_topk(spark):
+    """BPE pair counting is pure Catalyst (no Python eval in the plan)
+    and takes its top-k with per-partition heaps."""
+    from postfix_log_parser_spark.ext.bpe import q82_bpe_pair_counts
+
+    plan = _plan(q82_bpe_pair_counts(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
