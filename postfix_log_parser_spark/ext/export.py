@@ -84,7 +84,9 @@ def q80_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("shard")
         .parquet(path)
     )
-    back = spark.read.parquet(path)
+    # schema-EXPLICIT read-back: no discovery/inference pass (at 100 TB
+    # that is a full extra listing), and an empty export stays readable
+    back = spark.read.schema(sharded.schema).parquet(path)
     return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
@@ -155,7 +157,7 @@ def q81_range_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("part_disjoint"),
     )
     return checked.agg(
-        F.sum("cnt").alias("total_docs"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("total_docs"),
         (F.count(F.lit(1)) <= N_RANGES).alias("parts_bounded"),
         F.min("part_disjoint").alias("ranges_disjoint"),
         F.min("part_sorted").alias("sorted_within"),

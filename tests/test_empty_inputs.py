@@ -25,7 +25,13 @@ def empty_sf_dir(spark, tmp_path_factory):
 
 # aggregate-without-groupBy queries legitimately return one summary row
 # on empty input (SQL semantics: global aggregates always emit)
-_GLOBAL_AGG = {"q64_table_profile", "q66_funnel", "q15_approx_distinct"}
+_GLOBAL_AGG = {
+    "q64_table_profile",
+    "q66_funnel",
+    "q15_approx_distinct",
+    # layout-invariant summary: one row (total_docs=0, vacuous bounds)
+    "q81_range_export",
+}
 
 # the parse-pipeline queries run on the EMBEDDED golden log fixtures
 # (their oracle is literal VALUES), not the sf tables — non-empty by
