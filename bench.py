@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "q83_train_split",
     "q84_context_chunks",
     "q85_source_diversity",
+    "q86_zscore_anomalies",
+    "q87_grouped_median_mad",
     "q71_heavy_hitters_cms",
     "q72_bloom_semijoin",
     "q73_pagerank_transitions",

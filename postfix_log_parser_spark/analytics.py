@@ -1095,6 +1095,128 @@ GROUP BY event_type, least(floor(value / 5.0), 9)
 """
 
 
+# ---------------------------------------------------------------------------
+# q86 — per-user z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+def q86_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is > 2.5 population standard deviations from
+    their user's mean — the standard per-entity outlier screen.
+
+    Scale shape: ONE user-partitioned window computes mean and
+    stddev_pop per user and fans them back onto every row without a
+    second scan or a stats-table join — one hash exchange on user_id
+    total, then a narrow filter.  Users with constant values
+    (sigma = 0) produce no anomalies by definition.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_pop("value").over(w)
+    z = (F.col("value") - mu) / sigma
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.when(sigma > 0, z).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "user_id", "value", F.round("z", 4).alias("z"))
+    )
+
+
+_Q86_SQL = """
+WITH scored AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN stddev_pop(value) OVER w > 0
+              THEN (value - avg(value) OVER w) / (stddev_pop(value) OVER w)
+         END AS z
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT event_id, user_id, value, round(z, 4) AS z
+FROM scored
+WHERE abs(z) > 2.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# q87 — exact grouped median + MAD via rank positions (no value buffers)
+# ---------------------------------------------------------------------------
+
+def _rank_median(df: DataFrame, key: str, col: str, out: str) -> DataFrame:
+    """Exact linearly-interpolated median per key via sort-rank positions.
+
+    ``percentile()``-style exact aggregates buffer EVERY group value in
+    executor memory — unbounded at 100 TB.  This shape instead sorts
+    within the key's hash partition (spillable sort exchange), takes the
+    one or two middle ranks, and averages them: memory O(1) per row,
+    identical result to ``quantile_cont(0.5)``.
+    """
+    wr = Window.partitionBy(key).orderBy(col)
+    wn = Window.partitionBy(key)
+    ranked = df.select(
+        key,
+        col,
+        F.row_number().over(wr).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    mid = ranked.filter(
+        (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        | (F.col("_rn") == F.floor(F.col("_n") / 2) + 1)
+    )
+    return mid.groupBy(key).agg(
+        F.avg(col).alias(out), F.max("_n").alias("_n")
+    )
+
+
+def q87_grouped_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and median-absolute-deviation of ``value`` per event
+    type — robust distribution stats for drift monitoring.
+
+    Two rank-median passes (one exchange each) plus a broadcast join of
+    the ≤|event_type|-row median table back onto the facts; the sketch
+    path for arbitrary-cardinality groups is q53's self-verifying GK
+    quantiles — this is the exact twin for bounded group counts.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = _rank_median(ev, "event_type", "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+        "med",
+    )
+    mad = _rank_median(
+        dev.select("event_type", "ad"), "event_type", "ad", "mad"
+    ).drop("_n")
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.col("_n").alias("n_events"),
+        )
+    )
+
+
+_Q87_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med, count(*) AS n
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY 1
+)
+SELECT m.event_type, round(m.med, 6) AS med, round(d.mad, 6) AS mad,
+       m.n AS n_events
+FROM med m JOIN mad d USING (event_type)
+"""
+
+
 ANALYTICS_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1126,6 +1248,8 @@ ANALYTICS_QUERIES = {
     "q72_bloom_semijoin": q72_bloom_semijoin,
     "q75_rolling_7d": q75_rolling_7d,
     "q77_value_histogram": q77_value_histogram,
+    "q86_zscore_anomalies": q86_zscore_anomalies,
+    "q87_grouped_median_mad": q87_grouped_median_mad,
 }
 
 ANALYTICS_ORACLES = {
@@ -1159,4 +1283,6 @@ ANALYTICS_ORACLES = {
     "q72_bloom_semijoin": _Q72_SQL,
     "q75_rolling_7d": _Q75_SQL,
     "q77_value_histogram": _Q77_SQL,
+    "q86_zscore_anomalies": _Q86_SQL,
+    "q87_grouped_median_mad": _Q87_SQL,
 }

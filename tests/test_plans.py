@@ -432,3 +432,24 @@ def test_q82_pairs_stay_jvm_and_heap_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_q86_single_user_exchange(spark):
+    """Per-user z-scores ride ONE user-partitioned window exchange —
+    no second scan and no stats-table shuffle join."""
+    from postfix_log_parser_spark.analytics import q86_zscore_anomalies
+
+    plan = _plan(q86_zscore_anomalies(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_q87_median_has_no_value_buffers(spark):
+    """Exact grouped median must use the sort-rank shape (spillable),
+    never a percentile aggregate that buffers every group value."""
+    from postfix_log_parser_spark.analytics import q87_grouped_median_mad
+
+    plan = _plan(q87_grouped_median_mad(spark, SF_DIR))
+    assert "percentile" not in plan.lower()
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan  # median table joins back broadcast
