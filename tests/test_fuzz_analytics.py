@@ -46,6 +46,16 @@ FUZZED = [
     "q79_csv_roundtrip",
     "q75_rolling_7d",
     "q77_value_histogram",
+    "q86_zscore_anomalies",
+    "q87_grouped_median_mad",
+    # corpus export / tokenizer family (zero-word docs hit the chunking
+    # and entropy edges the fixed corpus cannot)
+    "q80_shard_export",
+    "q81_range_export",
+    "q82_bpe_pair_counts",
+    "q83_train_split",
+    "q84_context_chunks",
+    "q85_source_diversity",
     # text family
     "q27_text_quality",
     "q28_lang_id",
