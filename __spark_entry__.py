@@ -35,11 +35,12 @@
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests
   (``lognormalizer/parse_test.py:26-277``),
-* q49-q51, q54, q57 — Structured Streaming shapes over the events table
-  (windowed aggregation with watermark, stream-static enrichment join,
-  watermarked deduplication, native session windows, incremental
+* q49-q51, q54, q57, q88 — Structured Streaming shapes over the events
+  table (windowed aggregation with watermark, stream-static enrichment
+  join, watermarked deduplication, native session windows, incremental
   materialized-view maintenance via idempotent foreachBatch delta
-  merge), each equal to its batch oracle by construction.
+  merge, watermarked stream-stream interval join), each equal to its
+  batch oracle by construction.
 
 ``oracle_sql()`` returns the DuckDB twin for every query; q15's sketch is
 self-verifying (the query returns exact counts + within-bound booleans

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "q51_stream_dedup",
     "q54_stream_sessions",
     "q57_stream_rollup_mv",
+    "q88_stream_interval_join",
     "q44_sink_roundtrip",
 ]
 

@@ -720,6 +720,73 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q88_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: every purchase paired
+    with the same user's clicks in the preceding hour (attribution).
+
+    The canonical time-bound stream-stream shape: both sides carry a
+    1-hour watermark and the join predicate bounds click time to
+    ``[purchase - 1h, purchase]``, so the state store retains each click
+    only until the watermark passes its match window — bounded state, no
+    full-history buffering.  availableNow + append mode makes the result
+    exactly the batch interval join the oracle computes; gap is exact
+    integer microseconds on both engines.
+    """
+    joined = interval_join_streams(
+        _events_stream(spark, sf_dir), _events_stream(spark, sf_dir)
+    )
+    return _run_stream_to_memory(spark, joined, "q88")
+
+
+def interval_join_streams(
+    click_src: DataFrame, purchase_src: DataFrame
+) -> DataFrame:
+    """The q88 join graph over two (possibly identical-source) streaming
+    event frames — factored out so tests can drive it with
+    maxFilesPerTrigger to prove cross-micro-batch matching."""
+    clicks = (
+        click_src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        purchase_src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "c_user = p_user AND "
+            "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
+_Q88_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 LOG_QUERIES = {
     "q40_log_events": q40_log_events,
     "q45_fused_events": q45_fused_events,
@@ -729,6 +796,7 @@ LOG_QUERIES = {
     "q51_stream_dedup": q51_stream_dedup,
     "q54_stream_sessions": q54_stream_sessions,
     "q57_stream_rollup_mv": q57_stream_rollup_mv,
+    "q88_stream_interval_join": q88_stream_interval_join,
     "q41_log_faults": q41_log_faults,
     "q42_log_state": q42_log_state,
     "q43_stream_events": q43_stream_events,
@@ -755,6 +823,7 @@ LOG_ORACLES = {
     "q51_stream_dedup": _Q51_SQL,
     "q54_stream_sessions": _Q54_SQL,
     "q57_stream_rollup_mv": _Q57_SQL,
+    "q88_stream_interval_join": _Q88_SQL,
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
     "q43_stream_events": _Q43_SQL,

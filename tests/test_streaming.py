@@ -554,3 +554,71 @@ def test_stream_restart_without_new_data_is_idempotent(spark, tmp_path):
     for _ in range(2):
         again = run_and_read().collect()
         assert sorted(map(str, again)) == sorted(map(str, first))
+
+
+def test_stream_interval_join_cross_batch(spark, tmp_path):
+    """q88's stream-stream interval join must match click->purchase
+    pairs that arrive in DIFFERENT micro-batches (click buffered in the
+    join state store until its purchase shows up), honor the inclusive
+    1-hour bound, and never match purchase-before-click."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from postfix_log_parser_spark.logquery import interval_join_streams
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+
+    def ev(eid, mins, user, etype):
+        return (eid, base + dt.timedelta(minutes=mins), user, etype, 1.0, "{}")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch 1: the clicks (and user 3's purchase, which precedes its click)
+    b1 = [
+        ev(1, 60, 1, "click"),      # 10:00 — purchase 10:30 in batch 2
+        ev(2, 0, 2, "click"),       # 09:00 — purchase 11:00: gap 2h, no match
+        ev(3, 75, 3, "purchase"),   # 10:15 — click arrives later: no match
+        ev(4, 0, 4, "click"),       # 09:00 — purchase 10:00: exactly 1h, match
+    ]
+    # batch 2: the purchases (+ user 3's late click)
+    b2 = [
+        ev(5, 90, 1, "purchase"),   # 10:30
+        ev(6, 120, 2, "purchase"),  # 11:00
+        ev(7, 80, 3, "click"),      # 10:20 (after user 3's purchase)
+        ev(8, 60, 4, "purchase"),   # 10:00
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(in_dir / "01")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(in_dir / "02")
+    )
+
+    src = lambda: (  # noqa: E731
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir / "*"))
+    )
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        interval_join_streams(src(), src())
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.schema(
+        "purchase_id long, click_id long, user_id long, gap_us long"
+    ).parquet(str(out_dir))
+    rows = {(r.purchase_id, r.click_id, r.gap_us) for r in got.collect()}
+    assert rows == {
+        (5, 1, 30 * 60 * 1_000_000),   # cross-batch match
+        (8, 4, 60 * 60 * 1_000_000),   # inclusive 1h bound
+    }
