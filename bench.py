@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "q85_source_diversity",
     "q86_zscore_anomalies",
     "q87_grouped_median_mad",
+    "q89_cooccurrence_lift",
     "q71_heavy_hitters_cms",
     "q72_bloom_semijoin",
     "q73_pagerank_transitions",

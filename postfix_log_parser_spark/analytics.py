@@ -1217,6 +1217,97 @@ FROM med m JOIN mad d USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# q89 — market-basket co-occurrence lift over event types
+# ---------------------------------------------------------------------------
+
+def q89_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support and lift for every ordered pair of event types that
+    co-occur in a user's history — the market-basket association scan.
+
+    Scale shape: ONE wide exchange total — ``collect_set(event_type)``
+    per user (map-side partial sets, bounded by the type vocabulary),
+    then pair generation is a NARROW in-array expansion
+    (``transform``/``slice`` over the sorted set) — no self-join of the
+    (user, type) table, whose user-keyed join would re-exchange both
+    sides at scale.  The pair/marginal aggregations that follow have
+    ≤|vocab|² keys, and the marginals join back as broadcasts.
+    """
+    ev = load(spark, sf_dir, "events")
+    from pyspark.storagelevel import StorageLevel
+
+    sets = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_users = sets.agg(F.count(F.lit(1)).alias("n_users"))
+    singles = (
+        sets.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(types, (a, i) ->"
+                    " transform(slice(types, i + 2, size(types)),"
+                    " b -> struct(a AS type_a, b AS type_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_a"),
+                                       F.col("n_t").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_b"),
+                                       F.col("n_t").alias("n_b"))),
+            "type_b",
+        )
+        .join(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_users"), 6).alias("support"),
+            F.round(
+                (F.col("n_both") * F.col("n_users"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_Q89_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+singles AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       round(n_both * 1.0 / n.n_users, 6) AS support,
+       round((n_both * 1.0 * n.n_users) / (sa.n_t * 1.0 * sb.n_t), 6) AS lift
+FROM pairs
+JOIN singles sa ON sa.event_type = type_a
+JOIN singles sb ON sb.event_type = type_b
+CROSS JOIN n
+"""
+
+
 ANALYTICS_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1250,6 +1341,7 @@ ANALYTICS_QUERIES = {
     "q77_value_histogram": q77_value_histogram,
     "q86_zscore_anomalies": q86_zscore_anomalies,
     "q87_grouped_median_mad": q87_grouped_median_mad,
+    "q89_cooccurrence_lift": q89_cooccurrence_lift,
 }
 
 ANALYTICS_ORACLES = {
@@ -1285,4 +1377,5 @@ ANALYTICS_ORACLES = {
     "q77_value_histogram": _Q77_SQL,
     "q86_zscore_anomalies": _Q86_SQL,
     "q87_grouped_median_mad": _Q87_SQL,
+    "q89_cooccurrence_lift": _Q89_SQL,
 }

@@ -48,6 +48,7 @@ FUZZED = [
     "q77_value_histogram",
     "q86_zscore_anomalies",
     "q87_grouped_median_mad",
+    "q89_cooccurrence_lift",
     # corpus export / tokenizer family (zero-word docs hit the chunking
     # and entropy edges the fixed corpus cannot)
     "q80_shard_export",

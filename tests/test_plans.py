@@ -453,3 +453,18 @@ def test_q87_median_has_no_value_buffers(spark):
     assert "percentile" not in plan.lower()
     assert "Window" in plan
     assert "BroadcastHashJoin" in plan  # median table joins back broadcast
+
+
+def test_q89_pairs_are_narrow_no_self_join(spark):
+    """Co-occurrence pairs come from an in-array expansion of the
+    per-user collect_set — exactly one wide exchange on user_id, no
+    (user,type) self-join (which would re-exchange both sides at scale)."""
+    from postfix_log_parser_spark.analytics import q89_cooccurrence_lift
+
+    plan = _plan(q89_cooccurrence_lift(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    # every events scan sits under the persisted per-user sets relation
+    # (the InMemoryTableScan reprints its build plan, so FileScan and
+    # InMemoryRelation counts match 1:1 when no consumer rescans events)
+    assert plan.count("InMemoryTableScan") >= 2  # sets reused, not rebuilt
+    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
