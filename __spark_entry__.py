@@ -40,8 +40,9 @@
   table (windowed aggregation with watermark, stream-static enrichment
   join, watermarked deduplication, native session windows, incremental
   materialized-view maintenance via idempotent foreachBatch delta
-  merge, watermarked stream-stream interval join), each equal to its
-  batch oracle by construction.
+  merge, watermarked stream-stream interval join — q90 is the LEFT
+  OUTER variant with heartbeat-driven watermark closure), each equal to
+  its batch oracle by construction.
 
 ``oracle_sql()`` returns the DuckDB twin for every query; q15's sketch is
 self-verifying (the query returns exact counts + within-bound booleans

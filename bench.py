@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "q54_stream_sessions",
     "q57_stream_rollup_mv",
     "q88_stream_interval_join",
+    "q90_stream_interval_join_outer",
     "q44_sink_roundtrip",
 ]
 

@@ -739,11 +739,22 @@ def q88_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def interval_join_streams(
-    click_src: DataFrame, purchase_src: DataFrame
+    click_src: DataFrame, purchase_src: DataFrame, how: str = "inner"
 ) -> DataFrame:
-    """The q88 join graph over two (possibly identical-source) streaming
-    event frames — factored out so tests can drive it with
-    maxFilesPerTrigger to prove cross-micro-batch matching."""
+    """The q88/q90 join graph over two (possibly identical-source)
+    streaming event frames — factored out so tests can drive it with
+    maxFilesPerTrigger to prove cross-micro-batch matching.
+
+    ``how='left_outer'`` adds the watermark-deferred NULL emission: a
+    purchase with no click in its hour window is held in state until the
+    watermark proves no matching click can still arrive, then emitted
+    with NULL click columns (q90)."""
+    # NOTE each side's watermark tracks only ITS OWN type's event times:
+    # Catalyst pushes the deterministic type filter below the
+    # EventTimeWatermark node regardless of where withWatermark is
+    # written, so the global watermark is min(max click, max purchase)
+    # − delay.  Anything that must advance a side's watermark (q90's
+    # heartbeat) therefore has to carry that side's event_type.
     clicks = (
         click_src.filter(F.col("event_type") == "click")
         .select(
@@ -768,12 +779,101 @@ def interval_join_streams(
             "c_user = p_user AND "
             "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
         ),
+        how,
     ).select(
         "purchase_id",
         "click_id",
         F.col("p_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
+
+
+def q90_stream_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join: q88 plus the
+    unmatched purchases, emitted with NULL click columns only after the
+    watermark passes their match window (state-closure emission — the
+    shape that needs a correct watermark to terminate at all).
+
+    Watermark-closure caveat: at stream end the watermark only reaches
+    ``max event time − delay``, so unmatched purchases in the final
+    window would stay in state forever and never emit (4 rows at
+    sf0.01).  The standard fix is a HEARTBEAT: the source is the events
+    file plus one sentinel row PER JOIN SIDE (a 'click' and a
+    'purchase' — each side's watermark only tracks its own type because
+    Catalyst pushes the type filter below the watermark node) 3 hours
+    past max ts with ``user_id = -1``; they advance both watermarks past
+    every real event, flushing all expired outer state, and are removed
+    from the output by the ``user_id >= 0`` guard.  In production the
+    heartbeat is an operational message in the topic; here the query
+    stages the source dir itself.
+    """
+    import shutil as _shutil
+
+    ev_path = f"{sf_dir}/events.parquet"
+    work = _work_dir("q90_src_")
+    if os.path.isdir(ev_path):  # Spark-written directory of part files
+        n = 0
+        for f in sorted(os.listdir(ev_path)):
+            if f.endswith(".parquet"):
+                _shutil.copy(f"{ev_path}/{f}", f"{work}/ev_{n:04d}.parquet")
+                n += 1
+    elif os.path.exists(ev_path):
+        _shutil.copy(ev_path, f"{work}/ev_0000.parquet")
+    max_ts = (
+        spark.read.schema(_EVENTS_STREAM_SCHEMA)
+        .parquet(f"{work}/*.parquet")
+        .agg(F.max("ts"))
+        .collect()[0][0]
+        if os.listdir(work)
+        else None
+    )
+    if max_ts is not None:
+        import datetime as _dt
+
+        hb_ts = max_ts + _dt.timedelta(hours=3)
+        sentinel = [
+            (-1, hb_ts, -1, "click", 0.0, "{}"),
+            (-2, hb_ts, -1, "purchase", 0.0, "{}"),
+        ]
+        sent_dir = f"{work}/_sentinel_build"
+        spark.createDataFrame(
+            sentinel, _EVENTS_STREAM_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(sent_dir)
+        n = 0
+        for f in sorted(os.listdir(sent_dir)):
+            if f.endswith(".parquet"):
+                _shutil.move(f"{sent_dir}/{f}", f"{work}/zz_hb_{n}.parquet")
+                n += 1
+        _shutil.rmtree(sent_dir, ignore_errors=True)
+
+    def src() -> DataFrame:
+        return spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(
+            f"{work}/*.parquet"
+        )
+
+    joined = interval_join_streams(src(), src(), how="left_outer")
+    # the heartbeat guard must be applied to the MATERIALIZED result,
+    # not the streaming plan: inside the stream Catalyst pushes
+    # user_id >= 0 below the join to both scans (via the join-key
+    # equality constraint), which would eliminate the heartbeats before
+    # they ever reach the watermark operators
+    return _run_stream_to_memory(spark, joined, "q90").filter(
+        F.col("user_id") >= 0
+    )
+
+
+_Q90_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+WHERE p.event_type = 'purchase'
+"""
 
 
 _Q88_SQL = """
@@ -797,6 +897,7 @@ LOG_QUERIES = {
     "q54_stream_sessions": q54_stream_sessions,
     "q57_stream_rollup_mv": q57_stream_rollup_mv,
     "q88_stream_interval_join": q88_stream_interval_join,
+    "q90_stream_interval_join_outer": q90_stream_interval_join_outer,
     "q41_log_faults": q41_log_faults,
     "q42_log_state": q42_log_state,
     "q43_stream_events": q43_stream_events,
@@ -824,6 +925,7 @@ LOG_ORACLES = {
     "q54_stream_sessions": _Q54_SQL,
     "q57_stream_rollup_mv": _Q57_SQL,
     "q88_stream_interval_join": _Q88_SQL,
+    "q90_stream_interval_join_outer": _Q90_SQL,
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
     "q43_stream_events": _Q43_SQL,
