@@ -31,7 +31,8 @@
   context-window chunking with stride (q84), per-source Shannon-entropy
   diversity stats (q85), per-user z-score anomaly screen (q86), exact
   grouped median + MAD via sort-rank positions (q87), market-basket
-  co-occurrence lift (q89),
+  co-occurrence lift (q89), correlated scalar subquery / NOT EXISTS /
+  LATERAL top-n per group, all decorrelated by Catalyst (q91-q93),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "q86_zscore_anomalies",
     "q87_grouped_median_mad",
     "q89_cooccurrence_lift",
+    "q91_correlated_scalar",
+    "q92_not_exists",
+    "q93_lateral_topn",
     "q71_heavy_hitters_cms",
     "q72_bloom_semijoin",
     "q73_pagerank_transitions",

@@ -1218,6 +1218,74 @@ FROM med m JOIN mad d USING (event_type)
 
 
 # ---------------------------------------------------------------------------
+# q91-q93 — SQL subquery surface (correlated scalar / NOT EXISTS / LATERAL)
+#
+# These run through spark.sql over the registered views on purpose: the
+# operator under test is Catalyst's DECORRELATION — a correlated scalar
+# subquery must rewrite to an aggregate + join, NOT EXISTS to a left-anti
+# join, and a correlated LATERAL with ORDER BY/LIMIT to a ranked
+# partition-limit join.  A per-row re-execution of the subquery (the
+# naive semantics) would be O(n²) scans at 100 TB; the rewrite makes
+# them ordinary shuffles.  The DuckDB oracle runs the same ANSI text.
+# ---------------------------------------------------------------------------
+
+_Q91_SQL = """
+SELECT o_custkey AS custkey, count(*) AS n_above,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders o
+WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+GROUP BY o_custkey
+HAVING count(*) >= 2
+"""
+
+
+def q91_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced >1.5× their customer's average (correlated scalar
+    subquery), aggregated per customer — decorrelated by Catalyst into
+    one aggregate + equi-join on o_custkey."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q91_SQL)
+
+
+_Q92_SQL = """
+SELECT p_brand, count(*) AS n_never_bulk
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+GROUP BY p_brand
+"""
+
+
+def q92_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never shipped in bulk (no lineitem with quantity > 45), per
+    brand — correlated NOT EXISTS with an extra predicate, decorrelated
+    to a left-anti hash join on partkey with the filter pushed into the
+    anti side's scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q92_SQL)
+
+
+_Q93_SQL = """
+SELECT c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+       round(o.o_totalprice, 2) AS totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
+def q93_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's top-2 orders via a correlated LATERAL subquery
+    with ORDER BY + LIMIT — the per-group-limit shape, decorrelated to
+    a ranked window join (deterministic orderkey tie-break)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q93_SQL)
+
+
+# ---------------------------------------------------------------------------
 # q89 — market-basket co-occurrence lift over event types
 # ---------------------------------------------------------------------------
 
@@ -1342,6 +1410,9 @@ ANALYTICS_QUERIES = {
     "q86_zscore_anomalies": q86_zscore_anomalies,
     "q87_grouped_median_mad": q87_grouped_median_mad,
     "q89_cooccurrence_lift": q89_cooccurrence_lift,
+    "q91_correlated_scalar": q91_correlated_scalar,
+    "q92_not_exists": q92_not_exists,
+    "q93_lateral_topn": q93_lateral_topn,
 }
 
 ANALYTICS_ORACLES = {
@@ -1378,4 +1449,7 @@ ANALYTICS_ORACLES = {
     "q86_zscore_anomalies": _Q86_SQL,
     "q87_grouped_median_mad": _Q87_SQL,
     "q89_cooccurrence_lift": _Q89_SQL,
+    "q91_correlated_scalar": _Q91_SQL,
+    "q92_not_exists": _Q92_SQL,
+    "q93_lateral_topn": _Q93_SQL,
 }

@@ -468,3 +468,34 @@ def test_q89_pairs_are_narrow_no_self_join(spark):
     # InMemoryRelation counts match 1:1 when no consumer rescans events)
     assert plan.count("InMemoryTableScan") >= 2  # sets reused, not rebuilt
     assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
+
+
+def test_q91_decorrelates_to_single_join(spark):
+    """The correlated scalar subquery must be rewritten to an aggregate
+    + equi-join — per-row subquery re-execution would be O(n²) scans."""
+    from postfix_log_parser_spark.analytics import q91_correlated_scalar
+
+    plan = _plan(q91_correlated_scalar(spark, SF_DIR))
+    assert "Subquery" not in plan  # fully decorrelated, no subquery exec
+    assert "Join" in plan
+
+
+def test_q92_decorrelates_to_anti_join(spark):
+    from postfix_log_parser_spark.analytics import q92_not_exists
+
+    plan = _plan(q92_not_exists(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    # the bulk predicate reaches the anti side's parquet scan
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln
+            and "l_quantity" in ln]
+    assert any("GreaterThan(l_quantity" in ln for ln in scan)
+
+
+def test_q93_lateral_becomes_partition_limit(spark):
+    """LATERAL ... ORDER BY ... LIMIT per customer must plan as a ranked
+    window/partition-limit over one exchange, not a per-row subquery."""
+    from postfix_log_parser_spark.analytics import q93_lateral_topn
+
+    plan = _plan(q93_lateral_topn(spark, SF_DIR))
+    assert "Subquery" not in plan
+    assert "WindowGroupLimit" in plan or "Window" in plan
