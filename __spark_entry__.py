@@ -33,6 +33,8 @@
   grouped median + MAD via sort-rank positions (q87), market-basket
   co-occurrence lift (q89), correlated scalar subquery / NOT EXISTS /
   LATERAL top-n per group, all decorrelated by Catalyst (q91-q93),
+  mergeable per-day HLL sketch table with union-merged range estimates
+  (q94),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

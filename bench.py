@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "q92_not_exists",
     "q93_lateral_topn",
     "q71_heavy_hitters_cms",
+    "q94_hll_sketch_table",
     "q72_bloom_semijoin",
     "q73_pagerank_transitions",
     "q74_passage_dedup",

@@ -157,10 +157,61 @@ FROM ranked WHERE rn <= {TOP_K}
 """
 
 
+def q94_hll_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-day HLL sketch table → union-merged distinct users.
+
+    THE pre-aggregation pattern for distinct counts at 100 TB: a nightly
+    job reduces each day-partition to one fixed-size Datasketches HLL
+    sketch (``hll_sketch_agg``, lgK=12 → ≤4 KB); any date-range distinct
+    count is then ``hll_union_agg`` over the matching sketch rows — the
+    fact table is never rescanned, and sketch merge is associative so
+    the union runs as a tiny two-phase aggregate.  (A plain
+    ``approx_count_distinct`` — q15 — cannot be incrementally maintained
+    across runs; the sketch table can: new days append, ranges merge.)
+
+    Self-verifying like q15: the engine-specific estimate is never
+    hashed; the query returns the day count, the exact distinct count,
+    and a ``within_bound`` flag for 3x the lgK=12 relative standard
+    error (3 x 1.04 / sqrt(2^12) ~ 4.9%) that the oracle asserts TRUE.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    daily = ev.groupBy("d").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    rse3 = 3 * 1.04 / (2 ** 6)  # 3 x 1.04/sqrt(2^12)
+    return merged.join(F.broadcast(exact)).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(
+                F.ceil(F.lit(rse3) * F.col("exact_users")), F.lit(1)
+            )
+        ).alias("within_bound"),
+    )
+
+
+_Q94_SQL = """
+SELECT count(DISTINCT date_trunc('day', ts)) AS n_days,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events
+"""
+
+
 SKETCHES_QUERIES = {
     "q71_heavy_hitters_cms": q71_heavy_hitters_cms,
+    "q94_hll_sketch_table": q94_hll_sketch_table,
 }
 
 SKETCHES_ORACLES = {
     "q71_heavy_hitters_cms": _Q71_SQL,
+    "q94_hll_sketch_table": _Q94_SQL,
 }

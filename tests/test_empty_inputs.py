@@ -31,6 +31,8 @@ _GLOBAL_AGG = {
     "q15_approx_distinct",
     # layout-invariant summary: one row (total_docs=0, vacuous bounds)
     "q81_range_export",
+    # sketch-table summary: one row (n_days=0, exact=0, null bound)
+    "q94_hll_sketch_table",
 }
 
 # the parse-pipeline queries run on the EMBEDDED golden log fixtures

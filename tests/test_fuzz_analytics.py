@@ -41,6 +41,7 @@ FUZZED = [
     # r6-continuation additions over the fuzz tables
     "q70_gapfill_hourly",
     "q71_heavy_hitters_cms",
+    "q94_hll_sketch_table",
     "q73_pagerank_transitions",
     "q78_jsonl_roundtrip",
     "q79_csv_roundtrip",
