@@ -44,8 +44,9 @@
   join, watermarked deduplication, native session windows, incremental
   materialized-view maintenance via idempotent foreachBatch delta
   merge, watermarked stream-stream interval join — q90 is the LEFT
-  OUTER variant with heartbeat-driven watermark closure), each equal to
-  its batch oracle by construction.
+  OUTER variant with heartbeat-driven watermark closure, bounded-state
+  dedup via dropDuplicatesWithinWatermark — q95), each equal to its
+  batch oracle by construction.
 
 ``oracle_sql()`` returns the DuckDB twin for every query; q15's sketch is
 self-verifying (the query returns exact counts + within-bound booleans

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q49_stream_hourly",
     "q50_stream_enrich",
     "q51_stream_dedup",
+    "q95_stream_dedup_within_watermark",
     "q54_stream_sessions",
     "q57_stream_rollup_mv",
     "q88_stream_interval_join",

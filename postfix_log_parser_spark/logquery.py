@@ -542,6 +542,32 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q95_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    keeps a key's state only until the watermark passes its event time +
+    delay, then frees it — unlike q51's ``dropDuplicates``, whose state
+    holds every key ever seen and grows without bound on a 100 TB
+    stream.  The trade: a duplicate arriving after its key's state
+    expired re-emits (at-least-once dedup within the watermark horizon —
+    the guarantee bounded state can honestly provide; the cross-batch
+    re-emission behavior is pinned in
+    ``tests/test_streaming.py::test_dedup_within_watermark_expiry``).
+    Over availableNow the emitted set equals batch DISTINCT.
+    """
+    src = _events_stream(spark, sf_dir)
+    deduped = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_stream_to_memory(spark, deduped, "q95")
+
+
+_Q95_SQL = _Q51_SQL
+
+
 def q54_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION windows: per-user activity sessions with a
     2-hour inactivity gap via Spark's native ``session_window`` — the
@@ -894,6 +920,7 @@ LOG_QUERIES = {
     "q49_stream_hourly": q49_stream_hourly,
     "q50_stream_enrich": q50_stream_enrich,
     "q51_stream_dedup": q51_stream_dedup,
+    "q95_stream_dedup_within_watermark": q95_stream_dedup_within_watermark,
     "q54_stream_sessions": q54_stream_sessions,
     "q57_stream_rollup_mv": q57_stream_rollup_mv,
     "q88_stream_interval_join": q88_stream_interval_join,
@@ -922,6 +949,7 @@ LOG_ORACLES = {
     "q49_stream_hourly": _Q49_SQL,
     "q50_stream_enrich": _Q50_SQL,
     "q51_stream_dedup": _Q51_SQL,
+    "q95_stream_dedup_within_watermark": _Q95_SQL,
     "q54_stream_sessions": _Q54_SQL,
     "q57_stream_rollup_mv": _Q57_SQL,
     "q88_stream_interval_join": _Q88_SQL,

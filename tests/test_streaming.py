@@ -622,3 +622,68 @@ def test_stream_interval_join_cross_batch(spark, tmp_path):
         (5, 1, 30 * 60 * 1_000_000),   # cross-batch match
         (8, 4, 60 * 60 * 1_000_000),   # inclusive 1h bound
     }
+
+
+def test_dedup_within_watermark_expiry(spark, tmp_path):
+    """q95's bounded-state semantics: a duplicate key arriving while its
+    state is live is dropped; after the watermark expires the key's
+    state, the same key RE-EMITS (the honest at-least-once guarantee of
+    bounded-state dedup). q51's dropDuplicates, by contrast, would
+    suppress it forever at unbounded state cost."""
+    import datetime as dt
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+
+    def ev(eid, mins, user):
+        return (eid, base + dt.timedelta(minutes=mins), user, "click", 1.0, "{}")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch 1: key (1,'click') first seen at 09:00; wm -> 09:10 - 1h
+    spark.createDataFrame([ev(1, 0, 1), ev(2, 10, 99)], schema).coalesce(
+        1
+    ).write.parquet(str(in_dir / "01"))
+    # batch 2: duplicate at 09:05 (state live -> dropped), advance wm
+    # past 10:00 via a 11:30 event so the key's state expires
+    spark.createDataFrame([ev(3, 5, 1), ev(4, 150, 99)], schema).coalesce(
+        1
+    ).write.parquet(str(in_dir / "02"))
+    # batch 3: filler — state eviction happens at the END of a batch,
+    # after its input was matched, so the expired key needs one batch
+    # boundary between watermark advance and its re-arrival
+    spark.createDataFrame([ev(6, 155, 99)], schema).coalesce(1).write.parquet(
+        str(in_dir / "03")
+    )
+    # batch 4: same key again at 11:40 -- state expired, must RE-EMIT
+    spark.createDataFrame([ev(5, 160, 1)], schema).coalesce(1).write.parquet(
+        str(in_dir / "04")
+    )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir / "*"))
+    )
+    dedup = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id")
+    )
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.schema("event_id long, user_id long").parquet(str(out_dir))
+    emitted = {r.event_id for r in got.collect()}
+    assert 1 in emitted          # first occurrence
+    assert 3 not in emitted      # duplicate within watermark: dropped
+    assert 5 in emitted          # re-emitted after state expiry
