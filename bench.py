@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "q66_funnel",
     "q67_retention_cohorts",
     "q19_skew_salted",
+    "q96_user_features",
+    "q97_skew_salted_join",
     "q20_dedup_exact",
     "q21_dedup_ngram_jaccard",
     "q22_dedup_minhash_lsh",

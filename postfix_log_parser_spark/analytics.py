@@ -822,6 +822,123 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q96 — feature-store materialization (per-entity ML features, one pass)
+# ---------------------------------------------------------------------------
+
+def q96_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature vector for a downstream model: event counts per
+    type (conditional aggregation — a pivot without the discovery scan),
+    value stats, and activity span in hours.
+
+    The feature-store materialization shape: ONE hash exchange on the
+    entity key computes every feature as a conditional aggregate with
+    map-side partials; no joins, no per-feature passes.  At 100 TB this
+    is the nightly feature-refresh job, append-partitioned by run date.
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def cnt(t: str) -> F.Column:
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return ev.groupBy("user_id").agg(
+        cnt("view"),
+        cnt("click"),
+        cnt("purchase"),
+        cnt("signup"),
+        cnt("error"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            )
+            / F.lit(3_600_000_000.0),
+            4,
+        ).alias("span_hours"),
+    )
+
+
+_Q96_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 3600000000.0, 4)
+         AS span_hours
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q97 — salted skew JOIN (Zipfian fact key x dim, no hot reducer)
+# ---------------------------------------------------------------------------
+
+N_JOIN_SALT = 8
+
+
+def q97_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join the events fact to a per-type dim with EXPLICIT salting: the
+    fact side salts its join key ``(event_type, event_id % S)``; the dim
+    side replicates each row S times with an exploded salt column, so
+    the equi-join on ``(key, salt)`` spreads a Zipfian key across S
+    reducers instead of one hot partition.
+
+    q19 demonstrates salting for aggregation; this is the JOIN variant —
+    the manual fallback when AQE's skew-join split cannot apply (e.g.
+    the dim is too large to broadcast but small enough to replicate S×,
+    or the engine runs with AQE off).  Result ≡ the unsalted join; the
+    plan is the point.
+    """
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("type_avg"))
+    )
+    dim_salted = dim.select(
+        "event_type",
+        "type_avg",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(N_JOIN_SALT)])
+        ).alias("_salt"),
+    )
+    fact_salted = ev.withColumn(
+        "_salt", (F.col("event_id") % N_JOIN_SALT).cast("int")
+    )
+    # shuffle_hash hint: without it Catalyst broadcasts the tiny dim and
+    # the salt never reaches a plan decision — the hint pins the
+    # exchange-based join this pattern exists for (at real scale the
+    # replicated dim exceeds the broadcast threshold on its own)
+    joined = fact_salted.join(
+        dim_salted.hint("shuffle_hash"), ["event_type", "_salt"]
+    )
+    return (
+        joined.withColumn("dev", F.col("value") - F.col("type_avg"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.abs(F.col("dev"))), 2).alias("sum_abs_dev"),
+        )
+    )
+
+
+_Q97_SQL = """
+WITH dim AS (
+  SELECT event_type, round(avg(value), 6) AS type_avg
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n_events,
+       round(sum(abs(e.value - d.type_avg)), 2) AS sum_abs_dev
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q35 — GROUPING SETS through the spark.sql surface (EP3: SQL over views)
 # ---------------------------------------------------------------------------
 
@@ -1413,6 +1530,8 @@ ANALYTICS_QUERIES = {
     "q91_correlated_scalar": q91_correlated_scalar,
     "q92_not_exists": q92_not_exists,
     "q93_lateral_topn": q93_lateral_topn,
+    "q96_user_features": q96_user_features,
+    "q97_skew_salted_join": q97_skew_salted_join,
 }
 
 ANALYTICS_ORACLES = {
@@ -1452,4 +1571,6 @@ ANALYTICS_ORACLES = {
     "q91_correlated_scalar": _Q91_SQL,
     "q92_not_exists": _Q92_SQL,
     "q93_lateral_topn": _Q93_SQL,
+    "q96_user_features": _Q96_SQL,
+    "q97_skew_salted_join": _Q97_SQL,
 }

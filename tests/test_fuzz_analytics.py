@@ -48,6 +48,8 @@ FUZZED = [
     "q75_rolling_7d",
     "q77_value_histogram",
     "q86_zscore_anomalies",
+    "q96_user_features",
+    "q97_skew_salted_join",
     "q87_grouped_median_mad",
     "q89_cooccurrence_lift",
     # corpus export / tokenizer family (zero-word docs hit the chunking

@@ -499,3 +499,26 @@ def test_q93_lateral_becomes_partition_limit(spark):
     plan = _plan(q93_lateral_topn(spark, SF_DIR))
     assert "Subquery" not in plan
     assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_q96_features_single_exchange(spark):
+    """The feature vector is one conditional-aggregate pass: exactly one
+    hash exchange on the entity key, partial + final aggregation."""
+    from postfix_log_parser_spark.analytics import q96_user_features
+
+    plan = _plan(q96_user_features(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()
+
+
+def test_q97_join_is_salted_shuffle(spark):
+    """The skew join must exchange on (event_type, _salt) — the salt in
+    the partitioning keys is the whole point — and must NOT broadcast
+    the dim (which would bypass the salted path entirely)."""
+    from postfix_log_parser_spark.analytics import q97_skew_salted_join
+
+    plan = _plan(q97_skew_salted_join(spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert "_salt" in plan.split("ShuffledHashJoin")[0] or "_salt" in plan
+    exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert any("_salt" in ln for ln in exch)
