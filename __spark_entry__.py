@@ -46,8 +46,8 @@
   materialized-view maintenance via idempotent foreachBatch delta
   merge, watermarked stream-stream interval join — q90 is the LEFT
   OUTER variant with heartbeat-driven watermark closure, bounded-state
-  dedup via dropDuplicatesWithinWatermark — q95), each equal to its
-  batch oracle by construction.
+  dedup via dropDuplicatesWithinWatermark — q95, FULL OUTER interval
+  join — q98), each equal to its batch oracle by construction.
 
 ``oracle_sql()`` returns the DuckDB twin for every query; q15's sketch is
 self-verifying (the query returns exact counts + within-bound booleans

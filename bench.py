@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "q57_stream_rollup_mv",
     "q88_stream_interval_join",
     "q90_stream_interval_join_outer",
+    "q98_stream_interval_join_full",
     "q44_sink_roundtrip",
 ]
 

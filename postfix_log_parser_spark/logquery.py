@@ -809,7 +809,8 @@ def interval_join_streams(
     ).select(
         "purchase_id",
         "click_id",
-        F.col("p_user").alias("user_id"),
+        # coalesce: for outer joins the unmatched side's user is NULL
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
 
@@ -915,6 +916,46 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def q98_stream_interval_join_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER watermarked stream-stream interval join: q90 plus the
+    unmatched CLICKS (purchase columns NULL) — both sides' state closes
+    against the watermark.  A click's state can only release once the
+    watermark proves no purchase in ``[click, click + 1h]`` can still
+    arrive; the q90 heartbeat sentinels provide that closure at stream
+    end.  Shares q90's staged source (memoized per sf_dir)."""
+    if sf_dir not in _Q90_STAGED:
+        # stage via q90's builder (also runs q90's stream once; staging
+        # is memoized so subsequent q90/q98 calls skip the copy)
+        q90_stream_interval_join_outer(spark, sf_dir)
+    work = _Q90_STAGED[sf_dir]
+
+    def src() -> DataFrame:
+        return spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(
+            f"{work}/*.parquet"
+        )
+
+    joined = interval_join_streams(src(), src(), how="full_outer")
+    return _run_stream_to_memory(spark, joined, "q98").filter(
+        F.col("user_id") >= 0
+    )
+
+
+_Q98_SQL = """
+WITH p AS (SELECT event_id AS pid, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS cid, user_id, ts FROM events
+           WHERE event_type = 'click')
+SELECT p.pid AS purchase_id, c.cid AS click_id,
+       coalesce(p.user_id, c.user_id) AS user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p FULL JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""
+
+
 _Q88_SQL = """
 SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
@@ -938,6 +979,7 @@ LOG_QUERIES = {
     "q57_stream_rollup_mv": q57_stream_rollup_mv,
     "q88_stream_interval_join": q88_stream_interval_join,
     "q90_stream_interval_join_outer": q90_stream_interval_join_outer,
+    "q98_stream_interval_join_full": q98_stream_interval_join_full,
     "q41_log_faults": q41_log_faults,
     "q42_log_state": q42_log_state,
     "q43_stream_events": q43_stream_events,
@@ -967,6 +1009,7 @@ LOG_ORACLES = {
     "q57_stream_rollup_mv": _Q57_SQL,
     "q88_stream_interval_join": _Q88_SQL,
     "q90_stream_interval_join_outer": _Q90_SQL,
+    "q98_stream_interval_join_full": _Q98_SQL,
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
     "q43_stream_events": _Q43_SQL,
