@@ -35,7 +35,8 @@
   LATERAL top-n per group, all decorrelated by Catalyst (q91-q93),
   mergeable per-day HLL sketch table with union-merged range estimates
   (q94), per-user feature-store materialization (q96), salted skew
-  join (q97),
+  join (q97), ORC round-trip (q99), bucketed co-located join with
+  plan-asserted zero join exchanges (q100),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "q77_value_histogram",
     "q78_jsonl_roundtrip",
     "q79_csv_roundtrip",
+    "q99_orc_roundtrip",
+    "q100_bucketed_join",
     "q55_pivot_segments",
     "q56_unpivot_metrics",
     "q40_log_events",

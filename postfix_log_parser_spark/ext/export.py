@@ -173,12 +173,77 @@ FROM documents
 """
 
 
+N_BUCKETS = 8
+
+
+def q100_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: two tables bucketed + sorted on the same
+    key join with NO exchange on either side.
+
+    At 100 TB this is the layout decision that removes the dominant
+    shuffle from recurring fact↔fact / fact↔big-dim joins: both tables
+    are written once with ``bucketBy(N, key).sortBy(key)``, and every
+    subsequent join on the key reads pre-partitioned, pre-sorted buckets
+    — the SortMergeJoin's exchanges (and usually its sorts) vanish from
+    the plan (plan-asserted: the only exchange left is the final
+    aggregate's).  Tables are EXTERNAL (explicit path in scratch) so no
+    warehouse dir is touched; the ``merge`` hint keeps Catalyst from
+    broadcasting the test-scale dim, which would bypass the bucketed
+    path entirely.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    dim = ev.groupBy("user_id").agg(
+        F.avg("value").alias("user_avg"), F.count(F.lit(1)).alias("n_user")
+    )
+    work = _work_dir("q100_bkt_")
+    for name, df, sub in (
+        ("plps_ev_bkt", ev, "ev"),
+        ("plps_dim_bkt", dim, "dim"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(N_BUCKETS, "user_id")
+            .sortBy("user_id")
+            .option("path", f"{work}/{sub}")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    e = spark.table("plps_ev_bkt")
+    d = spark.table("plps_dim_bkt").hint("merge")
+    return (
+        e.join(d, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") - F.col("user_avg")), 2).alias(
+                "sum_dev"
+            ),
+        )
+    )
+
+
+_Q100_SQL = """
+WITH dim AS (
+  SELECT user_id, avg(value) AS user_avg FROM events GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n_events,
+       round(sum(e.value - d.user_avg), 2) AS sum_dev
+FROM events e JOIN dim d USING (user_id)
+GROUP BY e.event_type
+"""
+
+
 EXPORT_QUERIES = {
     "q80_shard_export": q80_shard_export,
     "q81_range_export": q81_range_export,
+    "q100_bucketed_join": q100_bucketed_join,
 }
 
 EXPORT_ORACLES = {
     "q80_shard_export": _Q80_SQL,
     "q81_range_export": _Q81_SQL,
+    "q100_bucketed_join": _Q100_SQL,
 }

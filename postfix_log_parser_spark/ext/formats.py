@@ -107,12 +107,27 @@ GROUP BY event_type
 """
 
 
+def q99_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events → ORC files → schema-explicit read → verifying aggregate.
+
+    ORC is the third columnar interchange format Spark ships natively
+    (after parquet and the text formats above); the round trip proves
+    the same write→read contract — predicate pushdown and column
+    pruning work on the ORC scan exactly as on parquet."""
+    path = _work_dir("q99_orc_") + "/events_orc"
+    _textable_events(spark, sf_dir).write.mode("overwrite").orc(path)
+    back = spark.read.schema(_TEXT_SCHEMA).orc(path)
+    return _roundtrip_agg(back)
+
+
 FORMATS_QUERIES = {
     "q78_jsonl_roundtrip": q78_jsonl_roundtrip,
     "q79_csv_roundtrip": q79_csv_roundtrip,
+    "q99_orc_roundtrip": q99_orc_roundtrip,
 }
 
 FORMATS_ORACLES = {
     "q78_jsonl_roundtrip": _ROUNDTRIP_SQL,
     "q79_csv_roundtrip": _ROUNDTRIP_SQL,
+    "q99_orc_roundtrip": _ROUNDTRIP_SQL,
 }

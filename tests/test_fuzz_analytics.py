@@ -45,6 +45,7 @@ FUZZED = [
     "q73_pagerank_transitions",
     "q78_jsonl_roundtrip",
     "q79_csv_roundtrip",
+    "q99_orc_roundtrip",
     "q75_rolling_7d",
     "q77_value_histogram",
     "q86_zscore_anomalies",

@@ -522,3 +522,16 @@ def test_q97_join_is_salted_shuffle(spark):
     assert "_salt" in plan.split("ShuffledHashJoin")[0] or "_salt" in plan
     exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert any("_salt" in ln for ln in exch)
+
+
+def test_q100_bucketed_join_no_join_exchange(spark):
+    """Both sides read pre-bucketed tables: the SortMergeJoin must have
+    NO exchange under it — the only exchange in the whole plan is the
+    final aggregate's."""
+    from postfix_log_parser_spark.ext.export import q100_bucketed_join
+
+    df = q100_bucketed_join(spark, SF_DIR)
+    plan = _final_plan(df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # final agg only
+    assert "BroadcastHashJoin" not in plan
