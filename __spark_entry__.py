@@ -35,8 +35,9 @@
   LATERAL top-n per group, all decorrelated by Catalyst (q91-q93),
   mergeable per-day HLL sketch table with union-merged range estimates
   (q94), per-user feature-store materialization (q96), salted skew
-  join (q97), ORC round-trip (q99), bucketed co-located join with
-  plan-asserted zero join exchanges (q100),
+  join (q97), ORC and XML round-trips (q99/q102), bucketed co-located join with
+  plan-asserted zero join exchanges (q100), VARIANT semi-structured
+  shredding (q101),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "q79_csv_roundtrip",
     "q99_orc_roundtrip",
     "q100_bucketed_join",
+    "q101_variant_shred",
+    "q102_xml_roundtrip",
     "q55_pivot_segments",
     "q56_unpivot_metrics",
     "q40_log_events",

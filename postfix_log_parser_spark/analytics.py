@@ -822,6 +822,45 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q101 — VARIANT semi-structured shredding (Spark 4 open variant type)
+# ---------------------------------------------------------------------------
+
+def q101_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shred the JSON ``props`` column through the open VARIANT type
+    (``parse_json`` → ``variant_get``) and aggregate the extracted field
+    per event type.
+
+    VARIANT is the Spark 4 answer to schema-on-read JSON at scale: the
+    binary-encoded variant parses the text ONCE, then every
+    ``variant_get`` is a cheap typed path lookup — vs q16's
+    ``get_json_object``, which re-parses the string per extraction.  On
+    a props column with many consumed fields this is the difference
+    between one parse and N parses per row.
+    """
+    ev = load(spark, sf_dir, "events")
+    shredded = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_Q101_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q96 — feature-store materialization (per-entity ML features, one pass)
 # ---------------------------------------------------------------------------
 
@@ -1531,6 +1570,7 @@ ANALYTICS_QUERIES = {
     "q92_not_exists": q92_not_exists,
     "q93_lateral_topn": q93_lateral_topn,
     "q96_user_features": q96_user_features,
+    "q101_variant_shred": q101_variant_shred,
     "q97_skew_salted_join": q97_skew_salted_join,
 }
 
@@ -1572,5 +1612,6 @@ ANALYTICS_ORACLES = {
     "q92_not_exists": _Q92_SQL,
     "q93_lateral_topn": _Q93_SQL,
     "q96_user_features": _Q96_SQL,
+    "q101_variant_shred": _Q101_SQL,
     "q97_skew_salted_join": _Q97_SQL,
 }

@@ -120,14 +120,38 @@ def q99_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
+def q102_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events → XML (native Spark 4 source, one <event> row tag per
+    record) → schema-explicit read → verifying aggregate.  XML is the
+    interchange format legacy enterprise feeds still emit; the native
+    source keeps parsing JVM-side like the other text formats."""
+    path = _work_dir("q102_xml_") + "/events_xml"
+    (
+        _textable_events(spark, sf_dir)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "event")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(_TEXT_SCHEMA)
+        .format("xml")
+        .option("rowTag", "event")
+        .load(path)
+    )
+    return _roundtrip_agg(back)
+
+
 FORMATS_QUERIES = {
     "q78_jsonl_roundtrip": q78_jsonl_roundtrip,
     "q79_csv_roundtrip": q79_csv_roundtrip,
     "q99_orc_roundtrip": q99_orc_roundtrip,
+    "q102_xml_roundtrip": q102_xml_roundtrip,
 }
 
 FORMATS_ORACLES = {
     "q78_jsonl_roundtrip": _ROUNDTRIP_SQL,
     "q79_csv_roundtrip": _ROUNDTRIP_SQL,
     "q99_orc_roundtrip": _ROUNDTRIP_SQL,
+    "q102_xml_roundtrip": _ROUNDTRIP_SQL,
 }

@@ -46,6 +46,8 @@ FUZZED = [
     "q78_jsonl_roundtrip",
     "q79_csv_roundtrip",
     "q99_orc_roundtrip",
+    "q101_variant_shred",
+    "q102_xml_roundtrip",
     "q75_rolling_7d",
     "q77_value_histogram",
     "q86_zscore_anomalies",
