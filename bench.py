@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "q100_bucketed_join",
     "q101_variant_shred",
     "q102_xml_roundtrip",
+    "q103_udtf_segments",
     "q55_pivot_segments",
     "q56_unpivot_metrics",
     "q40_log_events",

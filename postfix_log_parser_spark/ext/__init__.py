@@ -35,6 +35,7 @@ from postfix_log_parser_spark.ext.textstats import (
     TEXTSTATS_ORACLES,
     TEXTSTATS_QUERIES,
 )
+from postfix_log_parser_spark.ext.udtfs import UDTF_ORACLES, UDTF_QUERIES
 from postfix_log_parser_spark.ext.timeseries import (
     TIMESERIES_ORACLES,
     TIMESERIES_QUERIES,
@@ -58,6 +59,7 @@ EXT_QUERIES = {
     **EXPORT_QUERIES,
     **BPE_QUERIES,
     **CORPUS_QUERIES,
+    **UDTF_QUERIES,
 }
 
 EXT_ORACLES = {
@@ -78,4 +80,5 @@ EXT_ORACLES = {
     **EXPORT_ORACLES,
     **BPE_ORACLES,
     **CORPUS_ORACLES,
+    **UDTF_ORACLES,
 }

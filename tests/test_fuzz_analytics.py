@@ -62,6 +62,7 @@ FUZZED = [
     "q82_bpe_pair_counts",
     "q83_train_split",
     "q84_context_chunks",
+    "q103_udtf_segments",
     "q85_source_diversity",
     # text family
     "q27_text_quality",
