@@ -55,6 +55,11 @@ FUZZED = [
     "q97_skew_salted_join",
     "q87_grouped_median_mad",
     "q89_cooccurrence_lift",
+    # streaming shapes vs their batch oracles on randomized events
+    "q88_stream_interval_join",
+    "q90_stream_interval_join_outer",
+    "q98_stream_interval_join_full",
+    "q95_stream_dedup_within_watermark",
     # corpus export / tokenizer family (zero-word docs hit the chunking
     # and entropy edges the fixed corpus cannot)
     "q80_shard_export",
