@@ -38,7 +38,8 @@
   join (q97), ORC and XML round-trips (q99/q102), bucketed co-located join with
   plan-asserted zero join exchanges (q100), VARIANT semi-structured
   shredding (q101), Arrow-batched Python UDTF lateral segmentation
-  (q103),
+  (q103), ANSI WITH RECURSIVE bounded reachability (q104),
+  ntile/percent_rank decile windows (q105),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

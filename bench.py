@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "q99_orc_roundtrip",
     "q100_bucketed_join",
     "q101_variant_shred",
+    "q104_recursive_reachability",
+    "q105_ranking_windows",
     "q102_xml_roundtrip",
     "q103_udtf_segments",
     "q55_pivot_segments",

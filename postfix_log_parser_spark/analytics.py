@@ -822,6 +822,83 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q104 — WITH RECURSIVE (Spark 4 recursive CTE): bounded reachability
+# ---------------------------------------------------------------------------
+
+_Q104_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT event_type AS src, next_type AS dst
+  FROM (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+  )
+  WHERE next_type IS NOT NULL AND next_type <> event_type
+),
+reach(t, depth) AS (
+  SELECT CAST('signup' AS STRING) AS t, 0 AS depth
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.t
+  WHERE r.depth < 3
+)
+SELECT t, min(depth) AS min_hops, count(*) AS n_paths
+FROM reach
+GROUP BY t
+"""
+
+
+def q104_recursive_reachability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded transitive closure over the event-type transition graph
+    via ANSI ``WITH RECURSIVE`` (Spark 4) — which types are reachable
+    from 'signup' in ≤3 hops, with min-hop distance and path counts.
+
+    The recursion executes as Spark's iterative union-loop (one join +
+    dedup-free UNION ALL per round, bounded by the depth predicate) —
+    the same shuffle-per-round shape as q36/q73's hand-built loops, but
+    planned from declarative SQL; the DuckDB oracle runs the identical
+    text.  Only the events view is registered (q104/q105 must also run
+    on reduced table sets, e.g. the fuzz corpora)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_Q104_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q105 — ranking-window family: ntile deciles + percent_rank extremes
+# ---------------------------------------------------------------------------
+
+_Q105_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ntile(10) OVER w AS decile,
+         percent_rank() OVER w AS pr
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+)
+SELECT event_type, decile,
+       count(*) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi,
+       round(max(pr), 6) AS max_pr
+FROM ranked
+GROUP BY event_type, decile
+"""
+
+
+def q105_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment per event type via ``ntile(10)`` plus
+    ``percent_rank`` — the ranking-window family q07/q75 don't cover.
+    One key-partitioned window exchange feeds both functions; the
+    deterministic (value, event_id) tie-break keeps both engines'
+    decile boundaries identical."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_Q105_SQL)
+
+
+# ---------------------------------------------------------------------------
 # q101 — VARIANT semi-structured shredding (Spark 4 open variant type)
 # ---------------------------------------------------------------------------
 
@@ -1571,6 +1648,8 @@ ANALYTICS_QUERIES = {
     "q93_lateral_topn": q93_lateral_topn,
     "q96_user_features": q96_user_features,
     "q101_variant_shred": q101_variant_shred,
+    "q104_recursive_reachability": q104_recursive_reachability,
+    "q105_ranking_windows": q105_ranking_windows,
     "q97_skew_salted_join": q97_skew_salted_join,
 }
 
@@ -1613,5 +1692,7 @@ ANALYTICS_ORACLES = {
     "q93_lateral_topn": _Q93_SQL,
     "q96_user_features": _Q96_SQL,
     "q101_variant_shred": _Q101_SQL,
+    "q104_recursive_reachability": _Q104_SQL,
+    "q105_ranking_windows": _Q105_SQL,
     "q97_skew_salted_join": _Q97_SQL,
 }

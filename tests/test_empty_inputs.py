@@ -33,6 +33,8 @@ _GLOBAL_AGG = {
     "q81_range_export",
     # sketch-table summary: one row (n_days=0, exact=0, null bound)
     "q94_hll_sketch_table",
+    # recursion seed: 'signup' is reachable at depth 0 from an empty graph
+    "q104_recursive_reachability",
 }
 
 # the parse-pipeline queries run on the EMBEDDED golden log fixtures

@@ -51,6 +51,8 @@ FUZZED = [
     "q75_rolling_7d",
     "q77_value_histogram",
     "q86_zscore_anomalies",
+    "q104_recursive_reachability",
+    "q105_ranking_windows",
     "q96_user_features",
     "q97_skew_salted_join",
     "q87_grouped_median_mad",
