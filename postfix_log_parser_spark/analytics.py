@@ -956,14 +956,21 @@ def q96_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cnt(t: str) -> F.Column:
         return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
 
+    # value is a 2-decimal double: aggregate EXACT integer cents so the
+    # sum/avg are independent of partition summation order (a raw double
+    # sum can land on a round() boundary differently per engine — the
+    # q65 sufficient-statistics discipline)
+    cents = F.round(F.col("value") * 100).cast("long")
     return ev.groupBy("user_id").agg(
         cnt("view"),
         cnt("click"),
         cnt("purchase"),
         cnt("signup"),
         cnt("error"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        (F.sum(cents) / 100.0).alias("sum_value"),
+        F.round(F.sum(cents) / (100.0 * F.count(F.lit(1))), 4).alias(
+            "avg_value"
+        ),
         F.round(
             (
                 F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
@@ -981,8 +988,9 @@ SELECT user_id,
        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
        count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
        count(*) FILTER (WHERE event_type = 'error') AS n_error,
-       round(sum(value), 2) AS sum_value,
-       round(avg(value), 4) AS avg_value,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)), 4)
+         AS avg_value,
        round((epoch_us(max(ts)) - epoch_us(min(ts))) / 3600000000.0, 4)
          AS span_hours
 FROM events
