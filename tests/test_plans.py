@@ -535,3 +535,24 @@ def test_q100_bucketed_join_no_join_exchange(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # final agg only
     assert "BroadcastHashJoin" not in plan
+
+
+def test_q104_recursion_plans_as_union_loop(spark):
+    """WITH RECURSIVE must plan Spark's iterative UnionLoop (one join per
+    round against the recursive reference), not an unrolled or per-row
+    re-execution."""
+    from postfix_log_parser_spark.analytics import q104_recursive_reachability
+
+    plan = _plan(q104_recursive_reachability(spark, SF_DIR))
+    assert "UnionLoop" in plan
+    assert "UnionLoopRef" in plan
+
+
+def test_q105_one_window_exchange_feeds_both_functions(spark):
+    """ntile and percent_rank share one key-partitioned Window over one
+    exchange — never a second shuffle per ranking function."""
+    from postfix_log_parser_spark.analytics import q105_ranking_windows
+
+    plan = _plan(q105_ranking_windows(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(event_type") == 1
+    assert "ntile" in plan and "percent_rank" in plan
