@@ -39,7 +39,12 @@
   plan-asserted zero join exchanges (q100), VARIANT semi-structured
   shredding (q101), Arrow-batched Python UDTF lateral segmentation
   (q103), ANSI WITH RECURSIVE bounded reachability (q104),
-  ntile/percent_rank decile windows (q105),
+  ntile/percent_rank decile windows (q105), degree-ordered
+  compact-forward triangle counting over the strong-transition graph
+  (q106), exact prefix-filtered set-similarity self-join — AllPairs
+  prefix + length filters, zero false negatives vs the brute-force
+  oracle (q107), winsorized robust stats via buffer-free rank
+  percentiles (q108),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

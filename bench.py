@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "q20_dedup_exact",
     "q21_dedup_ngram_jaccard",
     "q22_dedup_minhash_lsh",
+    "q107_dedup_prefix_join",
     "q23_dedup_simhash",
     "q24_embed_neardup",
     "q36_dedup_components",
@@ -102,6 +103,7 @@ BENCH_QUERIES = [
     "q85_source_diversity",
     "q86_zscore_anomalies",
     "q87_grouped_median_mad",
+    "q108_winsorized_stats",
     "q89_cooccurrence_lift",
     "q91_correlated_scalar",
     "q92_not_exists",
@@ -110,6 +112,7 @@ BENCH_QUERIES = [
     "q94_hll_sketch_table",
     "q72_bloom_semijoin",
     "q73_pagerank_transitions",
+    "q106_triangle_counts",
     "q74_passage_dedup",
     "q75_rolling_7d",
     "q76_entity_resolution",

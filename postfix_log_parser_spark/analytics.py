@@ -1459,6 +1459,82 @@ FROM med m JOIN mad d USING (event_type)
 
 
 # ---------------------------------------------------------------------------
+# q108 — winsorized robust stats (rank-interpolated p05/p95, clamp, agg)
+# ---------------------------------------------------------------------------
+
+def _rank_pct_weight(p: float) -> "Column":
+    """Per-row contribution weight reproducing ``quantile_cont(p)`` from
+    sort-rank positions: with h = (n-1)·p + 1, row floor(h) contributes
+    (1 - frac) and row floor(h)+1 contributes frac.  Generalizes q87's
+    median shape to any percentile with the same O(1)-memory sort
+    exchange — no per-group value buffers (``percentile()`` would buffer
+    every group value in executor memory, unbounded at 100 TB)."""
+    h = (F.col("_n") - 1) * F.lit(p) + 1
+    lo = F.floor(h)
+    frac = h - lo
+    return F.when(F.col("_rn") == lo, 1 - frac).otherwise(F.lit(0.0)) + F.when(
+        F.col("_rn") == lo + 1, frac
+    ).otherwise(F.lit(0.0))
+
+
+def q108_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/stddev of ``value`` per event type: clamp to the
+    exact interpolated [p05, p95] band, then aggregate — the outlier-
+    robust alternative to q86's z-score screen for metric pipelines.
+
+    Plan: one sort exchange per group computes BOTH percentiles as
+    weighted rank sums (q87's buffer-free shape), the ≤|event_type|-row
+    percentile table broadcasts back onto the facts, and the clamped
+    aggregate is a plain partial-agg groupBy.  Two fact-table passes, no
+    value buffering, no driver collects.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    pcts = ranked.groupBy("event_type").agg(
+        F.sum(F.col("value") * _rank_pct_weight(0.05)).alias("p05"),
+        F.sum(F.col("value") * _rank_pct_weight(0.95)).alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(pcts), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("wv"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.round(F.min("p05"), 6).alias("p05"),
+        F.round(F.min("p95"), 6).alias("p95"),
+        F.round(F.avg("wv"), 4).alias("win_mean"),
+        F.round(F.stddev_samp("wv"), 4).alias("win_std"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_Q108_SQL = """
+WITH p AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       round(min(p.p05), 6) AS p05,
+       round(min(p.p95), 6) AS p95,
+       round(avg(least(greatest(e.value, p.p05), p.p95)), 4) AS win_mean,
+       round(stddev_samp(least(greatest(e.value, p.p05), p.p95)), 4) AS win_std,
+       count(*) AS n_events
+FROM events e JOIN p USING (event_type)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # q91-q93 — SQL subquery surface (correlated scalar / NOT EXISTS / LATERAL)
 #
 # These run through spark.sql over the registered views on purpose: the
@@ -1650,6 +1726,7 @@ ANALYTICS_QUERIES = {
     "q77_value_histogram": q77_value_histogram,
     "q86_zscore_anomalies": q86_zscore_anomalies,
     "q87_grouped_median_mad": q87_grouped_median_mad,
+    "q108_winsorized_stats": q108_winsorized_stats,
     "q89_cooccurrence_lift": q89_cooccurrence_lift,
     "q91_correlated_scalar": q91_correlated_scalar,
     "q92_not_exists": q92_not_exists,
@@ -1694,6 +1771,7 @@ ANALYTICS_ORACLES = {
     "q77_value_histogram": _Q77_SQL,
     "q86_zscore_anomalies": _Q86_SQL,
     "q87_grouped_median_mad": _Q87_SQL,
+    "q108_winsorized_stats": _Q108_SQL,
     "q89_cooccurrence_lift": _Q89_SQL,
     "q91_correlated_scalar": _Q91_SQL,
     "q92_not_exists": _Q92_SQL,

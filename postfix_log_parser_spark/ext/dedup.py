@@ -885,6 +885,110 @@ FROM per_doc
 """
 
 
+# ---------------------------------------------------------------------------
+# q107 — set-similarity join via prefix filtering (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+_PREFIX_T = 0.5  # Jaccard threshold
+
+
+def q107_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-similarity self-join (≥ 0.5 on word-3-gram shingles)
+    with PREFIX-FILTERED candidate generation — the third candidate
+    strategy in the dedup family, alongside q21's df-capped shingle join
+    and q22's MinHash-LSH bands.
+
+    Prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07 — public literature): order every document's shingles
+    by a single global rarity order (ascending document frequency, shingle
+    as tiebreak) and keep only the first ``|x| - ceil(t·|x|) + 1``
+    shingles as the join key set.  Two documents with Jaccard ≥ t MUST
+    share a prefix shingle under the same global order, so — unlike
+    q22's LSH — the candidate set has ZERO false negatives and the
+    verified output equals the brute-force all-pairs result (which is
+    exactly what the DuckDB oracle computes).
+
+    Scale shape: document frequency is one window exchange keyed on the
+    shingle (map-side partial counts); prefix selection is one sort
+    exchange keyed on doc_id; candidates come from an equi-join on the
+    (rare-by-construction) prefix shingles, so the join fan-out is
+    bounded by the rarest shingles' postings lists — never all-pairs.
+    Verification reuses the persisted shingle sets (q22's pattern).
+    """
+    docs = _augmented(spark, sf_dir)
+    with_sh = (
+        docs.select("doc_id", shingles3_udf(F.col("text")).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tok = with_sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
+    # global rarity order: ascending df, shingle text as the tiebreak
+    w_df = Window.partitionBy("sh")
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(_PREFIX_T) * F.col("n_sh")) + 1
+    # both self-join sides read the prefix table; persist it so the two
+    # window exchanges run once (at scale: a checkpoint table, like q22)
+    pref = (
+        tok.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .withColumn("rnk", F.row_number().over(w_doc))
+        .filter(F.col("rnk") <= prefix_len)
+        .select("doc_id", "n_sh", "sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    x = pref.alias("x")
+    y = pref.alias("y")
+    # AllPairs length filter (also exact): J(x,y) ≥ t forces
+    # t·|x| ≤ |y| ≤ |x|/t — prunes candidate pairs whose sizes alone
+    # already rule the threshold out, before the expensive verify join
+    cand = (
+        x.join(
+            y,
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.col("y.n_sh") * _PREFIX_T <= F.col("x.n_sh"))
+            & (F.col("x.n_sh") * _PREFIX_T <= F.col("y.n_sh")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # verify on the UNROUNDED ratio (round only for display): the prefix
+    # guarantee covers true J ≥ t — a 0.4996 that display-rounds to 0.500
+    # must be excluded on both sides or the oracle would keep a pair the
+    # candidate stage never saw
+    sh_a = with_sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = with_sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jacc = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(jacc >= _PREFIX_T)
+        .select("id_a", "id_b", F.round(jacc, 3).alias("jaccard"))
+    )
+
+
+# brute-force all-pairs twin: prefix filtering is exact (no false
+# negatives), so the verified Spark output must equal this in full
+_Q107_SQL = f"""
+WITH all_docs AS ({_AUG_SQL}),
+tok AS (
+  SELECT doc_id, {_DUCK_SHINGLES.replace('words', _DUCK_WORDS)} AS shingles
+  FROM all_docs
+),
+with_sh AS (SELECT * FROM tok WHERE len(shingles) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))), 3) AS jaccard
+FROM with_sh a JOIN with_sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+      (len(a.shingles) + len(b.shingles)
+       - len(list_intersect(a.shingles, b.shingles))) >= {_PREFIX_T}
+"""
+
+
 DEDUP_QUERIES = {
     "q20_dedup_exact": q20_dedup_exact,
     "q21_dedup_ngram_jaccard": q21_dedup_ngram_jaccard,
@@ -895,6 +999,7 @@ DEDUP_QUERIES = {
     "q36_dedup_components": q36_dedup_components,
     "q37_training_mix": q37_training_mix,
     "q74_passage_dedup": q74_passage_dedup,
+    "q107_dedup_prefix_join": q107_dedup_prefix_join,
 }
 
 DEDUP_ORACLES = {
@@ -907,4 +1012,5 @@ DEDUP_ORACLES = {
     "q36_dedup_components": _q36_sql(),
     "q37_training_mix": _Q37_SQL,
     "q74_passage_dedup": _Q74_SQL,
+    "q107_dedup_prefix_join": _Q107_SQL,
 }

@@ -556,3 +556,41 @@ def test_q105_one_window_exchange_feeds_both_functions(spark):
     plan = _plan(q105_ranking_windows(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning(event_type") == 1
     assert "ntile" in plan and "percent_rank" in plan
+
+
+def test_q106_wedges_are_equi_joins_no_cartesian(spark):
+    """Triangle enumeration must be equi-joins on the apex / closing
+    edge — a cartesian over the edge set would be quadratic in |E| at
+    scale.  The only nested-loop join allowed is the 1-row median-weight
+    broadcast."""
+    from postfix_log_parser_spark.ext.graph import q106_triangle_counts
+
+    plan = _plan(q106_triangle_counts(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # wedge + closing joins are hash equi-joins on the node keys
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_q107_candidates_are_prefix_equi_join(spark):
+    """Prefix-filtered set-similarity join: candidates must come from an
+    equi-join on the prefix shingle (never all-pairs), and the prefix
+    table must be a reused in-memory relation (computed once, read by
+    both join sides)."""
+    from postfix_log_parser_spark.ext.dedup import q107_dedup_prefix_join
+
+    plan = _plan(q107_dedup_prefix_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan  # persisted prefix/shingle tables
+
+
+def test_q108_percentiles_rank_based_and_broadcast_back(spark):
+    """Winsorized stats must use the q87 sort-rank shape (no percentile
+    value buffers) and broadcast the tiny percentile table back onto the
+    facts."""
+    from postfix_log_parser_spark.analytics import q108_winsorized_stats
+
+    plan = _plan(q108_winsorized_stats(spark, SF_DIR))
+    assert "percentile" not in plan.lower()
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
