@@ -57,6 +57,13 @@ FUZZED = [
     "q97_skew_salted_join",
     "q87_grouped_median_mad",
     "q89_cooccurrence_lift",
+    # r6-continuation batch 2: random transition graphs hit median-weight
+    # ties (q106); the tiny fuzz vocabulary makes heavy shingle overlap,
+    # stressing q107's prefix-filter exactness vs the brute-force oracle;
+    # duplicate values hit q108's rank-interpolation edges
+    "q106_triangle_counts",
+    "q107_dedup_prefix_join",
+    "q108_winsorized_stats",
     # streaming shapes vs their batch oracles on randomized events
     "q88_stream_interval_join",
     "q90_stream_interval_join_outer",
