@@ -44,7 +44,9 @@
   (q106), exact prefix-filtered set-similarity self-join — AllPairs
   prefix + length filters, zero false negatives vs the brute-force
   oracle (q107), winsorized robust stats via buffer-free rank
-  percentiles (q108),
+  percentiles (q108), hierarchical mergeable rollup — daily grain
+  re-aggregated from hourly partials on exact integer cents, facts
+  scanned once (q109),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "q86_zscore_anomalies",
     "q87_grouped_median_mad",
     "q108_winsorized_stats",
+    "q109_hierarchical_rollup",
     "q89_cooccurrence_lift",
     "q91_correlated_scalar",
     "q92_not_exists",

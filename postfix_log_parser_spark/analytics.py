@@ -1535,6 +1535,74 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# q109 — hierarchical mergeable rollup (the hypertable continuous-aggregate
+# pattern: coarser grains re-aggregate FINER PARTIALS, never the facts)
+# ---------------------------------------------------------------------------
+
+def q109_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stats computed FROM the hourly partial aggregates — the
+    facts are scanned exactly once (plan-asserted: one FileScan feeds
+    both grains).
+
+    This is the mergeability discipline a 100 TB rollup hierarchy lives
+    on: keep (sum, count, min, max) — never avg — at every grain, so
+    minute→hour→day→month each re-aggregates the previous level's
+    partials instead of re-scanning the fact table; avg is derived as
+    sum/count only at read time.  The DuckDB oracle computes the daily
+    grain DIRECTLY from the facts, proving the merged partials equal
+    facts-level truth.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    # exact integer cents (q96's discipline): partial sums must merge to
+    # the IDENTICAL total regardless of grouping/summation order, or the
+    # two-level path could land on a round() boundary differently from
+    # the facts-level oracle
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    ).agg(
+        F.sum(cents).alias("sum_c"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", F.col("hour_ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "event_type",
+    ).agg(
+        (F.sum("sum_c") / 100.0).alias("sum_value"),
+        F.sum("n").alias("n_events"),
+        # half-up rounding to 4 decimals done entirely in INTEGER space:
+        # avg·1e4 = sum_c·100/n, so half-up = (200·sum_c + n) div (2n).
+        # round(double) is engine-dependent exactly on .00005 boundaries
+        # (Spark rounds the shortest decimal rendering, DuckDB the binary
+        # double) — integer arithmetic has no boundary to disagree on.
+        (
+            F.expr("(200 * sum(sum_c) + sum(n)) div (2 * sum(n))") / 10000.0
+        ).alias("avg_value"),
+        F.min("min_v").alias("min_value"),
+        F.max("max_v").alias("max_value"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+
+
+_Q109_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       count(*) AS n_events,
+       ((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
+          // (2 * count(*))) / 10000.0 AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       count(DISTINCT date_trunc('hour', ts)) AS n_hours
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # q91-q93 — SQL subquery surface (correlated scalar / NOT EXISTS / LATERAL)
 #
 # These run through spark.sql over the registered views on purpose: the
@@ -1727,6 +1795,7 @@ ANALYTICS_QUERIES = {
     "q86_zscore_anomalies": q86_zscore_anomalies,
     "q87_grouped_median_mad": q87_grouped_median_mad,
     "q108_winsorized_stats": q108_winsorized_stats,
+    "q109_hierarchical_rollup": q109_hierarchical_rollup,
     "q89_cooccurrence_lift": q89_cooccurrence_lift,
     "q91_correlated_scalar": q91_correlated_scalar,
     "q92_not_exists": q92_not_exists,
@@ -1772,6 +1841,7 @@ ANALYTICS_ORACLES = {
     "q86_zscore_anomalies": _Q86_SQL,
     "q87_grouped_median_mad": _Q87_SQL,
     "q108_winsorized_stats": _Q108_SQL,
+    "q109_hierarchical_rollup": _Q109_SQL,
     "q89_cooccurrence_lift": _Q89_SQL,
     "q91_correlated_scalar": _Q91_SQL,
     "q92_not_exists": _Q92_SQL,

@@ -64,6 +64,7 @@ FUZZED = [
     "q106_triangle_counts",
     "q107_dedup_prefix_join",
     "q108_winsorized_stats",
+    "q109_hierarchical_rollup",
     # streaming shapes vs their batch oracles on randomized events
     "q88_stream_interval_join",
     "q90_stream_interval_join_outer",

@@ -594,3 +594,13 @@ def test_q108_percentiles_rank_based_and_broadcast_back(spark):
     assert "percentile" not in plan.lower()
     assert "Window" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q109_rollup_scans_facts_once(spark):
+    """The hierarchical rollup's daily grain must re-aggregate the hourly
+    PARTIALS — exactly one fact-table scan under two stacked aggregates."""
+    from postfix_log_parser_spark.analytics import q109_hierarchical_rollup
+
+    plan = _plan(q109_hierarchical_rollup(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("HashAggregate") >= 4  # partial+final at each grain
