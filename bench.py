@@ -279,7 +279,28 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
+    # Full per-query record first (humans / BENCH_local archives) ...
     print(json.dumps(result))
+    # ... then a compact FINAL line for the driver, which captures only the
+    # last ~2000 chars of stdout and parses the last JSON line.  r6's single
+    # 108-query line exceeded that and BENCH_r06 recorded `parsed: null`.
+    compact = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "repeat": repeat,
+        "n_queries": len(timings),
+        "parse_lines_per_sec": lines_per_sec,
+    }
+    if errors:
+        compact["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    with_q = dict(compact, queries=slowest)
+    line = json.dumps(with_q)
+    print(line if len(line) <= 1800 else json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -929,7 +929,7 @@ def q101_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q101_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
 FROM (SELECT event_type,
              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
       FROM events)

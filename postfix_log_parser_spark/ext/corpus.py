@@ -75,7 +75,7 @@ WITH assigned AS (
          END AS split
   FROM documents
 )
-SELECT lang, split, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM assigned
 GROUP BY 1, 2
@@ -185,7 +185,7 @@ wc AS (
   WHERE regexp_full_match(w, '[a-z]+')
   GROUP BY 1, 2
 )
-SELECT source, sum(c) AS n_tokens, count(*) AS n_distinct,
+SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
        round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
 FROM wc
 GROUP BY source

@@ -522,8 +522,17 @@ GROUP BY 1
 
 N_COS_TILES = 8  # side-tiling factor for the distributed block nested loop
 
+# q24 is an EXACT all-pairs baseline: compute is O(N^2) even though the plan
+# is fully distributed.  Above this row count the quadratic arithmetic — not
+# the shuffle — is the killer, so the operator refuses to run and points at
+# the sub-quadratic twins.  Raise deliberately (q24_embed_neardup(...,
+# max_rows=...)) only for a scoped oracle/validation run.
+MAX_EXACT_COSINE_ROWS = 100_000
 
-def q24_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def q24_embed_neardup(
+    spark: SparkSession, sf_dir: str, max_rows: int = MAX_EXACT_COSINE_ROWS
+) -> DataFrame:
     """Pairs of embeddings with cosine >= 0.45 (the testdata has no true
     embedding dups, so this surfaces the top tail of the random cosine
     distribution).
@@ -552,6 +561,18 @@ def q24_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             .filter(F.col("embedding").isNotNull())  # null vectors poison matmul
             .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        )
+
+    n_vecs = scan().count()
+    if n_vecs > max_rows:
+        raise ValueError(
+            f"q24_embed_neardup is the EXACT all-pairs baseline: {n_vecs} "
+            f"input vectors exceed the {max_rows}-row guard and would cost "
+            f"O(N^2) = ~{n_vecs * n_vecs // 2:,} cosines. Use the "
+            "sub-quadratic paths instead: ext.similarity.q26_ann_lsh "
+            "(hyperplane-bucketed) or ext.dedup.q107_prefix_simjoin "
+            "(prefix-filtered), or pass max_rows= explicitly for a scoped "
+            "validation run."
         )
 
     k = N_COS_TILES
@@ -878,7 +899,7 @@ per_doc AS (
   FROM chunks c LEFT JOIN dup_keys dk ON c.ck = dk.ck
   GROUP BY c.doc_id
 )
-SELECT doc_id, n_chunks, n_dup_chunks,
+SELECT doc_id, n_chunks, CAST(n_dup_chunks AS BIGINT) AS n_dup_chunks,
        round(n_dup_chunks::DOUBLE / n_chunks, 4) AS dup_frac,
        round(n_dup_chunks::DOUBLE / n_chunks, 4) <= 0.5 AS keep
 FROM per_doc

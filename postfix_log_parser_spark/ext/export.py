@@ -99,7 +99,7 @@ _Q80_SQL = f"""
 SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
          % {N_SHARDS} AS shard,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(doc_id) AS min_doc,
        max(doc_id) AS max_doc
 FROM documents

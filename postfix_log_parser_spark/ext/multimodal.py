@@ -5,11 +5,15 @@ struct; per-item decode / feature-extraction runs as an Arrow-batched
 ``mapInPandas`` stage (the idiomatic shape for CPU-bound per-item Python
 work: vectorized transfer, per-partition execution, no driver loop).
 
-The decode step for real media is STUBBED (the container has no image /
-audio libraries): ``decode_image`` raises ``NotImplementedError`` and the
-query path uses a deterministic byte-level feature extractor instead.  The
-Spark-side plumbing — binary column, metadata struct, batch iterator
-signature, partition-preserving schema — is real and oracle-checked.
+``decode_image`` is a REAL decoder for binary PPM (P6) — a pure-Python
+header+raster parser, no imaging library needed — and q31 exercises it
+end-to-end: each document gets a deterministic synthetic P6 payload, the
+decoder turns it back into a pixel array, and exact integer pixel features
+(px_sum / n_px) flow into the oracle-checked aggregate.  Other formats
+(JPEG/PNG/audio/video) still raise ``NotImplementedError``: decoding them
+requires codecs this container doesn't have; swap the seam for
+PIL/torchvision in a real deployment — the mapInPandas plumbing is
+format-agnostic.
 """
 
 from __future__ import annotations
@@ -17,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,20 +33,61 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("source", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("digest", T.StringType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+        T.StructField("n_px", T.LongType(), False),
     ]
 )
 
+# synthetic image geometry: width fixed, height keyed off n_chars so sizes
+# vary; pixel (flattened index i) = (doc_id*31 + i) mod 256 — closed-form,
+# so the DuckDB oracle can recompute the decoded features without a decoder
+SYNTH_W = 8
 
-def decode_image(content: bytes) -> "object":
-    """Decode an image payload into pixels.
 
-    STUB: no imaging library is available in this container.  The Spark
-    plumbing around it (binary column → mapInPandas batches) is real; swap
-    this function for PIL/torchvision in a real deployment.
+def synth_ppm(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic synthetic P6 image for a document: 8 px wide,
+    1+(n_chars mod 7) px tall, gradient raster seeded by doc_id."""
+    h = 1 + (n_chars % 7)
+    n = SYNTH_W * h * 3
+    a = (doc_id * 31) % 256
+    raster = bytes((a + i) % 256 for i in range(n))
+    return b"P6\n# synth\n%d %d\n255\n" % (SYNTH_W, h) + raster
+
+
+def decode_image(content: bytes) -> "np.ndarray":
+    """Decode an image payload into an (h, w, 3) uint8 pixel array.
+
+    REAL decoder for binary PPM (P6): netpbm header tokenizer (whitespace-
+    separated tokens, ``#`` comments to end-of-line, per the spec) followed
+    by the raw RGB raster.  Formats needing a codec library (JPEG/PNG/...)
+    raise NotImplementedError — swap this seam for PIL/torchvision in a
+    real deployment; the Spark plumbing around it is format-agnostic.
     """
+    if content[:2] == b"P6":
+        pos = 2
+        tokens: list[int] = []
+        while len(tokens) < 3:
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":
+                while pos < len(content) and content[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(content[start:pos]))
+        pos += 1  # single whitespace after maxval, then the raster
+        w, h, maxval = tokens
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM rasters not supported")
+        raster = content[pos : pos + w * h * 3]
+        if len(raster) != w * h * 3:
+            raise ValueError(f"P6 raster truncated: {len(raster)} != {w * h * 3}")
+        return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "container; see ext.multimodal docstring"
+        "only binary PPM (P6) decodes without an imaging library; "
+        "see ext.multimodal docstring"
     )
 
 
@@ -65,13 +111,23 @@ def to_media_table(docs: DataFrame) -> DataFrame:
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched per-item feature extraction over binary payloads.
 
-    Deterministic byte-level features (size, md5 digest) stand in for the
-    stubbed media decode; the batch iterator shape is exactly what a real
-    decoder would use."""
+    Two feature families per item, both computed inside one mapInPandas
+    stage (no second pass, no join):
+      * byte-level: payload size + md5 digest of the raw content column;
+      * decoded-pixel: each doc's deterministic synthetic P6 payload goes
+        through the REAL ``decode_image`` parser and the pixel array is
+        reduced to exact integer features (px_sum, n_px) — integer sums
+        are order-independent, so the downstream aggregate is
+        bit-reproducible and DuckDB-checkable."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             content = pdf["content"]
+            px_sums, n_pxs = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                px = decode_image(synth_ppm(int(doc_id), int(n_chars)))
+                px_sums.append(int(px.sum(dtype=np.int64)))
+                n_pxs.append(px.size)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -80,15 +136,24 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "digest": content.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
+                    "px_sum": pd.array(px_sums, dtype="int64"),
+                    "n_px": pd.array(n_pxs, dtype="int64"),
                 }
             )
 
-    return media.select("doc_id", "source", "content").mapInPandas(
-        batches, FEATURE_SCHEMA
-    )
+    return media.select(
+        "doc_id",
+        "source",
+        "content",
+        F.coalesce(F.col("meta.n_chars"), F.lit(0)).alias("n_chars"),
+    ).mapInPandas(batches, FEATURE_SCHEMA)
 
 
 def q31_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source multimodal feature rollup.  ``avg_pixel`` is computed
+    from REAL image decodes (synthetic P6 payloads through the netpbm
+    parser) as a ratio of exact integer sums — order-independent, so the
+    oracle comparison is bit-stable."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = extract_features(to_media_table(docs))
     return feats.groupBy("source").agg(
@@ -96,15 +161,28 @@ def q31_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.count_distinct(F.col("digest")).alias("n_distinct_digests"),
         F.min("digest").alias("min_digest"),
+        F.sum("px_sum").alias("total_px_sum"),
+        F.round(F.sum("px_sum") / F.sum("n_px"), 4).alias("avg_pixel"),
     )
 
 
-_Q31_SQL = """
+_Q31_SQL = f"""
+WITH px AS (
+  SELECT source, text,
+         list_sum(list_transform(
+             range(0, {3 * SYNTH_W} * (1 + coalesce(n_chars, 0) % 7)),
+             i -> ((doc_id * 31) % 256 + i) % 256)) AS px_sum,
+         {3 * SYNTH_W} * (1 + coalesce(n_chars, 0) % 7) AS n_px
+  FROM documents WHERE text IS NOT NULL
+)
 SELECT source, count(*) AS n_items,
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        count(DISTINCT md5(text)) AS n_distinct_digests,
-       min(md5(text)) AS min_digest
-FROM documents WHERE text IS NOT NULL GROUP BY source
+       min(md5(text)) AS min_digest,
+       CAST(sum(px_sum) AS BIGINT) AS total_px_sum,
+       round(CAST(sum(px_sum) AS BIGINT) / CAST(sum(n_px) AS BIGINT), 4)
+         AS avg_pixel
+FROM px GROUP BY source
 """
 
 

@@ -1,15 +1,18 @@
 """Multimodal plumbing tests: binary+metadata schema, resize and
-frame-sample mapInPandas stages, stubbed decode."""
+frame-sample mapInPandas stages, real P6 decode (codec formats stubbed)."""
 
 import pytest
 
 from postfix_log_parser_spark.ext.multimodal import (
     FRAME_BYTES,
     FRAME_EVERY,
+    SYNTH_W,
     _fake_resize,
     decode_image,
+    extract_features,
     resize_media,
     sample_frames,
+    synth_ppm,
     to_media_table,
 )
 
@@ -27,9 +30,41 @@ def media(spark):
     return to_media_table(docs)
 
 
-def test_decode_is_stubbed():
+def test_decode_codec_formats_are_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_decode_p6_roundtrip():
+    """The P6 decoder is real: header tokenizer (with comments) + raster."""
+    raster = bytes(range(2 * 3 * 3))
+    img = decode_image(b"P6\n# a comment\n3 2\n255\n" + raster)
+    assert img.shape == (2, 3, 3)
+    assert img.flatten().tolist() == list(range(18))
+    # truncated raster is an error, not silent garbage
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P6\n3 2\n255\n" + raster[:-1])
+    # 16-bit maxval needs a wider raster layout we don't support
+    with pytest.raises(NotImplementedError):
+        decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_synth_ppm_decodes_to_expected_gradient():
+    img = decode_image(synth_ppm(42, 100))
+    h = 1 + 100 % 7
+    assert img.shape == (h, SYNTH_W, 3)
+    a = (42 * 31) % 256
+    n = h * SYNTH_W * 3
+    assert int(img.sum()) == sum((a + i) % 256 for i in range(n))
+
+
+def test_extract_features_runs_real_decode(media):
+    rows = {r["doc_id"]: r for r in extract_features(media).collect()}
+    # doc 1: n_chars=300 -> h=1+300%7=7, a=31
+    n = 7 * SYNTH_W * 3
+    assert rows[1]["n_px"] == n
+    assert rows[1]["px_sum"] == sum((31 + i) % 256 for i in range(n))
+    assert rows[1]["n_bytes"] == 300  # byte-level features still present
 
 
 def test_resize_media(media):

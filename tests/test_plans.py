@@ -58,6 +58,19 @@ def test_q24_has_no_cartesian_product(spark):
     assert plan.count("FileScan parquet") == 2  # one scan per side, no more
 
 
+def test_q24_refuses_oversized_input(spark):
+    """q24 is the exact O(N^2) baseline — above the row guard it must
+    refuse (pointing at the sub-quadratic q26/q107 paths) rather than
+    launch a quadratic job against a production corpus."""
+    from postfix_log_parser_spark.ext.dedup import q24_embed_neardup
+
+    with pytest.raises(ValueError, match="q26_ann_lsh"):
+        q24_embed_neardup(spark, SF_DIR, max_rows=10)
+    # explicit opt-in for a scoped validation run still works
+    df = q24_embed_neardup(spark, SF_DIR, max_rows=10_000_000)
+    assert df.columns == ["id_a", "id_b", "cosine"]
+
+
 def test_q01_partial_aggregate(spark):
     """The pricing summary keeps the two-phase hash aggregate: a partial
     (map-side) phase before the exchange, final after."""
