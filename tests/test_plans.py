@@ -584,6 +584,36 @@ def test_q106_wedges_are_equi_joins_no_cartesian(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
 
 
+def test_q106_compact_forward_join_order(spark):
+    """Pin the compact-forward shape itself, not just 'no cartesian':
+    (1) the wedge self-join is an equi-join keyed on the apex column
+    ``a`` whose residual condition orders wedge legs by far-endpoint
+    DEGREE (db < db, node tie-break) — enumerating every wedge at its
+    lowest-degree apex is what turns a hub's O(d^2) wedges into
+    O(d*avg_deg); (2) the closing join is keyed on BOTH wedge endpoints
+    (b, b) = (b3, c3), so each triangle is found exactly once."""
+    import re
+
+    from postfix_log_parser_spark.ext.graph import q106_triangle_counts
+
+    plan = _plan(q106_triangle_counts(spark, SF_DIR))
+    # (1) apex equi-join with the degree-ordered residual
+    wedge = re.search(
+        r"(?:BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) "
+        r"\[a#\d+\], \[a#\d+\],.*?\(\(db#\d+L < db#\d+L\) OR "
+        r"\(\(db#\d+L = db#\d+L\) AND \(b#\d+ < b#\d+\)\)\)",
+        plan,
+    )
+    assert wedge, "wedge join lost its apex key or degree-order condition"
+    # (2) triangle-closing join keyed on both wedge endpoints
+    closing = re.search(
+        r"(?:BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) "
+        r"\[b#\d+, b#\d+\], \[b3#\d+, c3#\d+\]",
+        plan,
+    )
+    assert closing, "closing join must be keyed on (b, b) = (b3, c3)"
+
+
 def test_q107_candidates_are_prefix_equi_join(spark):
     """Prefix-filtered set-similarity join: candidates must come from an
     equi-join on the prefix shingle (never all-pairs), and the prefix
