@@ -22,6 +22,10 @@ from postfix_log_parser_spark.ext.multimodal import (
 from postfix_log_parser_spark.ext.packing import PACKING_ORACLES, PACKING_QUERIES
 from postfix_log_parser_spark.ext.profile import PROFILE_ORACLES, PROFILE_QUERIES
 from postfix_log_parser_spark.ext.quantize import QUANTIZE_ORACLES, QUANTIZE_QUERIES
+from postfix_log_parser_spark.ext.retrieval import (
+    RETRIEVAL_ORACLES,
+    RETRIEVAL_QUERIES,
+)
 from postfix_log_parser_spark.ext.sampling import SAMPLING_ORACLES, SAMPLING_QUERIES
 from postfix_log_parser_spark.ext.sketches import (
     SKETCHES_ORACLES,
@@ -60,6 +64,7 @@ EXT_QUERIES = {
     **BPE_QUERIES,
     **CORPUS_QUERIES,
     **UDTF_QUERIES,
+    **RETRIEVAL_QUERIES,
 }
 
 EXT_ORACLES = {
@@ -81,4 +86,5 @@ EXT_ORACLES = {
     **BPE_ORACLES,
     **CORPUS_ORACLES,
     **UDTF_ORACLES,
+    **RETRIEVAL_ORACLES,
 }

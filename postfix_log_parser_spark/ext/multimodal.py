@@ -338,11 +338,104 @@ FROM s GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q111 — perceptual-hash (average-hash) image dedup over DECODED pixels
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("phash", T.StringType(), False),
+    ]
+)
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Average-hash fingerprints from decoded pixels, one mapInPandas
+    stage: decode → grayscale (integer (r+g+b)//3) → threshold against
+    the image's mean luminance → bit-string fingerprint.  The classic
+    aHash; bit-exact across engines because the gray values are integers
+    and the mean is one double division of exact integer sums."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                px = decode_image(synth_ppm(int(doc_id), int(n_chars)))
+                gray = px.reshape(-1, 3).astype(np.int64).sum(axis=1) // 3
+                mean = gray.sum() / gray.size
+                fps.append("".join("1" if g > mean else "0" for g in gray))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": fps,
+                }
+            )
+
+    return media.select(
+        "doc_id",
+        F.coalesce(F.col("meta.n_chars"), F.lit(0)).alias("n_chars"),
+    ).mapInPandas(batches, PHASH_SCHEMA)
+
+
+def q111_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dedup cluster-size histogram: decode every payload, aHash
+    it, group identical fingerprints (one hash shuffle on the 64-bit-ish
+    fingerprint — the exact-dedup shape of q20 applied to DECODED media,
+    not raw bytes), and histogram the cluster sizes.
+
+    Scale: fingerprints are tiny and uniformly distributed, so the
+    group-by partitions evenly; near-duplicate (small-hamming) clustering
+    on top of these fingerprints would reuse q22's banded-signature
+    equi-join shape.  Real media would swap ``synth_ppm`` for the stored
+    payload; the decode seam (ext/multimodal.decode_image) is the same.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = phash_media(to_media_table(docs))
+    clusters = fps.groupBy("phash").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.min("phash").alias("min_phash"),
+    )
+
+
+_Q111_SQL = f"""
+WITH img AS (
+  SELECT doc_id,
+         (doc_id * 31) % 256 AS a,
+         {SYNTH_W} * (1 + coalesce(n_chars, 0) % 7) AS n_gray
+  FROM documents WHERE text IS NOT NULL
+),
+gray AS (
+  SELECT doc_id,
+         list_transform(range(0, n_gray),
+             j -> ((a + 3 * j) % 256 + (a + 3 * j + 1) % 256
+                   + (a + 3 * j + 2) % 256) // 3) AS g
+  FROM img
+),
+fp AS (
+  SELECT doc_id,
+         array_to_string(list_transform(g,
+             v -> CASE WHEN v > list_sum(g) / CAST(len(g) AS DOUBLE)
+                  THEN '1' ELSE '0' END), '') AS phash
+  FROM gray
+),
+clusters AS (
+  SELECT phash, count(*) AS cluster_size FROM fp GROUP BY phash
+)
+SELECT cluster_size, count(*) AS n_clusters, min(phash) AS min_phash
+FROM clusters GROUP BY cluster_size
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q31_multimodal_features": q31_multimodal_features,
     "q34_frame_sample": q34_frame_sample,
+    "q111_phash_dedup": q111_phash_dedup,
 }
 MULTIMODAL_ORACLES = {
     "q31_multimodal_features": _Q31_SQL,
     "q34_frame_sample": _Q34_SQL,
+    "q111_phash_dedup": _Q111_SQL,
 }

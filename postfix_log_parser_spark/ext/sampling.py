@@ -81,5 +81,114 @@ SELECT sample_rank, doc_id, source, n_chars
 FROM ranked WHERE sample_rank <= {SAMPLE_K}
 """
 
-SAMPLING_QUERIES = {"q62_weighted_sample": q62_weighted_sample}
-SAMPLING_ORACLES = {"q62_weighted_sample": _Q62_SQL}
+# ---------------------------------------------------------------------------
+# q112 — temperature-based source mixing (corpus reweighting)
+# ---------------------------------------------------------------------------
+#
+# The standard multilingual/multi-source training mix (GPT-3 / XLM-R style):
+# sample source s with probability ∝ p_s^alpha instead of its natural share
+# p_s, flattening the head and up-weighting the tail.  alpha = 0.5.
+#
+# Numerics contract: per-source weights are floor(sqrt(n_s) * 1e6) BIGINTs —
+# sqrt is IEEE correctly-rounded (identical in JVM and DuckDB, unlike pow),
+# and integer sums are order-independent — so every sampling rate is the
+# same double in both engines and the md5-uniform keep decision (q62's
+# portable hash) is bit-reproducible.  No float accumulates across rows.
+#
+# Scale shape: one tiny per-source aggregate (broadcast back), then a
+# narrow per-row keep filter — one scan + one broadcast join, no shuffle
+# of the corpus.
+
+MIX_ALPHA_NOTE = "alpha=0.5 realized as integer-scaled sqrt weights"
+MIX_TARGET_FRAC = 2  # sample ~N/2 docs overall
+
+
+def q112_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars")
+    )
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = per_src.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_docs")) * 1000000).cast("long")
+    )
+    totals = weighted.agg(
+        F.sum("w").alias("w_total"), F.sum("n_docs").alias("n_total")
+    )
+    rates = (
+        weighted.join(F.broadcast(totals), how="cross")
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                (F.col("n_total") / MIX_TARGET_FRAC)
+                * F.col("w")
+                / (F.col("w_total") * F.col("n_docs")),
+            ),
+        )
+        .select("source", "n_docs", "w", "rate")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = ((h % 1000000000).cast("double") + 0.5) / 1000000000.0
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("rate"))
+    )
+    return kept.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("w").alias("weight"),
+        F.round(F.max("rate"), 6).alias("rate"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+_Q112_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs
+  FROM documents WHERE n_chars > 0 GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w
+  FROM per_src
+),
+totals AS (
+  SELECT CAST(sum(w) AS BIGINT) AS w_total,
+         CAST(sum(n_docs) AS BIGINT) AS n_total
+  FROM weighted
+),
+rates AS (
+  SELECT source, n_docs, w,
+         least(1.0, (n_total / {MIX_TARGET_FRAC}) * w / (w_total * n_docs))
+           AS rate
+  FROM weighted CROSS JOIN totals
+),
+kept AS (
+  SELECT d.source, d.n_chars, r.n_docs, r.w, r.rate
+  FROM (
+    SELECT source, n_chars,
+           ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000000) + 0.5) / 1000000000.0 AS u
+    FROM documents WHERE n_chars > 0
+  ) d JOIN rates r USING (source)
+  WHERE d.u < r.rate
+)
+SELECT source, max(n_docs) AS n_docs, max(w) AS weight,
+       round(max(rate), 6) AS rate, count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY source
+"""
+
+SAMPLING_QUERIES = {
+    "q62_weighted_sample": q62_weighted_sample,
+    "q112_source_mix": q112_source_mix,
+}
+SAMPLING_ORACLES = {
+    "q62_weighted_sample": _Q62_SQL,
+    "q112_source_mix": _Q112_SQL,
+}

@@ -627,6 +627,24 @@ def test_q107_candidates_are_prefix_equi_join(spark):
     assert "InMemoryTableScan" in plan  # persisted prefix/shingle tables
 
 
+def test_q110_topk_is_take_ordered_and_postings_reused(spark):
+    """BM25 top-k must plan as TakeOrderedAndProject (per-partition heap
+    + k-row merge), never a global single-partition sort or an
+    unpartitioned row_number over the full corpus; the query-term
+    posting table must be a reused in-memory relation (one tokenize scan
+    feeds both the scorer and document frequencies); corpus stats and
+    dfreq ride broadcasts."""
+    from postfix_log_parser_spark.ext.retrieval import q110_bm25_topk
+
+    plan = _plan(q110_bm25_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan  # dfreq joins broadcast
+    # the only Window is over the 20 surviving rows (above the TakeOrdered)
+    win_pos = plan.index("Window ")
+    assert win_pos < plan.index("TakeOrderedAndProject")
+
+
 def test_q108_percentiles_rank_based_and_broadcast_back(spark):
     """Winsorized stats must use the q87 sort-rank shape (no percentile
     value buffers) and broadcast the tiny percentile table back onto the
