@@ -967,6 +967,69 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def q113_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas``: per-event-type running
+    (count, exact-cents sum) held in a named ValueState inside a custom
+    StatefulProcessor, streamed over FOUR micro-batches
+    (``maxFilesPerTrigger=1`` over a 4-file copy of the events table) so
+    the state must genuinely survive batch boundaries.  Update-mode
+    emissions land in the memory sink once per (key, batch); the final
+    totals are the per-key rows with the largest ``n_seen`` (monotone by
+    construction) — exactly the batch GROUP BY the oracle runs.
+
+    This is the 4.x arbitrary-state API (named typed state variables,
+    TTL, timers, RocksDB-backed) next to the 3.x
+    ``applyInPandasWithState`` the sessionize fold uses (q43) — the
+    engine exercises both.
+    """
+    from postfix_log_parser_spark.streaming.running_stats import (
+        OUTPUT_SCHEMA,
+        ROCKSDB_PROVIDER,
+        RunningStats,
+    )
+
+    work = _work_dir("q113_src_")
+    src_dir = f"{work}/src"
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    stream = (
+        spark.readStream.schema("event_type string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    running = stream.groupBy("event_type").transformWithStateInPandas(
+        RunningStats(), OUTPUT_SCHEMA, "Update", "None"
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        emitted = _run_stream_to_memory(spark, running, "q113", "update")
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+    return emitted.groupBy("event_type").agg(
+        F.max("n_seen").alias("n_seen"),
+        F.expr("max_by(sum_cents, n_seen)").alias("sum_cents"),
+    )
+
+
+_Q113_SQL = """
+SELECT event_type, count(*) AS n_seen,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""
+
+
 LOG_QUERIES = {
     "q40_log_events": q40_log_events,
     "q45_fused_events": q45_fused_events,
@@ -985,6 +1048,14 @@ LOG_QUERIES = {
     "q43_stream_events": q43_stream_events,
     "q44_sink_roundtrip": q44_sink_roundtrip,
 }
+
+# Spark 4's transformWithStateInPandas needs the protobuf package for its
+# Python<->JVM state protocol; register q113 only where that runtime exists
+# (not in this container — see streaming/running_stats.py)
+from postfix_log_parser_spark.streaming.running_stats import HAS_TWS_RUNTIME
+
+if HAS_TWS_RUNTIME:  # pragma: no cover - container lacks protobuf
+    LOG_QUERIES["q113_stream_running_stats"] = q113_stream_running_stats
 
 # q43's oracle = q40's VALUES minus one copy of the duplicated BASIC row
 _BASIC_ROW = """  ('85C6C10208A', '2024-04-09 17:22:42.548478', 'localhost', 'localhost',
@@ -1015,3 +1086,6 @@ LOG_ORACLES = {
     "q43_stream_events": _Q43_SQL,
     "q44_sink_roundtrip": _Q44_SQL,
 }
+
+if HAS_TWS_RUNTIME:  # pragma: no cover
+    LOG_ORACLES["q113_stream_running_stats"] = _Q113_SQL

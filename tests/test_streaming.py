@@ -687,3 +687,85 @@ def test_dedup_within_watermark_expiry(spark, tmp_path):
     assert 1 in emitted          # first occurrence
     assert 3 not in emitted      # duplicate within watermark: dropped
     assert 5 in emitted          # re-emitted after state expiry
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (q113): processor logic + runtime gate
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_running_stats_processor_accumulates_across_batches():
+    """The StatefulProcessor's per-key fold logic, unit-tested against a
+    mock handle: two micro-batches for one key must yield MONOTONE
+    running totals whose final value equals the batch aggregate (the
+    invariant q113's final max_by projection relies on)."""
+    import pandas as pd
+
+    from postfix_log_parser_spark.streaming.running_stats import RunningStats
+
+    proc = RunningStats()
+    proc.init(_FakeHandle())
+    b1 = list(
+        proc.handleInputRows(
+            ("click",), iter([pd.DataFrame({"cents": [100, 250]})]), None
+        )
+    )
+    b2 = list(
+        proc.handleInputRows(
+            ("click",),
+            iter([pd.DataFrame({"cents": [50]}), pd.DataFrame({"cents": [-25]})]),
+            None,
+        )
+    )
+    assert b1[0].to_dict("records") == [
+        {"event_type": "click", "n_seen": 2, "sum_cents": 350}
+    ]
+    assert b2[0].to_dict("records") == [
+        {"event_type": "click", "n_seen": 4, "sum_cents": 375}
+    ]
+    proc.close()
+
+
+def test_q113_registration_matches_tws_runtime():
+    """q113 is a contract query exactly when the transformWithState
+    Python runtime (protobuf) is importable; in this container it must
+    be gated OUT, never a pre-staged driver failure."""
+    from postfix_log_parser_spark.logquery import LOG_ORACLES, LOG_QUERIES
+    from postfix_log_parser_spark.streaming.running_stats import HAS_TWS_RUNTIME
+
+    assert ("q113_stream_running_stats" in LOG_QUERIES) == HAS_TWS_RUNTIME
+    assert ("q113_stream_running_stats" in LOG_ORACLES) == HAS_TWS_RUNTIME
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "postfix_log_parser_spark.streaming.running_stats",
+        fromlist=["HAS_TWS_RUNTIME"],
+    ).HAS_TWS_RUNTIME,
+    reason="transformWithState needs protobuf (absent in this container)",
+)
+def test_q113_stream_running_stats_end_to_end(spark):
+    """Full 4-micro-batch run (only where the TWS runtime exists)."""
+    from postfix_log_parser_spark.logquery import q113_stream_running_stats
+
+    rows = q113_stream_running_stats(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
