@@ -46,7 +46,13 @@
   oracle (q107), winsorized robust stats via buffer-free rank
   percentiles (q108), hierarchical mergeable rollup — daily grain
   re-aggregated from hourly partials on exact integer cents, facts
-  scanned once (q109),
+  scanned once (q109), Okapi BM25 top-k retrieval via inverted-index
+  posting joins (q110), perceptual-hash dedup over genuinely DECODED
+  binary-PPM pixels (q111), temperature-based source mixing with
+  bit-reproducible integer-sqrt weights (q112), cluster-blocked
+  SemDeDup semantic near-dup — the sub-quadratic path q24's guard
+  points at (q114); q113 (Spark 4 transformWithStateInPandas running
+  stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests
