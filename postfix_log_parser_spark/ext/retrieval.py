@@ -40,8 +40,8 @@ QUERY_TERMS = ["spark", "hash", "window", "stream", "vector"]
 TOP_K = 20
 
 
-def q110_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 documents by BM25 score for a 5-term query.
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching ≥1 query term.
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (Lucene's BM25+1 form)
     tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
@@ -96,20 +96,33 @@ def q110_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("idf") * F.col("tf_part")), 4).alias("bm25"))
     )
-    # distributed top-k: sort+limit plans as TakeOrderedAndProject
-    # (per-partition heap + driver merge of k rows) — never the global
-    # single-partition sort an unpartitioned row_number window would force
-    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(TOP_K)
+    return scored
+
+
+def _ranked_topk(df: DataFrame, score_col: str, k: int) -> DataFrame:
+    """Distributed top-k with dense 1..k ranks: sort+limit plans as
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows) —
+    never the global single-partition sort an unpartitioned row_number
+    window would force; the rank window then runs on the k survivors
+    only."""
+    top = df.orderBy(F.col(score_col).desc(), F.col("doc_id")).limit(k)
     rnk = F.row_number().over(
-        Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    )  # window runs on the k surviving rows only
-    return top.withColumn("rnk", rnk).select("rnk", "doc_id", "bm25")
+        Window.orderBy(F.col(score_col).desc(), F.col("doc_id"))
+    )
+    return top.withColumn("rnk", rnk)
+
+
+def q110_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 score for a 5-term query (see
+    ``_bm25_scored`` for the ranking function and scale shape)."""
+    scored = _bm25_scored(spark, sf_dir)
+    return _ranked_topk(scored, "bm25", TOP_K).select("rnk", "doc_id", "bm25")
 
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
-_Q110_SQL = f"""
-WITH d AS (
+# the BM25 scoring CTE chain, shared by the q110 and q115 oracles
+_BM25_CTES = f"""d AS (
   SELECT doc_id, {_DUCK_WORDS} AS words
   FROM documents WHERE text IS NOT NULL
 ),
@@ -134,7 +147,10 @@ scored AS (
          ), 4) AS bm25
   FROM postings p JOIN dfreq f USING (term) CROSS JOIN stats s
   GROUP BY p.doc_id
-)
+)"""
+
+_Q110_SQL = f"""
+WITH {_BM25_CTES}
 SELECT rnk, doc_id, bm25 FROM (
   SELECT doc_id, bm25,
          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
@@ -142,5 +158,119 @@ SELECT rnk, doc_id, bm25 FROM (
 ) WHERE rnk <= {TOP_K}
 """
 
-RETRIEVAL_QUERIES = {"q110_bm25_topk": q110_bm25_topk}
-RETRIEVAL_ORACLES = {"q110_bm25_topk": _Q110_SQL}
+
+# ---------------------------------------------------------------------------
+# q115 — hybrid retrieval: BM25 ∪ ANN fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+ARM_K = 50  # depth of each retriever arm
+RRF_C = 60  # the standard RRF constant (Cormack et al., SIGIR 2009)
+HYBRID_K = 10
+PROBE_ID = 0  # the semantic probe vector (doc 0's embedding)
+
+
+def q115_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the production RAG retrieval shape: a lexical arm
+    (q110's BM25 posting join) and a semantic arm (exact cosine against
+    one probe embedding — swap in q26's LSH buckets at scale) each
+    produce a top-50, then reciprocal-rank fusion
+    ``score = Σ_arms 1/(60 + rank)`` merges them (Cormack, Clarke &
+    Büttcher, SIGIR 2009 — rank-based, so the arms' incomparable score
+    scales never need calibration).
+
+    Scale shape: each arm is already distributed (posting join /
+    broadcast probe + TakeOrdered); fusion itself touches only 2·K
+    ranked rows — a full-outer join on doc_id over two k-row frames.
+    RRF scores are exact: integer ranks through one fixed-order double
+    expression, bit-identical cross-engine."""
+    from postfix_log_parser_spark.ext.similarity import _dot, _emb, _with_norm
+
+    lex = (
+        _ranked_topk(_bm25_scored(spark, sf_dir), "bm25", ARM_K)
+        .select("doc_id", F.col("rnk").alias("lex_rank"))
+    )
+    emb = _with_norm(_emb(spark, sf_dir))
+    probe = emb.filter(F.col("vec_id") == PROBE_ID).select(
+        F.col("v").alias("pv"), F.col("nrm").alias("pn")
+    )
+    sem_scored = (
+        emb.filter(F.col("vec_id") != PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("nrm")), 4
+            ).alias("cos"),
+        )
+    )
+    sem = _ranked_topk(sem_scored, "cos", ARM_K).select(
+        "doc_id", F.col("rnk").alias("sem_rank")
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (RRF_C + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_C + F.col("sem_rank")), F.lit(0.0)),
+        )
+    )
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(HYBRID_K)
+    rnk = F.row_number().over(Window.orderBy(F.col("rrf").desc(), F.col("doc_id")))
+    return top.withColumn("rnk", rnk).select(
+        "rnk", "doc_id", F.round("rrf", 6).alias("rrf"), "lex_rank", "sem_rank"
+    )
+
+
+_Q115_SQL = f"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT doc_id, rnk AS lex_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {ARM_K}
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nrm
+  FROM e
+),
+probe AS (SELECT v AS pv, nrm AS pn FROM n WHERE vec_id = {PROBE_ID}),
+sem_scored AS (
+  SELECT n.vec_id AS doc_id,
+         round(list_sum(list_transform(range(1, len(p.pv) + 1),
+                                       i -> p.pv[i] * n.v[i]))
+               / (p.pn * n.nrm), 4) AS cos
+  FROM n CROSS JOIN probe p WHERE n.vec_id <> {PROBE_ID}
+),
+sem AS (
+  SELECT doc_id, rnk AS sem_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rnk
+    FROM sem_scored
+  ) WHERE rnk <= {ARM_K}
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         lex.lex_rank, sem.sem_rank,
+         coalesce(1.0 / ({RRF_C} + lex.lex_rank), 0.0)
+           + coalesce(1.0 / ({RRF_C} + sem.sem_rank), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT rnk, doc_id, round(rrf, 6) AS rrf, lex_rank, sem_rank FROM (
+  SELECT doc_id, rrf, lex_rank, sem_rank,
+         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+  FROM fused
+) WHERE rnk <= {HYBRID_K}
+"""
+
+RETRIEVAL_QUERIES = {
+    "q110_bm25_topk": q110_bm25_topk,
+    "q115_hybrid_rrf": q115_hybrid_rrf,
+}
+RETRIEVAL_ORACLES = {
+    "q110_bm25_topk": _Q110_SQL,
+    "q115_hybrid_rrf": _Q115_SQL,
+}
