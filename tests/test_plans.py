@@ -645,6 +645,46 @@ def test_q110_topk_is_take_ordered_and_postings_reused(spark):
     assert win_pos < plan.index("TakeOrderedAndProject")
 
 
+def test_q114_blocked_neardup_shuffles_on_cluster_only(spark):
+    """SemDeDup blocking: the pair stage must be a cluster-keyed
+    FlatMapGroupsInPandas (exchange on the cluster id), never a
+    cartesian/nested-loop over vectors — that would silently reintroduce
+    the O(N^2) q24 guards against."""
+    from postfix_log_parser_spark.ext.cluster import (
+        q114_semantic_blocked_neardup,
+    )
+
+    plan = _plan(q114_semantic_blocked_neardup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert any(
+        "Exchange hashpartitioning(cluster" in ln for ln in plan.splitlines()
+    )
+
+
+def test_q115_fusion_joins_only_arm_topk(spark):
+    """Hybrid RRF: each arm ends in a TakeOrderedAndProject (bounded
+    k-row output) BEFORE the fusion join, so the full-outer join touches
+    2k rows, not the corpus; the semantic probe rides a broadcast."""
+    from postfix_log_parser_spark.ext.retrieval import q115_hybrid_rrf
+
+    plan = _plan(q115_hybrid_rrf(spark, SF_DIR))
+    # three bounded top-ks: one 50-row TakeOrdered per arm + the final 10
+    assert plan.count("TakeOrderedAndProject(limit=50") == 2
+    assert plan.count("TakeOrderedAndProject(limit=10") == 1
+    assert "CartesianProduct" not in plan
+    # the fusion join is FULL OUTER and sits BELOW the final top-10 but
+    # ABOVE both arm top-50s (printed tree: parents precede children)
+    join_pos = plan.index("FullOuter")
+    assert plan.index("TakeOrderedAndProject(limit=10") < join_pos
+    arm_positions = [
+        i for i in range(len(plan))
+        if plan.startswith("TakeOrderedAndProject(limit=50", i)
+    ]
+    assert all(p > join_pos for p in arm_positions)
+
+
 def test_q108_percentiles_rank_based_and_broadcast_back(spark):
     """Winsorized stats must use the q87 sort-rank shape (no percentile
     value buffers) and broadcast the tiny percentile table back onto the
