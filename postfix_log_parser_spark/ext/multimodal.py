@@ -429,13 +429,183 @@ FROM clusters GROUP BY cluster_size
 """
 
 
+# ---------------------------------------------------------------------------
+# q116 — audio feature extraction over DECODED PCM (real WAV parser)
+# ---------------------------------------------------------------------------
+
+WAV_WINDOW = 16  # samples per analysis window
+_WAV_SAMPLE_MOD = 2048  # synth sample = ((doc_id*7 + 13*i) % 2048) - 1024
+
+
+def synth_wav(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic synthetic RIFF/WAVE file: PCM16 mono @8kHz,
+    64+(n_chars mod 64) samples, sample i = ((doc_id*7 + 13*i) mod 2048)
+    - 1024 — closed-form, so the DuckDB oracle recomputes the decoded
+    features without a decoder."""
+    import struct
+
+    n = 64 + (n_chars % 64)
+    samples = [((doc_id * 7 + 13 * i) % _WAV_SAMPLE_MOD) - 1024 for i in range(n)]
+    pcm = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(content: bytes) -> "np.ndarray":
+    """Decode an audio payload into an int16 sample array.
+
+    REAL decoder for RIFF/WAVE PCM16 mono: chunk-walking parser (fmt
+    then data, skipping unknown chunks per the RIFF spec), no audio
+    library needed.  Compressed codecs (MP3/AAC/float WAV/multichannel)
+    raise NotImplementedError — swap the seam for soundfile/torchaudio
+    in a real deployment."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM decodes without an audio library"
+        )
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        payload = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_chunk = struct.unpack("<HHIIHH", payload[:16])
+        elif cid == b"data":
+            data = payload
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, _rate, _brate, _align, bits = fmt_chunk
+    if audio_format != 1 or bits != 16 or channels != 1:
+        raise NotImplementedError(
+            f"only PCM16 mono supported (format={audio_format}, "
+            f"bits={bits}, channels={channels})"
+        )
+    return np.frombuffer(data, dtype="<i2")
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_windows", T.LongType(), False),
+        T.StructField("ssq_sum", T.LongType(), False),
+        T.StructField("max_win_ssq", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: each item's synthetic WAV
+    goes through the REAL ``decode_audio`` parser, then per-window
+    (16-sample) energy and within-window zero-crossing counts — all
+    integer arithmetic, so the aggregate is exact and oracle-checkable."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_w, ssq, mx, zc = [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                s = decode_audio(synth_wav(int(doc_id), int(n_chars)))
+                s = s.astype(np.int64)
+                k = len(s) // WAV_WINDOW
+                win = s[: k * WAV_WINDOW].reshape(k, WAV_WINDOW)
+                wssq = (win * win).sum(axis=1)
+                sign = win >= 0
+                wzc = (sign[:, 1:] != sign[:, :-1]).sum(axis=1)
+                n_w.append(k)
+                ssq.append(int(wssq.sum()))
+                mx.append(int(wssq.max()) if k else 0)
+                zc.append(int(wzc.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "n_windows": pd.array(n_w, dtype="int64"),
+                    "ssq_sum": pd.array(ssq, dtype="int64"),
+                    "max_win_ssq": pd.array(mx, dtype="int64"),
+                    "zero_crossings": pd.array(zc, dtype="int64"),
+                }
+            )
+
+    return media.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("meta.n_chars"), F.lit(0)).alias("n_chars"),
+    ).mapInPandas(batches, AUDIO_SCHEMA)
+
+
+def q116_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audio rollup over genuinely DECODED PCM: window count,
+    total and max window energy, zero-crossing count — the standard
+    cheap audio-quality screens (silence/clipping/noisiness) a
+    multimodal curation pipeline runs before expensive models."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = audio_features(to_media_table(docs))
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_windows").alias("n_windows"),
+        F.sum("ssq_sum").alias("ssq_sum"),
+        F.max("max_win_ssq").alias("max_win_ssq"),
+        F.sum("zero_crossings").alias("zero_crossings"),
+    )
+
+
+_Q116_SQL = f"""
+WITH a AS (
+  SELECT doc_id, source,
+         (64 + coalesce(n_chars, 0) % 64) // {WAV_WINDOW} AS k,
+         doc_id * 7 AS seed
+  FROM documents WHERE text IS NOT NULL
+),
+win AS (
+  SELECT doc_id, source, k, seed, unnest(range(0, k)) AS w
+  FROM a
+),
+feat AS (
+  SELECT doc_id, source, k, w,
+         list_transform(range(0, {WAV_WINDOW}),
+             i -> (seed + 13 * ({WAV_WINDOW} * w + i)) % {_WAV_SAMPLE_MOD}
+                  - 1024) AS s
+  FROM win
+),
+wstats AS (
+  SELECT doc_id, source, k,
+         CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS wssq,
+         CAST(list_sum(list_transform(range(1, {WAV_WINDOW}),
+             i -> CASE WHEN (s[i] >= 0) <> (s[i + 1] >= 0)
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS wzc
+  FROM feat
+),
+per_doc AS (
+  SELECT doc_id, source, max(k) AS n_windows,
+         sum(wssq) AS ssq_sum, max(wssq) AS max_win_ssq,
+         sum(wzc) AS zero_crossings
+  FROM wstats GROUP BY doc_id, source
+)
+SELECT source, count(*) AS n_items,
+       CAST(sum(n_windows) AS BIGINT) AS n_windows,
+       CAST(sum(ssq_sum) AS BIGINT) AS ssq_sum,
+       CAST(max(max_win_ssq) AS BIGINT) AS max_win_ssq,
+       CAST(sum(zero_crossings) AS BIGINT) AS zero_crossings
+FROM per_doc GROUP BY source
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q31_multimodal_features": q31_multimodal_features,
     "q34_frame_sample": q34_frame_sample,
     "q111_phash_dedup": q111_phash_dedup,
+    "q116_audio_features": q116_audio_features,
 }
 MULTIMODAL_ORACLES = {
     "q31_multimodal_features": _Q31_SQL,
     "q34_frame_sample": _Q34_SQL,
     "q111_phash_dedup": _Q111_SQL,
+    "q116_audio_features": _Q116_SQL,
 }

@@ -58,6 +58,35 @@ def test_synth_ppm_decodes_to_expected_gradient():
     assert int(img.sum()) == sum((a + i) % 256 for i in range(n))
 
 
+def test_decode_wav_roundtrip():
+    """The RIFF/WAVE parser is real: chunk walking, PCM16 validation."""
+    import struct
+
+    from postfix_log_parser_spark.ext.multimodal import decode_audio, synth_wav
+
+    s = decode_audio(synth_wav(3, 10))
+    assert len(s) == 64 + 10 % 64
+    assert s[0] == (3 * 7) % 2048 - 1024
+    assert s[5] == (3 * 7 + 13 * 5) % 2048 - 1024
+    # unknown chunks are skipped per the RIFF spec (chunk walker, not
+    # fixed offsets): splice a junk chunk before fmt/data
+    wav = synth_wav(3, 10)
+    spliced = wav[:12] + b"JUNK" + struct.pack("<I", 4) + b"abcd" + wav[12:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert (decode_audio(spliced) == s).all()
+    # non-PCM and non-WAV payloads refuse rather than mis-decode
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfb\x90\x00 mp3 frame")
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    float_wav = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + float_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_audio(float_wav)
+
+
 def test_extract_features_runs_real_decode(media):
     rows = {r["doc_id"]: r for r in extract_features(media).collect()}
     # doc 1: n_chars=300 -> h=1+300%7=7, a=31
