@@ -51,7 +51,9 @@
   binary-PPM pixels (q111), temperature-based source mixing with
   bit-reproducible integer-sqrt weights (q112), cluster-blocked
   SemDeDup semantic near-dup — the sub-quadratic path q24's guard
-  points at (q114); q113 (Spark 4 transformWithStateInPandas running
+  points at (q114), hybrid BM25+ANN retrieval fused by reciprocal-rank
+  fusion (q115), audio-quality screens over genuinely decoded WAV/PCM16
+  windows (q116); q113 (Spark 4 transformWithStateInPandas running
   stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
