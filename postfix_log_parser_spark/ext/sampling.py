@@ -184,11 +184,107 @@ SELECT source, max(n_docs) AS n_docs, max(w) AS weight,
 FROM kept GROUP BY source
 """
 
+# ---------------------------------------------------------------------------
+# q117 — stratified eval-set draw with largest-remainder allocation
+# ---------------------------------------------------------------------------
+#
+# Building a FIXED-SIZE eval set from a multi-source corpus needs two exact
+# steps: (1) apportion exactly EVAL_N slots across strata proportionally —
+# the Hamilton / largest-remainder method, all integer arithmetic
+# (base_s = (EVAL_N*n_s)//N, remainder r_s = EVAL_N*n_s - base_s*N, the
+# EVAL_N - Σbase leftover slots go to the largest remainders, ties on
+# source asc) — and (2) draw each stratum's quota deterministically (md5
+# order, the portable uniform), so reruns and engines agree row-for-row.
+#
+# Scale shape: the allocation works on the ~|strata|-row aggregate
+# (broadcast back); the draw is one window shuffle keyed on source —
+# rank-within-stratum, the same exchange any per-group top-n pays.
+
+EVAL_N = 200
+
+
+def q117_stratified_eval_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source")
+    )
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_src.agg(F.sum("n_docs").alias("n_total"))
+    base = (
+        per_src.join(F.broadcast(tot), how="cross")
+        .withColumn("base", F.expr(f"({EVAL_N} * n_docs) div n_total"))
+        .withColumn(
+            "rem",
+            F.lit(EVAL_N) * F.col("n_docs") - F.col("base") * F.col("n_total"),
+        )
+    )
+    leftover = base.agg(
+        (F.lit(EVAL_N) - F.sum("base")).cast("long").alias("extra")
+    )
+    rem_rank = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("source"))
+    )
+    alloc = (
+        base.join(F.broadcast(leftover), how="cross")
+        .withColumn("rem_rank", rem_rank)
+        .withColumn(
+            "alloc",
+            F.col("base")
+            + F.when(F.col("rem_rank") <= F.col("extra"), 1).otherwise(0),
+        )
+        .select("source", "alloc")
+    )
+    u = F.md5(F.col("doc_id").cast("string"))
+    draw_rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(u, F.col("doc_id"))
+    )
+    return (
+        docs.join(F.broadcast(alloc), "source")
+        .withColumn("draw_rank", draw_rank)
+        .filter(F.col("draw_rank") <= F.col("alloc"))
+        .select("source", "draw_rank", "doc_id")
+    )
+
+
+_Q117_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source FROM documents WHERE text IS NOT NULL
+),
+per_src AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per_src),
+base AS (
+  SELECT source, n_docs,
+         ({EVAL_N} * n_docs) // n_total AS base,
+         {EVAL_N} * n_docs - (({EVAL_N} * n_docs) // n_total) * n_total AS rem
+  FROM per_src CROSS JOIN tot
+),
+leftover AS (SELECT {EVAL_N} - CAST(sum(base) AS BIGINT) AS extra FROM base),
+alloc AS (
+  SELECT source,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                      <= (SELECT extra FROM leftover)
+                THEN 1 ELSE 0 END AS alloc
+  FROM base
+),
+ranked AS (
+  SELECT d.source, d.doc_id, a.alloc,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS draw_rank
+  FROM d JOIN alloc a USING (source)
+)
+SELECT source, draw_rank, doc_id
+FROM ranked WHERE draw_rank <= alloc
+"""
+
 SAMPLING_QUERIES = {
     "q62_weighted_sample": q62_weighted_sample,
     "q112_source_mix": q112_source_mix,
+    "q117_stratified_eval_set": q117_stratified_eval_set,
 }
 SAMPLING_ORACLES = {
     "q62_weighted_sample": _Q62_SQL,
     "q112_source_mix": _Q112_SQL,
+    "q117_stratified_eval_set": _Q117_SQL,
 }
