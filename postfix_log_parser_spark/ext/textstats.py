@@ -598,7 +598,83 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# q118 — cross-source contamination matrix (shared fingerprints)
+# ---------------------------------------------------------------------------
+
+def q118_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-contamination matrix at PASSAGE granularity: how
+    many 8-word chunk fingerprints (q74's chunking, where leakage
+    actually shows up — boilerplate and quoted passages, not whole-doc
+    copies) each pair of sources shares — the curation diagnostic for
+    leakage BETWEEN corpus components (a source-level rollup of what q47
+    checks doc-vs-eval-set).
+
+    Scale shape: distinct (chunk_fp, source) first — one hash aggregate
+    that collapses per-source repeats BEFORE the join — then a
+    self-equi-join keyed on the fingerprint with ``source_a <
+    source_b``.  Per-fp fan-out is bounded by |sources|² (a few hundred
+    pairs), never by document count, so no fingerprint can become a hot
+    key."""
+    from postfix_log_parser_spark.ext.dedup import CHUNK_WORDS, words_of
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("source", words_of(F.col("text")).alias("words"))
+    )
+    n_full = F.floor(F.size("words") / CHUNK_WORDS)
+    chunk_hashes = F.when(
+        F.size("words") >= CHUNK_WORDS,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(F.col("words"), i * CHUNK_WORDS + 1, CHUNK_WORDS),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fps = docs.select(
+        "source", F.explode(chunk_hashes).alias("fp")
+    ).distinct()
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+_Q118_SQL = """
+WITH w AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+fps AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_slice(words, i * 8 + 1, (i + 1) * 8), ' ')) AS fp
+  FROM w, unnest(range(0, CAST(len(words) // 8 AS BIGINT))) AS t(i)
+)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 TEXTSTATS_QUERIES = {
+    "q118_contamination_matrix": q118_contamination_matrix,
     "q27_text_quality": q27_text_quality,
     "q28_lang_id": q28_lang_id,
     "q29_token_stats": q29_token_stats,
@@ -611,6 +687,7 @@ TEXTSTATS_QUERIES = {
 }
 
 TEXTSTATS_ORACLES = {
+    "q118_contamination_matrix": _Q118_SQL,
     "q27_text_quality": _Q27_SQL,
     "q28_lang_id": _Q28_SQL,
     "q29_token_stats": _Q29_SQL,
