@@ -53,8 +53,10 @@
   SemDeDup semantic near-dup — the sub-quadratic path q24's guard
   points at (q114), hybrid BM25+ANN retrieval fused by reciprocal-rank
   fusion (q115), audio-quality screens over genuinely decoded WAV/PCM16
-  windows (q116); q113 (Spark 4 transformWithStateInPandas running
-  stats) registers only where the protobuf TWS runtime exists,
+  windows (q116), stratified eval-set construction via exact
+  largest-remainder apportionment (q117), passage-level cross-source
+  contamination matrix (q118); q113 (Spark 4 transformWithStateInPandas
+  running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests
