@@ -55,7 +55,12 @@
   fusion (q115), audio-quality screens over genuinely decoded WAV/PCM16
   windows (q116), stratified eval-set construction via exact
   largest-remainder apportionment (q117), passage-level cross-source
-  contamination matrix (q118); q113 (Spark 4 transformWithStateInPandas
+  contamination matrix (q118), exact duplicated-substring span
+  detection via stride-1 K-gram fingerprints merged gaps-and-islands
+  style (q119, the Lee et al. exact-substring-dedup shape), near-dup
+  cluster survivor selection — integer quality argmax per q36
+  component (q120), content-hash corpus snapshot diff
+  added/removed/changed/unchanged (q121); q113 (Spark 4 transformWithStateInPandas
   running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows

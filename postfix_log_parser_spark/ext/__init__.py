@@ -27,6 +27,7 @@ from postfix_log_parser_spark.ext.retrieval import (
     RETRIEVAL_QUERIES,
 )
 from postfix_log_parser_spark.ext.sampling import SAMPLING_ORACLES, SAMPLING_QUERIES
+from postfix_log_parser_spark.ext.spans import SPANS_ORACLES, SPANS_QUERIES
 from postfix_log_parser_spark.ext.sketches import (
     SKETCHES_ORACLES,
     SKETCHES_QUERIES,
@@ -65,6 +66,7 @@ EXT_QUERIES = {
     **CORPUS_QUERIES,
     **UDTF_QUERIES,
     **RETRIEVAL_QUERIES,
+    **SPANS_QUERIES,
 }
 
 EXT_ORACLES = {
@@ -87,4 +89,5 @@ EXT_ORACLES = {
     **CORPUS_ORACLES,
     **UDTF_ORACLES,
     **RETRIEVAL_ORACLES,
+    **SPANS_ORACLES,
 }

@@ -192,14 +192,117 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q121 — corpus snapshot diff (content-hash CDC between corpus versions)
+# ---------------------------------------------------------------------------
+#
+# Iterated corpus builds need to answer "what changed since the last
+# snapshot?" without re-processing unchanged documents: the diff drives
+# incremental dedup (q69), incremental index maintenance, and audit
+# reporting.  Diff rule: FULL OUTER join the two snapshots on doc_id and
+# compare md5(text) — added (only in v2), removed (only in v1), changed
+# (hash differs), unchanged.
+#
+# v2 is derived deterministically from v1 in-query (no second testdata
+# table): every 37th doc removed, every 11th surviving doc edited
+# (suffix appended), plus a synthetic batch of brand-new docs.  Same
+# derivation in the oracle, so the diff itself is what's verified.
+#
+# Scale shape: ONE full-outer hash join keyed on doc_id plus a map-side
+# partial count — on a production layout both snapshots are written
+# bucketed by doc_id (sinks.write_events_bucketed is the same pattern),
+# making this a zero-exchange sort-merge; the aggregate output is
+# |sources| × 4 rows.  Char deltas are exact integer arithmetic, summed
+# as BIGINT on both engines.
+
+def q121_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1 = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    kept = v1.filter(F.col("doc_id") % 37 != 0)
+    v2 = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" [v2 revision]")),
+        ).otherwise(F.col("text")).alias("text"),
+        "source",
+    ).unionAll(
+        v1.filter(F.col("doc_id") % 53 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(
+                F.lit("fresh crawl document "),
+                (F.col("doc_id") + 300000).cast("string"),
+            ).alias("text"),
+            F.lit("fresh").alias("source"),
+        )
+    )
+    a = v1.select(
+        F.col("doc_id"), F.md5("text").alias("h1"),
+        F.length("text").alias("len1"), F.col("source").alias("src1"),
+    )
+    b = v2.select(
+        F.col("doc_id"), F.md5("text").alias("h2"),
+        F.length("text").alias("len2"), F.col("source").alias("src2"),
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") == F.col("h2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce("src2", "src1").alias("source"),
+            status.alias("status"),
+            (F.coalesce("len2", F.lit(0)) - F.coalesce("len1", F.lit(0)))
+            .cast("long").alias("char_delta"),
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("char_delta").alias("chars_delta"),
+        )
+    )
+
+
+_Q121_SQL = """
+WITH v1 AS (SELECT doc_id, text, source FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' [v2 revision]' ELSE text END AS text,
+         source
+  FROM v1 WHERE doc_id % 37 != 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         'fresh crawl document ' || CAST(doc_id + 300000 AS VARCHAR) AS text,
+         'fresh' AS source
+  FROM v1 WHERE doc_id % 53 = 0
+),
+j AS (
+  SELECT coalesce(b.source, a.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         coalesce(length(b.text), 0) - coalesce(length(a.text), 0) AS char_delta
+  FROM v1 a FULL OUTER JOIN v2 b USING (doc_id)
+)
+SELECT source, status, count(*) AS n_docs,
+       CAST(sum(char_delta) AS BIGINT) AS chars_delta
+FROM j GROUP BY source, status
+"""
+
+
 CORPUS_QUERIES = {
     "q83_train_split": q83_train_split,
     "q84_context_chunks": q84_context_chunks,
     "q85_source_diversity": q85_source_diversity,
+    "q121_corpus_diff": q121_corpus_diff,
 }
 
 CORPUS_ORACLES = {
     "q83_train_split": _Q83_SQL,
     "q84_context_chunks": _Q84_SQL,
     "q85_source_diversity": _Q85_SQL,
+    "q121_corpus_diff": _Q121_SQL,
 }

@@ -709,8 +709,8 @@ def q36_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q36_sql() -> str:
     return f"""
-WITH RECURSIVE pairs AS ({_q22_sql()}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({_q22_sql()}),
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
@@ -1010,6 +1010,88 @@ WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
 """
 
 
+# ---------------------------------------------------------------------------
+# q120 — dedup survivor selection (cluster → keep the best member)
+# ---------------------------------------------------------------------------
+
+def q120_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick ONE survivor per near-dup cluster: a pair list (q22) or even a
+    component map (q36) still isn't a dedup decision — production
+    pipelines keep the highest-quality member and drop the rest.
+
+    Survivor rule: argmax over an integer quality proxy
+    ``100 * n_words + n_stopwords`` (more content, then more natural
+    prose), ties broken on the smallest doc_id.  All-integer scoring so
+    Spark and DuckDB rank identically with no float drift.  (A real
+    pipeline would extend the score; the shape — rank-within-component
+    — is what matters.)
+
+    Scale shape: the component map joins the corpus on doc_id (one hash
+    exchange), the survivor is a ``row_number`` window PARTITIONED BY
+    component — state bounded by cluster size, never a global sort.
+    Output: one row per component with the survivor and the member/drop
+    counts."""
+    comps = q36_dedup_components(spark, sf_dir)
+    docs = _augmented(spark, sf_dir).select("doc_id", "text")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != F.lit("")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _SURVIVOR_STOPWORDS])
+    scored = docs.select(
+        "doc_id",
+        (
+            F.lit(100) * F.size(words)
+            + F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+        ).cast("long").alias("score"),
+    )
+    j = comps.join(scored, "doc_id")
+    by_comp = Window.partitionBy("component_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(by_comp))
+        .groupBy("component_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("survivor_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias("survivor_score"),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+    )
+
+
+_SURVIVOR_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+)
+
+
+def _q120_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in _SURVIVOR_STOPWORDS)
+    return f"""
+WITH comps AS ({_q36_sql()}),
+all_docs AS ({_AUG_SQL}),
+scored AS (
+  SELECT doc_id,
+         CAST(100 * len(words)
+              + len(list_filter(words, w -> list_contains([{stop}], w)))
+           AS BIGINT) AS score
+  FROM (SELECT doc_id, {_DUCK_WORDS} AS words FROM all_docs)
+),
+ranked AS (
+  SELECT c.component_id, c.doc_id, s.score,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY s.score DESC, c.doc_id) AS rk
+  FROM comps c JOIN scored s USING (doc_id)
+)
+SELECT component_id,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+       max(CASE WHEN rk = 1 THEN score END) AS survivor_score,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked GROUP BY component_id
+"""
+
+
 DEDUP_QUERIES = {
     "q20_dedup_exact": q20_dedup_exact,
     "q21_dedup_ngram_jaccard": q21_dedup_ngram_jaccard,
@@ -1021,6 +1103,7 @@ DEDUP_QUERIES = {
     "q37_training_mix": q37_training_mix,
     "q74_passage_dedup": q74_passage_dedup,
     "q107_dedup_prefix_join": q107_dedup_prefix_join,
+    "q120_cluster_survivors": q120_cluster_survivors,
 }
 
 DEDUP_ORACLES = {
@@ -1034,4 +1117,5 @@ DEDUP_ORACLES = {
     "q37_training_mix": _Q37_SQL,
     "q74_passage_dedup": _Q74_SQL,
     "q107_dedup_prefix_join": _Q107_SQL,
+    "q120_cluster_survivors": _q120_sql(),
 }

@@ -1,0 +1,100 @@
+"""Unit tests for q119 substring-span dedup, q120 survivor selection,
+and q121 corpus diff — hand-built corpora with known answers, so the
+island merge / argmax / diff logic is pinned independently of the
+DuckDB oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postfix_log_parser_spark.ext.spans import SPAN_K, duplicated_spans
+
+
+BOILER = "x" * 25 + "SHARED-BOILERPLATE-SEGMENT-1234567890-ABCDEFGH" + "y" * 25
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_spans_whole_doc_copy_is_one_maximal_span(spark):
+    text = "".join(chr(97 + (i * 7) % 26) for i in range(200))
+    out = duplicated_spans(_docs(spark, [(1, text), (2, text)])).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.span_start == 1
+        assert r.span_len == 200
+        assert r.n_windows == 200 - SPAN_K + 1
+
+
+def test_spans_embedded_boilerplate_found_at_different_offsets(spark):
+    # the shared 96-char segment sits at different positions in each doc;
+    # per-doc span_start must reflect the local offset
+    a = "A" + "".join(chr(98 + (i * 11) % 24) for i in range(80)) + BOILER
+    b = BOILER + "".join(chr(99 + (i * 13) % 23) for i in range(90)) + "Z"
+    out = {r.doc_id: r for r in duplicated_spans(_docs(spark, [(1, a), (2, b)])).collect()}
+    assert out[1].span_start == len(a) - len(BOILER) + 1
+    assert out[2].span_start == 1
+    assert out[1].span_len == len(BOILER)
+    assert out[2].span_len == len(BOILER)
+
+
+def test_spans_within_doc_repeat_alone_is_not_reported(spark):
+    # a doc repeating its own 60-char block has duplicated grams but only
+    # ONE distinct doc -> cross-doc rule excludes it
+    block = "".join(chr(97 + (i * 5) % 26) for i in range(60))
+    other = "".join(chr(97 + (i * 3) % 26) for i in range(120))
+    out = duplicated_spans(_docs(spark, [(1, block + block), (2, other)])).collect()
+    assert out == []
+
+
+def test_spans_short_docs_are_ignored(spark):
+    out = duplicated_spans(
+        _docs(spark, [(1, "tiny"), (2, "tiny"), (3, None)])
+    ).collect()
+    assert out == []
+
+
+def test_q120_survivor_is_highest_score_then_lowest_id(spark):
+    from postfix_log_parser_spark.ext import EXT_QUERIES
+
+    rows = EXT_QUERIES["q120_cluster_survivors"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "augmented corpus must yield at least one cluster"
+    for r in rows:
+        assert r.n_members >= 2  # components only exist for actual pairs
+        assert r.n_dropped == r.n_members - 1
+        # the suffix-padded copy has 4 more words than its original, so
+        # every 2-member (orig, orig+100000) cluster keeps the copy
+        if r.n_members == 2 and r.survivor_id >= 100000:
+            assert r.component_id == r.survivor_id - 100000
+
+
+def test_q121_diff_statuses_partition_the_union(spark):
+    from postfix_log_parser_spark.ext import EXT_QUERIES
+
+    out = EXT_QUERIES["q121_corpus_diff"](spark, "/root/testdata/sf0.001")
+    agg = {
+        r.status: r.n
+        for r in out.groupBy("status").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    n_removed = docs.filter(F.col("doc_id") % 37 == 0).count()
+    n_added = docs.filter(F.col("doc_id") % 53 == 0).count()
+    n_changed = docs.filter(
+        (F.col("doc_id") % 37 != 0) & (F.col("doc_id") % 11 == 0)
+    ).count()
+    assert agg.get("removed", 0) == n_removed
+    assert agg.get("added", 0) == n_added
+    assert agg.get("changed", 0) == n_changed
+    assert agg.get("unchanged", 0) == n - n_removed - n_changed
+    # every v2 revision appends 14 chars; deltas must be non-zero only
+    # where the text actually moved
+    deltas = {
+        r.status: r.d
+        for r in out.groupBy("status").agg(F.sum("chars_delta").alias("d")).collect()
+    }
+    assert deltas.get("unchanged", 0) == 0
+    assert deltas.get("changed", 0) == 14 * n_changed
+    assert deltas.get("removed", 0) < 0 < deltas.get("added", 0)
