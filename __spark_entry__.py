@@ -60,7 +60,9 @@
   style (q119, the Lee et al. exact-substring-dedup shape), near-dup
   cluster survivor selection — integer quality argmax per q36
   component (q120), content-hash corpus snapshot diff
-  added/removed/changed/unchanged (q121); q113 (Spark 4 transformWithStateInPandas
+  added/removed/changed/unchanged (q121), multinomial Naive Bayes
+  source classifier trained as pure aggregation with integer-microlog
+  scores so the argmax is bit-reproducible (q122); q113 (Spark 4 transformWithStateInPandas
   running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows

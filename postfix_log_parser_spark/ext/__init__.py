@@ -27,6 +27,7 @@ from postfix_log_parser_spark.ext.retrieval import (
     RETRIEVAL_QUERIES,
 )
 from postfix_log_parser_spark.ext.sampling import SAMPLING_ORACLES, SAMPLING_QUERIES
+from postfix_log_parser_spark.ext.classify import CLASSIFY_ORACLES, CLASSIFY_QUERIES
 from postfix_log_parser_spark.ext.spans import SPANS_ORACLES, SPANS_QUERIES
 from postfix_log_parser_spark.ext.sketches import (
     SKETCHES_ORACLES,
@@ -67,6 +68,7 @@ EXT_QUERIES = {
     **UDTF_QUERIES,
     **RETRIEVAL_QUERIES,
     **SPANS_QUERIES,
+    **CLASSIFY_QUERIES,
 }
 
 EXT_ORACLES = {
@@ -90,4 +92,5 @@ EXT_ORACLES = {
     **UDTF_ORACLES,
     **RETRIEVAL_ORACLES,
     **SPANS_ORACLES,
+    **CLASSIFY_ORACLES,
 }
