@@ -705,3 +705,33 @@ def test_q109_rollup_scans_facts_once(spark):
     plan = _plan(q109_hierarchical_rollup(spark, SF_DIR))
     assert plan.count("FileScan parquet") == 1
     assert plan.count("HashAggregate") >= 4  # partial+final at each grain
+
+
+def test_q119_span_pipeline_no_cartesian_text_pruned(spark):
+    """Substring-span dedup: the gram→dup join must be an equi-join on
+    the fingerprint (never a cartesian), and the text column must die in
+    the fingerprint projection — only (doc_id, p, h) may cross a
+    shuffle.  The island merge must be a doc_id-partitioned window, not
+    an unpartitioned one."""
+    from postfix_log_parser_spark.ext.spans import q119_substring_dedup
+
+    plan = _plan(q119_substring_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # every exchange below the window carries no text column
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text" not in ln
+    assert "hashpartitioning(doc_id" in plan  # island window exchange
+
+
+def test_q122_class_constants_ride_broadcasts(spark):
+    """NB scoring: the |C|-row class-constant frame and the tiny scalar
+    aggregates must be broadcast — the exploded test-token stream joins
+    the model on the word key; the argmax window is doc-partitioned."""
+    from postfix_log_parser_spark.ext.classify import q122_nb_source_classifier
+
+    plan = _plan(q122_nb_source_classifier(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "Window" in plan
+    assert "hashpartitioning(doc_id" in plan  # argmax window keyed on doc
