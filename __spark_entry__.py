@@ -67,7 +67,10 @@
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests
-  (``lognormalizer/parse_test.py:26-277``),
+  (``lognormalizer/parse_test.py:26-277``); q124 re-runs the q40
+  contract through the ``maillog`` Spark 4 Python Data Source
+  (``sources/maillog.py`` — per-file partitions with the global
+  (file, line) order baked into a sparse seq),
 * q49-q51, q54, q57, q88 — Structured Streaming shapes over the events
   table (windowed aggregation with watermark, stream-static enrichment
   join, watermarked deduplication, native session windows, incremental

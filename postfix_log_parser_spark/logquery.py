@@ -165,6 +165,33 @@ def q40_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events_projection(events)
 
 
+def q124_pysource_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same golden fixtures and projection as q40, ingested through the
+    ``maillog`` Spark 4 Python Data Source (``sources/maillog.py``): the
+    fixture is split across three rotated files, the source emits
+    (file, seq, value) with the global (file order, line order) seq
+    baked in — no metadata pass — and parse+sessionize must reproduce
+    q40's events byte-for-byte (identical VALUES oracle).  The sparse
+    seq encoding also proves the fold orders by seq without assuming
+    density."""
+    from postfix_log_parser_spark.sources.maillog import register_maillog
+
+    register_maillog(spark)
+    work = _work_dir("q124_pysource_")
+    parts = [
+        "\n".join([BASIC, MIXED]),
+        "\n".join([SUBJECT, ASCII_SUBJECT]),
+        "\n".join([DOVECOT, MULTIPLE_TO]),
+    ]
+    for i, txt in enumerate(parts):
+        with open(f"{work}/mail.log.{i:02d}", "w") as fh:
+            fh.write(txt + "\n")
+    # lazy scan — the work dir lives until process exit (atexit root)
+    raw = spark.read.format("maillog").load(work).select("value", "seq")
+    events, _faults, _state = sessionize(parse_lines_arrow(raw), raw_lines=raw)
+    return _events_projection(events)
+
+
 def q45_fused_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fixtures and projection as q40, through the FUSED engine
     (``sessionize_raw``: one raw-line shuffle, parse+fold+J1 in a single
@@ -1033,6 +1060,7 @@ FROM events GROUP BY event_type
 LOG_QUERIES = {
     "q40_log_events": q40_log_events,
     "q45_fused_events": q45_fused_events,
+    "q124_pysource_events": q124_pysource_events,
     "q48_pii_mask": q48_pii_mask,
     "q49_stream_hourly": q49_stream_hourly,
     "q50_stream_enrich": q50_stream_enrich,
@@ -1071,6 +1099,7 @@ assert _Q43_SQL != _Q40_SQL, "q43 oracle surgery failed"
 LOG_ORACLES = {
     "q40_log_events": _Q40_SQL,
     "q45_fused_events": _Q40_SQL,
+    "q124_pysource_events": _Q40_SQL,
     "q48_pii_mask": _Q48_SQL.format(q40=_Q40_SQL),
     "q49_stream_hourly": _Q49_SQL,
     "q50_stream_enrich": _Q50_SQL,

@@ -1,0 +1,51 @@
+"""The ``maillog`` Python Data Source: ordering, partitioning, edge cases."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from postfix_log_parser_spark.sources.maillog import register_maillog
+
+
+@pytest.fixture()
+def log_dir(tmp_path):
+    (tmp_path / "b.log").write_text("b0\nb1\n")
+    (tmp_path / "a.log").write_text("a0\na1\na2\n")
+    (tmp_path / "c.log").write_text("")  # empty rotated file
+    return str(tmp_path)
+
+
+def test_global_order_is_file_name_then_line(spark, log_dir):
+    register_maillog(spark)
+    rows = (
+        spark.read.format("maillog").load(log_dir)
+        .orderBy("seq")
+        .select("value")
+        .collect()
+    )
+    assert [r.value for r in rows] == ["a0", "a1", "a2", "b0", "b1"]
+
+
+def test_one_partition_per_file(spark, log_dir):
+    register_maillog(spark)
+    df = spark.read.format("maillog").load(log_dir)
+    assert df.rdd.getNumPartitions() == 3
+    files = {os.path.basename(r.file) for r in df.select("file").distinct().collect()}
+    assert files == {"a.log", "b.log"}  # empty file yields no rows
+
+
+def test_seq_is_sparse_but_strictly_increasing_across_files(spark, log_dir):
+    register_maillog(spark)
+    seqs = [r.seq for r in
+            spark.read.format("maillog").load(log_dir).orderBy("seq").collect()]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    assert seqs[3] - seqs[2] > 1  # file boundary jump (sparse encoding)
+
+
+def test_single_file_path_load(spark, tmp_path):
+    register_maillog(spark)
+    p = tmp_path / "solo.log"
+    p.write_text("only\n")
+    rows = spark.read.format("maillog").load(str(p)).collect()
+    assert [(r.seq, r.value) for r in rows] == [(0, "only")]
