@@ -62,7 +62,10 @@
   component (q120), content-hash corpus snapshot diff
   added/removed/changed/unchanged (q121), multinomial Naive Bayes
   source classifier trained as pure aggregation with integer-microlog
-  scores so the argmax is bit-reproducible (q122); q113 (Spark 4 transformWithStateInPandas
+  scores so the argmax is bit-reproducible (q122), per-source
+  quality-score calibration via within-source quantile normalization —
+  one source-keyed window exchange, self-verifying uniform deciles
+  (q123); q113 (Spark 4 transformWithStateInPandas
   running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows

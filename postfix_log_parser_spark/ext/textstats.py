@@ -673,7 +673,80 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q123 — per-source quality-score calibration (quantile normalization)
+# ---------------------------------------------------------------------------
+#
+# Raw quality scores are NOT comparable across sources: a "good" forum
+# post and a "good" encyclopedia page live on different scales, so a
+# single global threshold over-filters one source and under-filters the
+# other.  The standard fix is quantile normalization: replace each
+# document's raw score with its within-source percentile, then filter /
+# mix on the calibrated value.  (Same per-domain-calibration idea as the
+# quality-filter ablations in the Gopher/FineWeb dataset reports.)
+#
+# Numerics: the raw score is the all-integer proxy (100*n_words +
+# n_stopwords); percent_rank's (rank-1)/(n-1) divides the SAME two
+# integers in both engines — one IEEE division, bit-identical — and the
+# ordering key (score, doc_id) is tie-free, so ranks can't drift.
+# Decile = floor(pct*10) capped at 9.
+#
+# Scale shape: ONE window exchange keyed on source (skewed sources would
+# take the q97 salting treatment; percentile-by-aggregation — a 1000-bin
+# histogram per source + broadcast CDF — is the shuffle-free variant at
+# extreme skew), then a tiny (source, decile) aggregate with map-side
+# partials.  Output ≤ |sources| × 10 rows; uniform n_docs per decile is
+# the self-verifying property of a correct quantile transform.
+
+def q123_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .withColumn("words", words_of(F.col("text")))
+    )
+    score = (
+        F.lit(100) * F.size("words") + _count_in(F.col("words"), STOPWORDS)
+    ).cast("long")
+    by_src = Window.partitionBy("source").orderBy("score", "doc_id")
+    pct = F.percent_rank().over(by_src)
+    decile = F.least(F.floor(pct * 10), F.lit(9)).cast("int")
+    return (
+        docs.select("doc_id", "source", score.alias("score"))
+        .withColumn("decile", decile)
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+_Q123_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(100 * len(words) + {_duck_count_in(STOPWORDS)} AS BIGINT) AS score
+  FROM (
+    SELECT doc_id, source, {_DUCK_WORDS} AS words
+    FROM documents WHERE text IS NOT NULL
+  )
+),
+ranked AS (
+  SELECT source, score,
+         percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS pct
+  FROM scored
+)
+SELECT source, CAST(least(floor(pct * 10), 9) AS INTEGER) AS decile,
+       count(*) AS n_docs,
+       min(score) AS min_score, max(score) AS max_score
+FROM ranked GROUP BY source, decile
+"""
+
+
 TEXTSTATS_QUERIES = {
+    "q123_quality_calibration": q123_quality_calibration,
     "q118_contamination_matrix": q118_contamination_matrix,
     "q27_text_quality": q27_text_quality,
     "q28_lang_id": q28_lang_id,
@@ -697,4 +770,5 @@ TEXTSTATS_ORACLES = {
     "q47_decontamination": _Q47_SQL,
     "q63_bigram_lm_quality": _Q63_SQL,
     "q65_ols_tokens_vs_chars": _Q65_SQL,
+    "q123_quality_calibration": _Q123_SQL,
 }
