@@ -57,7 +57,11 @@
   largest-remainder apportionment (q117), passage-level cross-source
   contamination matrix (q118), exact duplicated-substring span
   detection via stride-1 K-gram fingerprints merged gaps-and-islands
-  style (q119, the Lee et al. exact-substring-dedup shape), near-dup
+  style (q119, the Lee et al. exact-substring-dedup shape; q125 is its
+  100 TB twin — winnowing [Schleimer et al. SIGMOD'03] selects ~2/(W+1)
+  content-defined fingerprints inside the scan projection, candidate
+  regions re-verify at stride 1, differentially exact for spans ≥
+  K+2W-1), near-dup
   cluster survivor selection — integer quality argmax per q36
   component (q120), content-hash corpus snapshot diff
   added/removed/changed/unchanged (q121), multinomial Naive Bayes

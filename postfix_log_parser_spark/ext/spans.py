@@ -124,9 +124,227 @@ FROM isl
 GROUP BY doc_id, island
 """
 
+# ---------------------------------------------------------------------------
+# q125 — winnowed two-pass substring dedup (the 100 TB path q119 names)
+# ---------------------------------------------------------------------------
+#
+# q119's stride-1 fingerprinting shuffles one row per character — exact,
+# but the shuffle IS the corpus.  A fixed stride can't fix it (the two
+# copies of a span sit at different offsets, so stride-aligned grams
+# have different CONTENT and never hash-join).  The published answer is
+# content-defined selection — winnowing (Schleimer, Wilkerson, Aiken,
+# SIGMOD 2003): in every window of W consecutive gram positions keep
+# the position with the minimal hash.  Selection depends only on local
+# content, so inside a shared span both copies select THE SAME grams
+# (modulo a W-sized boundary fringe), and consecutive selections are at
+# most W apart — expected density 2/(W+1).
+#
+# Two passes:
+#   1. winnow INSIDE the per-doc array world (transform/slice/array_min
+#      — narrow, no shuffle touches unselected grams), explode only the
+#      ~2m/W selected fingerprints, hash-join them cross-doc, and merge
+#      colliding positions into candidate REGIONS (islands with gap
+#      tolerance K+2W, expanded ±(K+2W) and clamped to the doc);
+#   2. regenerate stride-1 grams ONLY inside the regions (a small
+#      region list joined back to the docs — output-proportional) and
+#      run q119's exact dup-test + island merge on them.
+#
+# Guarantee: every duplicated span of length >= K + 2W - 1 yields
+# interior selections in BOTH copies, so its region covers it fully and
+# pass 2 reconstructs the exact maximal span; shorter spans (K..K+2W-2)
+# may be found truncated or missed near region edges — deterministically
+# so, identically in both engines.  The min-key is ``h || '|' ||
+# zero-padded position`` so ties (identical grams, e.g. run-of-x text)
+# break on position — total order, no engine drift.
+#
+# Shuffle accounting at 100 TB (W=8): pass 1 moves ~22% of gram rows
+# (16-byte keys), pass 2 moves grams of candidate regions only — near
+# zero on a mostly-unique corpus, output-proportional on a duplicated
+# one.  The O(m·W) slice work stays inside the scan projection.
+
+WINNOW_W = 8
+_REGION_PAD = SPAN_K + 2 * WINNOW_W  # island gap tolerance AND expansion
+
+
+def winnowed_spans(
+    docs: DataFrame, k: int = SPAN_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Two-pass winnowed duplicated-span detection over (doc_id, text).
+    Same output schema as :func:`duplicated_spans`."""
+    pad = k + 2 * w
+    eligible = docs.select("doc_id", "text").filter(F.length("text") >= k)
+
+    # ---- pass 1: per-doc winnowed fingerprints (all narrow) ----
+    m = F.length("text") - k + 1
+    hashes = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
+    )
+    keys = F.transform(
+        hashes,
+        lambda h, i0: F.concat(
+            h, F.lit("|"), F.lpad((i0 + 1).cast("string"), 10, "0")
+        ),
+    )
+    win_lo = lambda e: F.greatest(F.lit(1), e - w + 1)  # noqa: E731
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda e: F.array_min(
+                F.slice(F.col("_keys"), win_lo(e), e - win_lo(e) + 1)
+            ),
+        )
+    )
+    fp = (
+        eligible.withColumn("_keys", keys)
+        .select("doc_id", F.explode(selected).alias("kmin"))
+        .select(
+            "doc_id",
+            F.substring("kmin", 34, 10).cast("long").alias("p"),
+            F.substring("kmin", 1, 32).alias("h"),
+        )
+    )
+    dup1 = (
+        fp.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits1 = fp.join(dup1, "h").select("doc_id", "p")
+    by_doc = Window.partitionBy("doc_id").orderBy("p")
+    prev1 = F.lag("p").over(by_doc)
+    region_id = F.sum(
+        F.when(prev1.isNull() | (F.col("p") - prev1 > pad), 1).otherwise(0)
+    ).over(by_doc)
+    regions = (
+        hits1.withColumn("rid", region_id)
+        .groupBy("doc_id", "rid")
+        .agg(
+            (F.min("p") - pad).alias("lo_raw"),
+            (F.max("p") + pad).alias("hi_raw"),
+        )
+    )
+
+    # ---- pass 2: exact stride-1 verify inside the regions only ----
+    pass2 = (
+        regions.join(eligible, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(1), F.col("lo_raw")),
+                    F.least(F.length("text") - k + 1, F.col("hi_raw")),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.col("text").substr(F.col("p").cast("int"), F.lit(k))).alias("h"),
+        )
+        .distinct()  # adjacent regions may overlap after expansion
+    )
+    dup2 = (
+        pass2.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits2 = pass2.join(dup2, "h").select("doc_id", "p")
+    prev2 = F.lag("p").over(by_doc)
+    island = F.sum(
+        F.when(prev2.isNull() | (F.col("p") - prev2 > 1), 1).otherwise(0)
+    ).over(by_doc)
+    return (
+        hits2.withColumn("island", island)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") - F.min("p") + k).alias("span_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_windows")
+    )
+
+
+def q125_winnowed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnowed_spans(_augmented(spark, sf_dir))
+
+
+_Q125_SQL = f"""
+WITH all_docs AS ({_AUG_SQL}),
+d AS (
+  SELECT doc_id, text, length(text) - {SPAN_K} + 1 AS m
+  FROM all_docs WHERE length(text) >= {SPAN_K}
+),
+pos AS (SELECT doc_id, text, unnest(range(1, m + 1)) AS p FROM d),
+g AS (
+  SELECT doc_id, p,
+         md5(substr(text, CAST(p AS INTEGER), {SPAN_K}))
+           || '|' || lpad(CAST(p AS VARCHAR), 10, '0') AS k
+  FROM pos
+),
+winnow AS (
+  SELECT doc_id,
+         min(k) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS kmin
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         CAST(substr(kmin, 34, 10) AS BIGINT) AS p,
+         substr(kmin, 1, 32) AS h
+  FROM winnow
+),
+dup1 AS (SELECT h FROM fp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits1 AS (SELECT fp.doc_id, fp.p FROM fp JOIN dup1 USING (h)),
+lag1 AS (
+  SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+  FROM hits1
+),
+isl1 AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev IS NULL OR p - prev > {_REGION_PAD} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS rid
+  FROM lag1
+),
+regions AS (
+  SELECT doc_id, min(p) - {_REGION_PAD} AS lo_raw, max(p) + {_REGION_PAD} AS hi_raw
+  FROM isl1 GROUP BY doc_id, rid
+),
+pass2 AS (
+  SELECT DISTINCT r.doc_id, t.p,
+         md5(substr(d.text, CAST(t.p AS INTEGER), {SPAN_K})) AS h
+  FROM regions r
+  JOIN d USING (doc_id),
+  LATERAL (SELECT unnest(range(greatest(1, r.lo_raw), least(d.m, r.hi_raw) + 1)) AS p) t
+),
+dup2 AS (SELECT h FROM pass2 GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits2 AS (SELECT pass2.doc_id, pass2.p FROM pass2 JOIN dup2 USING (h)),
+lag2 AS (
+  SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+  FROM hits2
+),
+isl2 AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev IS NULL OR p - prev > 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM lag2
+)
+SELECT doc_id,
+       min(p) AS span_start,
+       max(p) - min(p) + {SPAN_K} AS span_len,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl2
+GROUP BY doc_id, island
+"""
+
 SPANS_QUERIES = {
     "q119_substring_dedup": q119_substring_dedup,
+    "q125_winnowed_spans": q125_winnowed_spans,
 }
 SPANS_ORACLES = {
     "q119_substring_dedup": _Q119_SQL,
+    "q125_winnowed_spans": _Q125_SQL,
 }

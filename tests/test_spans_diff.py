@@ -98,3 +98,67 @@ def test_q121_diff_statuses_partition_the_union(spark):
     assert deltas.get("unchanged", 0) == 0
     assert deltas.get("changed", 0) == 14 * n_changed
     assert deltas.get("removed", 0) < 0 < deltas.get("added", 0)
+
+
+def test_winnowed_spans_match_exact_on_long_spans(spark):
+    """For duplicated spans >= K + 2W - 1 the two-pass winnowed pipeline
+    is guaranteed exact — on corpora where every duplicated span is long
+    (full-copy pairs, embedded 96-char boilerplate) its output must equal
+    the stride-1 reference row-for-row."""
+    from postfix_log_parser_spark.ext.spans import winnowed_spans
+
+    text = "".join(chr(97 + (i * 7) % 26) for i in range(200))
+    a = "A" + "".join(chr(98 + (i * 11) % 24) for i in range(80)) + BOILER
+    b = BOILER + "".join(chr(99 + (i * 13) % 23) for i in range(90)) + "Z"
+    corpus = _docs(spark, [(1, text), (2, text), (3, a), (4, b)])
+    exact = sorted(map(tuple, duplicated_spans(corpus).collect()))
+    winnowed = sorted(map(tuple, winnowed_spans(corpus).collect()))
+    assert winnowed == exact
+    assert len(exact) == 4  # both copy-pairs found
+
+
+def test_winnowed_equals_exact_on_augmented_testdata(spark):
+    """The sf0.001 augmented corpus's duplicated spans are full-text
+    copies (always >= K + 2W - 1 chars) — the two pipelines must agree."""
+    from postfix_log_parser_spark.ext import EXT_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = sorted(map(tuple, EXT_QUERIES["q119_substring_dedup"](spark, sf).collect()))
+    winnowed = sorted(map(tuple, EXT_QUERIES["q125_winnowed_spans"](spark, sf).collect()))
+    assert winnowed == exact
+
+
+def test_winnowed_pass1_moves_fraction_of_grams(spark):
+    """The point of winnowing: the cross-doc fingerprint exchange carries
+    ~2/(W+1) of the gram stream, not all of it."""
+    from postfix_log_parser_spark.ext.spans import SPAN_K, WINNOW_W
+
+    text = "".join(chr(97 + (i * 7 + i * i * 3) % 26) for i in range(2000))
+    corpus = _docs(spark, [(1, text), (2, text[100:1900])])
+    m_total = sum(len(t) - SPAN_K + 1 for t in (text, text[100:1900]))
+    # reproduce pass 1's fingerprint count via the same selection exprs
+    from pyspark.sql import functions as F
+
+    k = SPAN_K
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length("text") - k + 1),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
+    )
+    keys = F.transform(
+        hashes,
+        lambda h, i0: F.concat(h, F.lit("|"), F.lpad((i0 + 1).cast("string"), 10, "0")),
+    )
+    w = WINNOW_W
+    win_lo = lambda e: F.greatest(F.lit(1), e - w + 1)  # noqa: E731
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - k + 1),
+            lambda e: F.array_min(F.slice(F.col("_keys"), win_lo(e), e - win_lo(e) + 1)),
+        )
+    )
+    n_sel = (
+        corpus.withColumn("_keys", keys)
+        .select(F.explode(selected))
+        .count()
+    )
+    assert n_sel < 0.4 * m_total  # ~2/(W+1) ≈ 0.22 expected at W=8
