@@ -69,7 +69,9 @@
   scores so the argmax is bit-reproducible (q122), per-source
   quality-score calibration via within-source quantile normalization —
   one source-keyed window exchange, self-verifying uniform deciles
-  (q123); q113 (Spark 4 transformWithStateInPandas
+  (q123), export QA via the Observation API — write-job-attached exact
+  metrics, zero extra scan, self-verified against a read-back (q126);
+  q113 (Spark 4 transformWithStateInPandas
   running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows

@@ -236,13 +236,79 @@ GROUP BY e.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q126 — export QA via the Observation API (metrics without a second scan)
+# ---------------------------------------------------------------------------
+#
+# Every production export needs an audit row (how many rows, how many
+# chars, key range) — and the naive way is to re-aggregate the corpus
+# after writing, i.e. scan 100 TB twice.  Spark's ``Observation``
+# (``df.observe``) attaches the aggregates to the WRITE job itself: the
+# metrics are folded in per task and merged on the driver — O(1) driver
+# state, zero extra scan, exact (unlike accumulators, observed metrics
+# are consistent under task retries).
+#
+# The query performs a real parquet export with observed metrics, then
+# ALSO recomputes the counts the expensive way from the read-back files
+# — the self-verification: ``readback_match`` must be literal TRUE, and
+# the observed numbers are hashed against the oracle's direct aggregate.
+
+def q126_observed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", "source")
+    )
+    obs = Observation("export_qa")
+    out_dir = _work_dir("q126_obs_")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+    observed.write.mode("overwrite").parquet(f"{out_dir}/corpus")
+    m = obs.get  # blocks until the write action's metrics are merged
+    back = spark.read.parquet(f"{out_dir}/corpus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["sum_chars"]),
+                int(m["min_id"]),
+                int(m["max_id"]),
+                bool(back["n"] == m["n_rows"] and back["s"] == m["sum_chars"]),
+            )
+        ],
+        "n_rows long, sum_chars long, min_id long, max_id long, readback_match boolean",
+    )
+
+
+_Q126_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       TRUE AS readback_match
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 EXPORT_QUERIES = {
+    "q126_observed_export": q126_observed_export,
     "q80_shard_export": q80_shard_export,
     "q81_range_export": q81_range_export,
     "q100_bucketed_join": q100_bucketed_join,
 }
 
 EXPORT_ORACLES = {
+    "q126_observed_export": _Q126_SQL,
     "q80_shard_export": _Q80_SQL,
     "q81_range_export": _Q81_SQL,
     "q100_bucketed_join": _Q100_SQL,
