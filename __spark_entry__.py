@@ -70,7 +70,11 @@
   quality-score calibration via within-source quantile normalization —
   one source-keyed window exchange, self-verifying uniform deciles
   (q123), export QA via the Observation API — write-job-attached exact
-  metrics, zero extra scan, self-verified against a read-back (q126);
+  metrics, zero extra scan, self-verified against a read-back (q126),
+  dedup-aware dataset card — raw vs effective docs/tokens per source
+  with first-occurrence attribution and inflation factors (q127),
+  boilerplate snippet extraction — top-k duplicated strings by reach
+  via TakeOrdered over the span list (q128);
   q113 (Spark 4 transformWithStateInPandas
   running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,

@@ -293,7 +293,97 @@ FROM j GROUP BY source, status
 """
 
 
+# ---------------------------------------------------------------------------
+# q127 — dedup-aware dataset card (effective size per source)
+# ---------------------------------------------------------------------------
+#
+# Dataset cards report raw vs EFFECTIVE size: how much of a source
+# survives exact dedup, and what the duplication inflation factor is —
+# the number that decides epoch counts and mixing weights.  Unique
+# tokens are attributed to the FIRST occurrence (min doc_id per content
+# hash), so per-source numbers sum to the global unique total with no
+# double counting across sources.
+#
+# Scale shape: one hash aggregate on md5(text) with min_by (map-side
+# partials), then a per-source aggregate — two exchanges total, both on
+# small keys; token counts are integer sums (BIGINT both engines).
+
+def q127_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", "source")
+    )
+    tokens = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    raw = docs.select(
+        "doc_id", "source", tokens.alias("n_tok"), F.md5("text").alias("h")
+    )
+    per_src_raw = raw.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_raw"),
+        F.sum("n_tok").alias("n_tokens_raw"),
+    )
+    canon = (
+        raw.groupBy("h")
+        .agg(F.min_by(F.struct("doc_id", "source", "n_tok"), "doc_id").alias("d"))
+        .select("d.source", "d.n_tok")
+    )
+    per_src_uniq = canon.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_unique"),
+        F.sum("n_tok").alias("n_tokens_unique"),
+    )
+    return (
+        per_src_raw.join(per_src_uniq, "source", "left")
+        .select(
+            "source",
+            "n_docs_raw",
+            "n_tokens_raw",
+            F.coalesce("n_docs_unique", F.lit(0)).alias("n_docs_unique"),
+            F.coalesce("n_tokens_unique", F.lit(0)).alias("n_tokens_unique"),
+            # NULL (not inf/error) when a source owns zero canonical docs
+            F.round(
+                F.try_divide(
+                    F.col("n_tokens_raw"),
+                    F.nullif(
+                        F.coalesce(F.col("n_tokens_unique"), F.lit(0)), F.lit(0)
+                    ),
+                ),
+                4,
+            ).alias("inflation"),
+        )
+    )
+
+
+_Q127_SQL = """
+WITH d AS (
+  SELECT doc_id, source, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+raw AS (
+  SELECT source, count(*) AS n_docs_raw,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens_raw
+  FROM d GROUP BY source
+),
+canon AS (
+  SELECT arg_min(source, doc_id) AS source, arg_min(n_tok, doc_id) AS n_tok
+  FROM d GROUP BY md5(text)
+),
+uniq AS (
+  SELECT source, count(*) AS n_docs_unique,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens_unique
+  FROM canon GROUP BY source
+)
+SELECT r.source, r.n_docs_raw, r.n_tokens_raw,
+       coalesce(u.n_docs_unique, 0) AS n_docs_unique,
+       coalesce(u.n_tokens_unique, 0) AS n_tokens_unique,
+       round(r.n_tokens_raw::DOUBLE / NULLIF(coalesce(u.n_tokens_unique, 0), 0), 4)
+         AS inflation
+FROM raw r LEFT JOIN uniq u USING (source)
+"""
+
+
 CORPUS_QUERIES = {
+    "q127_dataset_card": q127_dataset_card,
     "q83_train_split": q83_train_split,
     "q84_context_chunks": q84_context_chunks,
     "q85_source_diversity": q85_source_diversity,
@@ -301,6 +391,7 @@ CORPUS_QUERIES = {
 }
 
 CORPUS_ORACLES = {
+    "q127_dataset_card": _Q127_SQL,
     "q83_train_split": _Q83_SQL,
     "q84_context_chunks": _Q84_SQL,
     "q85_source_diversity": _Q85_SQL,

@@ -340,11 +340,75 @@ FROM isl2
 GROUP BY doc_id, island
 """
 
+# ---------------------------------------------------------------------------
+# q128 — boilerplate extraction (what IS the duplicated text?)
+# ---------------------------------------------------------------------------
+#
+# Span offsets (q119) say where duplication lives; cleaning pipelines
+# need the actual STRINGS — license headers, nav bars, quoted footers —
+# ranked by reach, to build removal rules.  Snippet = the first 60 chars
+# of each duplicated span; ranked by (#docs containing it, #spans,
+# snippet) with a full tie-break so top-k is total-ordered.
+#
+# Scale shape: one snippet-keyed hash aggregate over the span list
+# (output-proportional — spans, not corpus), then ``orderBy().limit()``
+# = TakeOrderedAndProject (per-partition k-heap + k-row merge), never a
+# global sort or an unpartitioned window.
+
+TOP_BOILERPLATE = 20
+_SNIPPET_LEN = 60
+
+
+def q128_boilerplate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented(spark, sf_dir)
+    spans = duplicated_spans(docs)
+    snippet = F.col("text").substr(
+        F.col("span_start").cast("int"), F.lit(_SNIPPET_LEN)
+    )
+    return (
+        spans.join(docs.select("doc_id", "text"), "doc_id")
+        .select(snippet.alias("snippet"), "doc_id", "span_len")
+        .groupBy("snippet")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("span_len").alias("max_len"),
+        )
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_spans").desc(), F.col("snippet")
+        )
+        .limit(TOP_BOILERPLATE)
+    )
+
+
+_Q128_SQL = f"""
+WITH spans AS ({_Q119_SQL}),
+all_docs AS ({_AUG_SQL}),
+snip AS (
+  SELECT substr(d.text, CAST(s.span_start AS INTEGER), {_SNIPPET_LEN}) AS snippet,
+         s.doc_id, s.span_len
+  FROM spans s JOIN all_docs d USING (doc_id)
+),
+agg AS (
+  SELECT snippet,
+         count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_spans,
+         max(span_len) AS max_len
+  FROM snip GROUP BY snippet
+)
+SELECT snippet, n_docs, n_spans, max_len
+FROM agg
+ORDER BY n_docs DESC, n_spans DESC, snippet
+LIMIT {TOP_BOILERPLATE}
+"""
+
 SPANS_QUERIES = {
     "q119_substring_dedup": q119_substring_dedup,
     "q125_winnowed_spans": q125_winnowed_spans,
+    "q128_boilerplate_topk": q128_boilerplate_topk,
 }
 SPANS_ORACLES = {
     "q119_substring_dedup": _Q119_SQL,
     "q125_winnowed_spans": _Q125_SQL,
+    "q128_boilerplate_topk": _Q128_SQL,
 }
