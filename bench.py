@@ -129,6 +129,27 @@ BENCH_QUERIES = [
     "q103_udtf_segments",
     "q55_pivot_segments",
     "q56_unpivot_metrics",
+    # r7 additions: retrieval, decoded-media, mixing/eval construction,
+    # span dedup (exact + winnowed), survivors, diff, classifier,
+    # calibration, dataset card, Observation export, Python DataSource
+    "q110_bm25_topk",
+    "q115_hybrid_rrf",
+    "q111_phash_dedup",
+    "q116_audio_features",
+    "q112_source_mix",
+    "q117_stratified_eval_set",
+    "q118_contamination_matrix",
+    "q119_substring_dedup",
+    "q125_winnowed_spans",
+    "q128_boilerplate_topk",
+    "q114_semantic_blocked_neardup",
+    "q120_cluster_survivors",
+    "q121_corpus_diff",
+    "q122_nb_source_classifier",
+    "q123_quality_calibration",
+    "q127_dataset_card",
+    "q126_observed_export",
+    "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",
     "q48_pii_mask",
