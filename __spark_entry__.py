@@ -74,7 +74,9 @@
   dedup-aware dataset card — raw vs effective docs/tokens per source
   with first-occurrence attribution and inflation factors (q127),
   boilerplate snippet extraction — top-k duplicated strings by reach
-  via TakeOrdered over the span list (q128);
+  via TakeOrdered over the span list (q128), corpus drift monitor —
+  per-bucket PSI between snapshots from integer counts, no cross-row
+  float accumulation (q129);
   q113 (Spark 4 transformWithStateInPandas
   running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,

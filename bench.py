@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "q123_quality_calibration",
     "q127_dataset_card",
     "q126_observed_export",
+    "q129_drift_psi",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

@@ -382,8 +382,125 @@ FROM raw r LEFT JOIN uniq u USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# q129 — corpus drift monitor (per-bucket PSI between snapshots)
+# ---------------------------------------------------------------------------
+#
+# Before swapping a new corpus snapshot into training, pipelines gate on
+# distribution drift — the standard scalar is the Population Stability
+# Index over a bucketed feature: PSI_b = (p_b − q_b)·ln(p_b/q_b), summed
+# over buckets, with add-one smoothing so empty buckets stay finite.
+# Here the feature is document length (10 fixed 64-char buckets, last
+# open-ended) and the snapshots are q121's v1/v2 derivation.
+#
+# Numerics: each bucket's term is computed from four INTEGERS
+# (n_b, N per side) through the same double expression in both engines —
+# no cross-row float accumulation (the per-bucket rows ARE the output;
+# the scalar PSI is their sum, left to the consumer precisely because a
+# 10-term float sum is evaluation-order-dependent).
+#
+# Scale shape: two narrow bucket projections + one tiny (≤10-key)
+# aggregate each + a 10-row join — the corpus is scanned once per side,
+# nothing else moves.
+
+def q129_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1 = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id", "text", "source"
+    )
+    kept = v1.filter(F.col("doc_id") % 37 != 0)
+    v2 = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" [v2 revision]")),
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionAll(
+        v1.filter(F.col("doc_id") % 53 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(
+                F.lit("fresh crawl document "),
+                (F.col("doc_id") + 300000).cast("string"),
+            ).alias("text"),
+        )
+    )
+    bucket = F.least(F.floor(F.length("text") / 64), F.lit(9)).cast("int")
+
+    def counts(df, n_col):
+        return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(n_col)
+        )
+
+    c1, c2 = counts(v1, "n_v1"), counts(v2, "n_v2")
+    buckets = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        buckets.join(c1, "bucket", "left")
+        .join(c2, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_v1", F.lit(0)).alias("n_v1"),
+            F.coalesce("n_v2", F.lit(0)).alias("n_v2"),
+        )
+    )
+    # totals come from the 10-row bucket frame itself (an unpartitioned
+    # window over exactly 10 rows) — no second scan of either snapshot
+    from pyspark.sql.window import Window
+
+    all_rows = Window.partitionBy()
+    t1 = F.sum("n_v1").over(all_rows)
+    t2 = F.sum("n_v2").over(all_rows)
+    p = (F.col("n_v1") + 1) / (t1 + 10).cast("double")
+    q = (F.col("n_v2") + 1) / (t2 + 10).cast("double")
+    return j.select(
+        "bucket",
+        "n_v1",
+        "n_v2",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+_Q129_SQL = """
+WITH v1 AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' [v2 revision]' ELSE text END AS text
+  FROM v1 WHERE doc_id % 37 != 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         'fresh crawl document ' || CAST(doc_id + 300000 AS VARCHAR) AS text
+  FROM v1 WHERE doc_id % 53 = 0
+),
+c1 AS (
+  SELECT least(length(text) // 64, 9) AS bucket, count(*) AS n_v1
+  FROM v1 GROUP BY 1
+),
+c2 AS (
+  SELECT least(length(text) // 64, 9) AS bucket, count(*) AS n_v2
+  FROM v2 GROUP BY 1
+),
+j AS (
+  SELECT b.bucket,
+         coalesce(c1.n_v1, 0) AS n_v1,
+         coalesce(c2.n_v2, 0) AS n_v2,
+         sum(coalesce(c1.n_v1, 0)) OVER () AS t1,
+         sum(coalesce(c2.n_v2, 0)) OVER () AS t2
+  FROM (SELECT unnest(range(0, 10)) AS bucket) b
+  LEFT JOIN c1 ON c1.bucket = b.bucket
+  LEFT JOIN c2 ON c2.bucket = b.bucket
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, n_v1, n_v2,
+       round(((n_v1 + 1) / CAST(t1 + 10 AS DOUBLE)
+              - (n_v2 + 1) / CAST(t2 + 10 AS DOUBLE))
+             * ln(((n_v1 + 1) / CAST(t1 + 10 AS DOUBLE))
+                  / ((n_v2 + 1) / CAST(t2 + 10 AS DOUBLE))), 6) AS psi_term
+FROM j
+"""
+
+
 CORPUS_QUERIES = {
     "q127_dataset_card": q127_dataset_card,
+    "q129_drift_psi": q129_drift_psi,
     "q83_train_split": q83_train_split,
     "q84_context_chunks": q84_context_chunks,
     "q85_source_diversity": q85_source_diversity,
@@ -392,6 +509,7 @@ CORPUS_QUERIES = {
 
 CORPUS_ORACLES = {
     "q127_dataset_card": _Q127_SQL,
+    "q129_drift_psi": _Q129_SQL,
     "q83_train_split": _Q83_SQL,
     "q84_context_chunks": _Q84_SQL,
     "q85_source_diversity": _Q85_SQL,
