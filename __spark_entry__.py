@@ -3,7 +3,9 @@
 ``entry(spark)`` runs the flagship star-join query on sf0.001.
 ``queries()`` exposes every driver-checked operator query:
 
-* q01-q19, q35, q53, q55-q56, q61, q66-q67, q72 — analytics layer
+* q01-q19, q35, q53, q55-q56, q61, q66-q67, q72, q130 (frequent
+  ordered session patterns — sequence mining over the q10 session
+  islands, bounded-key aggregate + TakeOrdered) — analytics layer
   (aggregation / joins / windows / top-k / grouping sets / set ops /
   sessionization / as-of / range join / salted skew agg / JSON /
   approx / pivot / unpivot / SCD2 changelog compaction / ordered

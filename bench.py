@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "q127_dataset_card",
     "q126_observed_export",
     "q129_drift_psi",
+    "q130_session_patterns",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

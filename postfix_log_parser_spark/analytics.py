@@ -1761,7 +1761,86 @@ CROSS JOIN n
 """
 
 
+# ---------------------------------------------------------------------------
+# q130 — frequent ordered session patterns (behavioral sequence mining)
+# ---------------------------------------------------------------------------
+
+def q130_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most frequent ORDERED event-type sequences per session.
+
+    q66's funnel tests one fixed pattern and q89's baskets ignore order;
+    this mines which ordered sequences actually occur: sessionize on the
+    30-minute gap (q10's islands), concatenate each session's event
+    types in (ts, event_id) order, count pattern frequencies, keep the
+    top 25.  Long sessions are truncated to their first 8 events —
+    pattern mining on unbounded sequences is all tail.
+
+    Scale shape: the sessionize windows ride ONE user-keyed exchange
+    (same spec as q10); per-session ordering happens inside
+    ``sort_array`` over the collected (bounded, truncated) struct list —
+    never a global sort; the pattern aggregate has bounded keys
+    (≤ |types|^8 in theory, tiny in practice) with map-side partials,
+    and top-k is TakeOrderedAndProject.  Tie-break on the pattern
+    string keeps the k-cut total-ordered cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seqs = (
+        ev.withColumn("sid", F.sum(is_new).over(wsum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice(F.col("evs"), 1, 8), lambda e: e["event_type"]
+                ),
+            ).alias("pattern")
+        )
+    )
+    return (
+        seqs.groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("pattern"))
+        .limit(25)
+    )
+
+
+_Q130_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), seqs AS (
+  SELECT array_to_string(
+           list_slice(array_agg(event_type ORDER BY ts, event_id), 1, 8), '>'
+         ) AS pattern
+  FROM sess GROUP BY user_id, sid
+)
+SELECT pattern, count(*) AS n_sessions
+FROM seqs GROUP BY pattern
+ORDER BY n_sessions DESC, pattern
+LIMIT 25
+"""
+
+
 ANALYTICS_QUERIES = {
+    "q130_session_patterns": q130_session_patterns,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_customers": q03_top_customers,
@@ -1808,6 +1887,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "q130_session_patterns": _Q130_SQL,
     "q01_pricing_summary": _Q01_SQL,
     "q02_revenue_by_nation": _Q02_SQL,
     "q03_top_customers": _Q03_SQL,
