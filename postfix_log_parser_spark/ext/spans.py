@@ -34,8 +34,10 @@ exactly.  All outputs are integer arithmetic — no float drift.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from postfix_log_parser_spark.ext.dedup import _AUG_SQL, _augmented
@@ -140,9 +142,10 @@ GROUP BY doc_id, island
 # most W apart — expected density 2/(W+1).
 #
 # Two passes:
-#   1. winnow INSIDE the per-doc array world (transform/slice/array_min
-#      — narrow, no shuffle touches unselected grams), explode only the
-#      ~2m/W selected fingerprints, hash-join them cross-doc, and merge
+#   1. winnow INSIDE the scan projection (an Arrow-batched pandas UDF
+#      running a monotonic-deque sliding minimum per doc — O(m), narrow,
+#      no shuffle touches unselected grams), explode only the ~2m/W
+#      selected fingerprints, hash-join them cross-doc, and merge
 #      colliding positions into candidate REGIONS (islands with gap
 #      tolerance K+2W, expanded ±(K+2W) and clamped to the doc);
 #   2. regenerate stride-1 grams ONLY inside the regions (a small
@@ -160,10 +163,63 @@ GROUP BY doc_id, island
 # Shuffle accounting at 100 TB (W=8): pass 1 moves ~22% of gram rows
 # (16-byte keys), pass 2 moves grams of candidate regions only — near
 # zero on a mostly-unique corpus, output-proportional on a duplicated
-# one.  The O(m·W) slice work stays inside the scan projection.
+# one.  The O(m) winnow work stays inside the scan stage.
 
 WINNOW_W = 8
 _REGION_PAD = SPAN_K + 2 * WINNOW_W  # island gap tolerance AND expansion
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _winnow_keys_udf(text: "pd.Series") -> "pd.Series":
+    """Vectorized pass-1 selection: per doc, the DISTINCT minima of every
+    trailing W-window over ``md5(gram) || '|' || lpad(pos, 10)`` keys —
+    exactly the oracle's ``min(k) OVER (ROWS W-1 PRECEDING)`` + DISTINCT.
+
+    Same hot-path trade as ``dedup.shingles3_udf``: the higher-order
+    Catalyst form (transform + slice + array_min per position) is
+    interpreted per element, measured ~4× slower at sf0.1; this
+    Arrow-batched loop is a monotonic-deque sliding minimum — O(m) per
+    doc instead of O(m·W).  Keys are pure-ASCII (hex + digits), so
+    Python byte-wise ``<`` equals both engines' collation."""
+    import hashlib
+    from collections import deque
+
+    out = []
+    for t in text:
+        if t is None or len(t) < SPAN_K:
+            out.append([])
+            continue
+        b = t.encode("utf-8", "surrogatepass")
+        m = len(t) - SPAN_K + 1
+        if len(b) == len(t):  # pure ASCII: chars == bytes, slice bytes
+            keys = [
+                hashlib.md5(b[i: i + SPAN_K]).hexdigest() + "|" + str(i + 1).zfill(10)
+                for i in range(m)
+            ]
+        else:
+            # md5 hashes UTF-8 bytes but positions count CHARACTERS
+            # (both engines' substr semantics): slice the str per gram
+            keys = [
+                hashlib.md5(
+                    t[i: i + SPAN_K].encode("utf-8", "surrogatepass")
+                ).hexdigest() + "|" + str(i + 1).zfill(10)
+                for i in range(m)
+            ]
+        sel: list[str] = []
+        dq: deque[int] = deque()  # indices, keys increasing
+        for e in range(m):
+            while dq and keys[dq[-1]] >= keys[e]:
+                dq.pop()
+            dq.append(e)
+            if dq[0] <= e - WINNOW_W:
+                dq.popleft()
+            kmin = keys[dq[0]]
+            if not sel or sel[-1] != kmin:
+                sel.append(kmin)
+        # a key's winning windows are contiguous, so consecutive dedupe
+        # IS distinct — assert-cheap invariant left to the tests
+        out.append(sel)
+    return pd.Series(out)
 
 
 def winnowed_spans(
@@ -171,33 +227,18 @@ def winnowed_spans(
 ) -> DataFrame:
     """Two-pass winnowed duplicated-span detection over (doc_id, text).
     Same output schema as :func:`duplicated_spans`."""
+    if (k, w) != (SPAN_K, WINNOW_W):
+        raise ValueError(
+            "winnowed_spans is compiled for (K, W) = "
+            f"({SPAN_K}, {WINNOW_W}); the pass-1 pandas UDF bakes the "
+            "constants in — change SPAN_K/WINNOW_W at module level"
+        )
     pad = k + 2 * w
     eligible = docs.select("doc_id", "text").filter(F.length("text") >= k)
 
-    # ---- pass 1: per-doc winnowed fingerprints (all narrow) ----
-    m = F.length("text") - k + 1
-    hashes = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
-    )
-    keys = F.transform(
-        hashes,
-        lambda h, i0: F.concat(
-            h, F.lit("|"), F.lpad((i0 + 1).cast("string"), 10, "0")
-        ),
-    )
-    win_lo = lambda e: F.greatest(F.lit(1), e - w + 1)  # noqa: E731
-    selected = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), m),
-            lambda e: F.array_min(
-                F.slice(F.col("_keys"), win_lo(e), e - win_lo(e) + 1)
-            ),
-        )
-    )
+    # ---- pass 1: per-doc winnowed fingerprints (vectorized, narrow) ----
     fp = (
-        eligible.withColumn("_keys", keys)
-        .select("doc_id", F.explode(selected).alias("kmin"))
+        eligible.select("doc_id", F.explode(_winnow_keys_udf("text")).alias("kmin"))
         .select(
             "doc_id",
             F.substring("kmin", 34, 10).cast("long").alias("p"),
