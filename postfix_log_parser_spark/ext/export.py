@@ -276,13 +276,16 @@ def q126_observed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("text")).alias("s"),
     ).collect()[0]
+    as_long = lambda v: None if v is None else int(v)  # noqa: E731
     return spark.createDataFrame(
         [
             (
                 int(m["n_rows"]),
-                int(m["sum_chars"]),
-                int(m["min_id"]),
-                int(m["max_id"]),
+                # empty corpus: sum/min/max observe as NULL — keep them
+                # NULL (the oracle's empty-input aggregates match)
+                as_long(m["sum_chars"]),
+                as_long(m["min_id"]),
+                as_long(m["max_id"]),
                 bool(back["n"] == m["n_rows"] and back["s"] == m["sum_chars"]),
             )
         ],

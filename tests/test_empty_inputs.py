@@ -35,6 +35,10 @@ _GLOBAL_AGG = {
     "q94_hll_sketch_table",
     # recursion seed: 'signup' is reachable at depth 0 from an empty graph
     "q104_recursive_reachability",
+    # export audit: always one metrics row (n_rows=0, NULL aggregates)
+    "q126_observed_export",
+    # drift report: always the 10 fixed buckets (smoothed PSI ~ 0)
+    "q129_drift_psi",
 }
 
 # the parse-pipeline queries run on the EMBEDDED golden log fixtures
@@ -48,6 +52,7 @@ _FIXTURE_INPUT = {
     "q44_sink_roundtrip",
     "q45_fused_events",
     "q48_pii_mask",
+    "q124_pysource_events",  # golden fixture through the maillog source
 }
 
 
