@@ -78,7 +78,9 @@
   boilerplate snippet extraction — top-k duplicated strings by reach
   via TakeOrdered over the span list (q128), corpus drift monitor —
   per-bucket PSI between snapshots from integer counts, no cross-row
-  float accumulation (q129);
+  float accumulation (q129), LSH recall audit — q22's banding measured
+  against the exact q107 ground truth at the same threshold, missed /
+  spurious counts + recall in one summary row (q132);
   q113 (Spark 4 transformWithStateInPandas
   running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,

@@ -1092,6 +1092,69 @@ FROM ranked GROUP BY component_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q132 — LSH recall audit (measure the banding loss, don't guess it)
+# ---------------------------------------------------------------------------
+
+def q132_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does q22's 4×2 banding actually miss?  q107 (AllPairs
+    prefix filtering) is EXACT at the same Jaccard-0.5 threshold over the
+    same shingle sets, so it is the ground truth; q22's verified pairs
+    are a subset, and the difference IS the LSH false-negative rate.
+    Production tunes (bands, rows) against this number instead of the
+    analytic 1-(1-s^r)^b curve, which assumes independent hashes.
+
+    Output: one row — n_exact, n_lsh, n_hits, n_missed, n_spurious
+    (must be 0: verification makes LSH precision exact), recall.
+
+    Scale shape: both pair lists are output-proportional pipelines; the
+    audit join is keyed on the (id_a, id_b) pair — tiny.  Run it on a
+    sampled corpus slice at 100 TB; the recall estimate concentrates
+    fast because pairs, not docs, are the unit."""
+    lsh = q22_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    exact = q107_dedup_prefix_join(spark, sf_dir).select("id_a", "id_b")
+    j = exact.withColumn("in_exact", F.lit(1)).join(
+        lsh.withColumn("in_lsh", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    n_exact = F.sum(F.coalesce("in_exact", F.lit(0)))
+    n_lsh = F.sum(F.coalesce("in_lsh", F.lit(0)))
+    n_hits = F.sum(
+        F.when(F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return j.agg(
+        n_exact.alias("n_exact"),
+        n_lsh.alias("n_lsh"),
+        n_hits.alias("n_hits"),
+        (n_exact - n_hits).alias("n_missed"),
+        (n_lsh - n_hits).alias("n_spurious"),
+        F.round(F.try_divide(n_hits, F.nullif(n_exact, F.lit(0))), 4).alias(
+            "recall"
+        ),
+    )
+
+
+def _q132_sql() -> str:
+    return f"""
+WITH lsh AS ({_q22_sql()}),
+exact AS ({{Q107}}),
+j AS (
+  SELECT coalesce(e.flag, 0) AS in_exact, coalesce(l.flag, 0) AS in_lsh
+  FROM (SELECT id_a, id_b, 1 AS flag FROM exact) e
+  FULL OUTER JOIN (SELECT id_a, id_b, 1 AS flag FROM lsh) l
+    USING (id_a, id_b)
+)
+SELECT CAST(sum(in_exact) AS BIGINT) AS n_exact,
+       CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+       CAST(sum(CASE WHEN in_exact = 1 AND in_lsh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(sum(in_exact) - sum(CASE WHEN in_exact = 1 AND in_lsh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+       CAST(sum(in_lsh) - sum(CASE WHEN in_exact = 1 AND in_lsh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spurious,
+       round(sum(CASE WHEN in_exact = 1 AND in_lsh = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(sum(in_exact), 0), 4) AS recall
+FROM j
+""".replace("{Q107}", _Q107_SQL)
+
+
 DEDUP_QUERIES = {
     "q20_dedup_exact": q20_dedup_exact,
     "q21_dedup_ngram_jaccard": q21_dedup_ngram_jaccard,
@@ -1104,6 +1167,7 @@ DEDUP_QUERIES = {
     "q74_passage_dedup": q74_passage_dedup,
     "q107_dedup_prefix_join": q107_dedup_prefix_join,
     "q120_cluster_survivors": q120_cluster_survivors,
+    "q132_lsh_recall": q132_lsh_recall,
 }
 
 DEDUP_ORACLES = {
@@ -1118,4 +1182,5 @@ DEDUP_ORACLES = {
     "q74_passage_dedup": _Q74_SQL,
     "q107_dedup_prefix_join": _Q107_SQL,
     "q120_cluster_survivors": _q120_sql(),
+    "q132_lsh_recall": _q132_sql(),
 }
