@@ -5,7 +5,9 @@
 
 * q01-q19, q35, q53, q55-q56, q61, q66-q67, q72, q130 (frequent
   ordered session patterns — sequence mining over the q10 session
-  islands, bounded-key aggregate + TakeOrdered) — analytics layer
+  islands, bounded-key aggregate + TakeOrdered), q131 (first- vs
+  last-touch conversion attribution over the same session islands,
+  cents-exact) — analytics layer
   (aggregation / joins / windows / top-k / grouping sets / set ops /
   sessionization / as-of / range join / salted skew agg / JSON /
   approx / pivot / unpivot / SCD2 changelog compaction / ordered

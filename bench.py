@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "q126_observed_export",
     "q129_drift_psi",
     "q130_session_patterns",
+    "q131_touch_attribution",
     "q132_lsh_recall",
     "q124_pysource_events",
     "q40_log_events",

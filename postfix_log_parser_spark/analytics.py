@@ -1839,7 +1839,112 @@ LIMIT 25
 """
 
 
+# ---------------------------------------------------------------------------
+# q131 — conversion attribution (first-touch vs last-touch)
+# ---------------------------------------------------------------------------
+
+def q131_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute every ``purchase`` to the FIRST and LAST preceding
+    non-purchase touch in the same user's 30-minute session (q10's
+    islands): the two standard attribution models, side by side — the
+    disagreement between them is the classic marketing-analytics report.
+
+    Output: (touch_type, n_first_touch, n_last_touch, total value
+    attributed under each model, cents-exact).
+
+    Scale shape: the sessionize + first/last windows ride ONE user-keyed
+    exchange; per-(session) state is bounded; the final aggregate has
+    |types| keys.  Value is summed in integer cents (exact, order-free).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessed = ev.withColumn("sid", F.sum(is_new).over(wsum))
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    wsr = ws.rowsBetween(Window.unboundedPreceding, -1)
+    touch = F.when(F.col("event_type") != "purchase", F.struct("ts", "event_id", "event_type"))
+    attributed = (
+        sessed.withColumn("first_touch", F.first(touch, ignorenulls=True).over(wsr))
+        .withColumn("last_touch", F.last(touch, ignorenulls=True).over(wsr))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("first_touch").isNotNull()
+        )
+        .select(
+            F.col("first_touch.event_type").alias("ft"),
+            F.col("last_touch.event_type").alias("lt"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    first = attributed.groupBy(F.col("ft").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_first_touch"),
+        F.sum("cents").alias("first_touch_cents"),
+    )
+    last = attributed.groupBy(F.col("lt").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_last_touch"),
+        F.sum("cents").alias("last_touch_cents"),
+    )
+    return (
+        first.join(last, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("n_first_touch", F.lit(0)).alias("n_first_touch"),
+            F.coalesce("first_touch_cents", F.lit(0)).alias("first_touch_cents"),
+            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
+            F.coalesce("last_touch_cents", F.lit(0)).alias("last_touch_cents"),
+        )
+    )
+
+
+_Q131_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessed AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), touches AS (
+  SELECT user_id, sid, ts, event_id, event_type, value,
+         first_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+         last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM sessed
+), attributed AS (
+  SELECT ft, lt, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM touches WHERE event_type = 'purchase' AND ft IS NOT NULL
+),
+first_m AS (
+  SELECT ft AS touch_type, count(*) AS n_first_touch,
+         CAST(sum(cents) AS BIGINT) AS first_touch_cents
+  FROM attributed GROUP BY ft
+),
+last_m AS (
+  SELECT lt AS touch_type, count(*) AS n_last_touch,
+         CAST(sum(cents) AS BIGINT) AS last_touch_cents
+  FROM attributed GROUP BY lt
+)
+SELECT touch_type,
+       coalesce(n_first_touch, 0) AS n_first_touch,
+       coalesce(first_touch_cents, 0) AS first_touch_cents,
+       coalesce(n_last_touch, 0) AS n_last_touch,
+       coalesce(last_touch_cents, 0) AS last_touch_cents
+FROM first_m FULL OUTER JOIN last_m USING (touch_type)
+"""
+
+
 ANALYTICS_QUERIES = {
+    "q131_touch_attribution": q131_touch_attribution,
     "q130_session_patterns": q130_session_patterns,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1887,6 +1992,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "q131_touch_attribution": _Q131_SQL,
     "q130_session_patterns": _Q130_SQL,
     "q01_pricing_summary": _Q01_SQL,
     "q02_revenue_by_nation": _Q02_SQL,
