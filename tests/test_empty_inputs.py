@@ -39,6 +39,8 @@ _GLOBAL_AGG = {
     "q126_observed_export",
     # drift report: always the 10 fixed buckets (smoothed PSI ~ 0)
     "q129_drift_psi",
+    # recall audit: always one summary row (all counts 0, NULL recall)
+    "q132_lsh_recall",
 }
 
 # the parse-pipeline queries run on the EMBEDDED golden log fixtures
