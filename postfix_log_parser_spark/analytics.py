@@ -1879,23 +1879,35 @@ def q131_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
-    first = attributed.groupBy(F.col("ft").alias("touch_type")).agg(
-        F.count(F.lit(1)).alias("n_first_touch"),
-        F.sum("cents").alias("first_touch_cents"),
-    )
-    last = attributed.groupBy(F.col("lt").alias("touch_type")).agg(
-        F.count(F.lit(1)).alias("n_last_touch"),
-        F.sum("cents").alias("last_touch_cents"),
-    )
-    return (
-        first.join(last, "touch_type", "full_outer")
-        .select(
-            "touch_type",
-            F.coalesce("n_first_touch", F.lit(0)).alias("n_first_touch"),
-            F.coalesce("first_touch_cents", F.lit(0)).alias("first_touch_cents"),
-            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
-            F.coalesce("last_touch_cents", F.lit(0)).alias("last_touch_cents"),
-        )
+    # both models aggregate in ONE pass: a 2-row model explode (narrow)
+    # instead of re-running the session pipeline per model — without
+    # this the window stack and the events scan appear twice in the plan
+    long = attributed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first").alias("model"),
+                    F.col("ft").alias("touch_type"),
+                    F.col("cents").alias("cents"),
+                ),
+                F.struct(
+                    F.lit("last").alias("model"),
+                    F.col("lt").alias("touch_type"),
+                    F.col("cents").alias("cents"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    is_first = F.col("model") == "first"
+    return long.groupBy("touch_type").agg(
+        F.sum(F.when(is_first, 1).otherwise(0)).alias("n_first_touch"),
+        F.sum(F.when(is_first, F.col("cents")).otherwise(0)).alias(
+            "first_touch_cents"
+        ),
+        F.sum(F.when(~is_first, 1).otherwise(0)).alias("n_last_touch"),
+        F.sum(F.when(~is_first, F.col("cents")).otherwise(0)).alias(
+            "last_touch_cents"
+        ),
     )
 
 

@@ -735,3 +735,25 @@ def test_q122_class_constants_ride_broadcasts(spark):
     assert plan.count("BroadcastExchange") >= 2
     assert "Window" in plan
     assert "hashpartitioning(doc_id" in plan  # argmax window keyed on doc
+
+
+def test_q130_patterns_single_user_exchange_then_takeordered(spark):
+    """Session-pattern mining: the sessionize windows and the per-session
+    collect must share ONE user_id-keyed exchange; the k-cut must be
+    TakeOrderedAndProject, never a global sort or unpartitioned window."""
+    from postfix_log_parser_spark.analytics import q130_session_patterns
+
+    plan = _plan(q130_session_patterns(spark, SF_DIR))
+    assert "TakeOrderedAndProject(limit=25" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Window [sum" in plan  # island windows ride that one exchange
+
+
+def test_q131_attribution_single_user_exchange(spark):
+    """First/last-touch attribution: sessionize + both touch windows ride
+    one user-keyed exchange; the model join is on the tiny type key."""
+    from postfix_log_parser_spark.analytics import q131_touch_attribution
+
+    plan = _plan(q131_touch_attribution(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan
