@@ -95,6 +95,32 @@ FUZZED = [
     "q59_ann_pq",
     "q60_int8_quant",
     "q68_ann_ivfpq",
+    # r7 batch: the tiny fuzz vocabulary makes cross-doc 40-char spans
+    # ubiquitous (q119/q125/q128 island merges under heavy overlap),
+    # integer score TIES exercise q120/q122/q123's tie-breaks, the
+    # ts-collision events stress q130/q131's (ts, event_id) ordering,
+    # and empty-text docs hit the media-synth edges (q111/q116)
+    "q110_bm25_topk",
+    "q111_phash_dedup",
+    "q112_source_mix",
+    "q114_semantic_blocked_neardup",
+    "q115_hybrid_rrf",
+    "q116_audio_features",
+    "q117_stratified_eval_set",
+    "q118_contamination_matrix",
+    "q119_substring_dedup",
+    "q120_cluster_survivors",
+    "q121_corpus_diff",
+    "q122_nb_source_classifier",
+    "q123_quality_calibration",
+    "q125_winnowed_spans",
+    "q126_observed_export",
+    "q127_dataset_card",
+    "q128_boilerplate_topk",
+    "q129_drift_psi",
+    "q130_session_patterns",
+    "q131_touch_attribution",
+    "q132_lsh_recall",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
