@@ -82,7 +82,13 @@
   per-bucket PSI between snapshots from integer counts, no cross-row
   float accumulation (q129), LSH recall audit — q22's banding measured
   against the exact q107 ground truth at the same threshold, missed /
-  spurious counts + recall in one summary row (q132);
+  spurious counts + recall in one summary row (q132), k-anonymity /
+  l-diversity release audit in one QI-keyed pass (q133), asymmetric
+  shingle-containment dedup for excerpt/quote inclusion (q134), z-order
+  Morton layout with zone-map prunability audit (q135), KMV bottom-k
+  sketches estimating pairwise source overlap from n_sources×K longs
+  (q136), CDC changelog compaction to a live snapshot with delete
+  tombstones via max_by partial aggregation (q137);
   q113 (Spark 4 transformWithStateInPandas
   running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,

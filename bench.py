@@ -153,6 +153,11 @@ BENCH_QUERIES = [
     "q130_session_patterns",
     "q131_touch_attribution",
     "q132_lsh_recall",
+    "q133_kanonymity",
+    "q134_containment_dedup",
+    "q135_zorder_layout",
+    "q136_kmv_overlap",
+    "q137_cdc_snapshot",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

@@ -1955,7 +1955,53 @@ FROM first_m FULL OUTER JOIN last_m USING (touch_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# q137 — CDC changelog compaction to a live snapshot (tombstone deletes)
+# ---------------------------------------------------------------------------
+
+def q137_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog to produce the live snapshot: per user, the
+    latest change by (ts, event_id) wins; a trailing ``error`` event is a
+    DELETE tombstone, so that user is absent from the snapshot.  This is
+    the batch equivalent of a streaming MERGE/upsert sink, and the
+    complement of q61 (which keeps the full SCD2 history).
+
+    Scale shape: ``max_by`` over a (ts, event_id) struct — an ordinary
+    hash aggregate with map-side partial reduction, so the exchange
+    carries ONE candidate row per (user, map partition) instead of the
+    full changelog a window-sort compaction would shuffle and sort.
+    ``n_versions`` rides the same exchange."""
+    ev = load(spark, sf_dir, "events")
+    ordkey = F.struct("ts", "event_id")
+    last = ev.groupBy("user_id").agg(
+        F.max_by(F.struct("event_type", "value", "ts"), ordkey).alias("s"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    return last.select(
+        "user_id",
+        F.col("s.event_type").alias("state"),
+        F.col("s.value").alias("value"),
+        F.unix_micros(F.col("s.ts")).alias("updated_us"),
+        "n_versions",
+    ).filter(F.col("state") != "error")
+
+
+_Q137_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_versions
+  FROM events
+)
+SELECT user_id, event_type AS state, value, epoch_us(ts) AS updated_us,
+       CAST(n_versions AS BIGINT) AS n_versions
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 ANALYTICS_QUERIES = {
+    "q137_cdc_snapshot": q137_cdc_snapshot,
     "q131_touch_attribution": q131_touch_attribution,
     "q130_session_patterns": q130_session_patterns,
     "q01_pricing_summary": q01_pricing_summary,
@@ -2005,6 +2051,7 @@ ANALYTICS_QUERIES = {
 
 ANALYTICS_ORACLES = {
     "q131_touch_attribution": _Q131_SQL,
+    "q137_cdc_snapshot": _Q137_SQL,
     "q130_session_patterns": _Q130_SQL,
     "q01_pricing_summary": _Q01_SQL,
     "q02_revenue_by_nation": _Q02_SQL,

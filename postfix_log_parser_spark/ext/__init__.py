@@ -15,11 +15,13 @@ from postfix_log_parser_spark.ext.corpus import CORPUS_ORACLES, CORPUS_QUERIES
 from postfix_log_parser_spark.ext.entity import ENTITY_ORACLES, ENTITY_QUERIES
 from postfix_log_parser_spark.ext.formats import FORMATS_ORACLES, FORMATS_QUERIES
 from postfix_log_parser_spark.ext.graph import GRAPH_ORACLES, GRAPH_QUERIES
+from postfix_log_parser_spark.ext.layout import LAYOUT_ORACLES, LAYOUT_QUERIES
 from postfix_log_parser_spark.ext.multimodal import (
     MULTIMODAL_ORACLES,
     MULTIMODAL_QUERIES,
 )
 from postfix_log_parser_spark.ext.packing import PACKING_ORACLES, PACKING_QUERIES
+from postfix_log_parser_spark.ext.privacy import PRIVACY_ORACLES, PRIVACY_QUERIES
 from postfix_log_parser_spark.ext.profile import PROFILE_ORACLES, PROFILE_QUERIES
 from postfix_log_parser_spark.ext.quantize import QUANTIZE_ORACLES, QUANTIZE_QUERIES
 from postfix_log_parser_spark.ext.retrieval import (
@@ -53,6 +55,8 @@ EXT_QUERIES = {
     **TEXTSTATS_QUERIES,
     **MULTIMODAL_QUERIES,
     **PACKING_QUERIES,
+    **PRIVACY_QUERIES,
+    **LAYOUT_QUERIES,
     **CLUSTER_QUERIES,
     **QUANTIZE_QUERIES,
     **SAMPLING_QUERIES,
@@ -77,6 +81,8 @@ EXT_ORACLES = {
     **TEXTSTATS_ORACLES,
     **MULTIMODAL_ORACLES,
     **PACKING_ORACLES,
+    **PRIVACY_ORACLES,
+    **LAYOUT_ORACLES,
     **CLUSTER_ORACLES,
     **QUANTIZE_ORACLES,
     **SAMPLING_ORACLES,

@@ -1155,6 +1155,136 @@ FROM j
 """.replace("{Q107}", _Q107_SQL)
 
 
+# ---------------------------------------------------------------------------
+# q134 — asymmetric containment dedup (doc-inside-doc)
+# ---------------------------------------------------------------------------
+
+CONTAIN_T = 0.9  # shingle containment threshold
+
+
+def _contain_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs plus deterministic EXCERPT copies: every 20th doc with >= 6
+    words contributes its first 2/3 words at doc_id + 400000.  An excerpt
+    is a prefix, so its distinct shingles are a strict subset of the
+    parent's — containment 1.0 by construction while Jaccard stays well
+    under q21's threshold (the case symmetric dedup misses)."""
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    words = words_of(F.col("text"))
+    n = F.size(words)
+    k = F.floor((n * 2) / F.lit(3)).cast("int")
+    excerpt = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            F.array_join(F.slice(words, F.lit(1), k), " ").alias("text"),
+            n.alias("n_words"),
+        )
+        .filter(F.col("n_words") >= 6)
+        .drop("n_words")
+    )
+    # same cheap parallelism shuffle as _augmented (single-file scan)
+    return docs.unionAll(excerpt).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def q134_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs whose shingle CONTAINMENT |A∩B| / min(|A|,|B|) >= 0.9.
+
+    Jaccard (q21) is symmetric and misses excerpt/quote/boilerplate
+    inclusion — a 100-word snippet inside a 10k-word page has Jaccard
+    ~0.01 but containment ~1.0; training-data pipelines dedup on
+    containment to drop quoted near-copies.  Same scale shape as q21:
+    shingle equi-join (never all-pairs) with the 5% document-frequency
+    cap on hot shingles; sizes are counted over the SAME capped shingle
+    set, so a fully-contained doc scores exactly 1.0 even when hot
+    shingles were dropped from both sides.  ``contained_id`` names the
+    smaller (contained) side, ties to the lower doc_id."""
+    docs = _contain_augmented(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(shingles3_udf(F.col("text"))).alias("shingle")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = docs.count()
+    df_cap = int(n_docs * 0.05)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = cold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = cold.alias("a")
+    b = cold.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    contain = F.round(
+        F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 3
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment", contain)
+        .filter(F.col("containment") >= CONTAIN_T)
+        .withColumn(
+            "contained_id",
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a")).otherwise(
+                F.col("id_b")
+            ),
+        )
+        .select("id_a", "id_b", "contained_id", "containment")
+    )
+
+
+_CONTAIN_AUG_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id,
+         array_to_string(
+           list_slice(words, 1, CAST((len(words) * 2) // 3 AS BIGINT)), ' '
+         ) AS text
+  FROM (SELECT doc_id, {_DUCK_WORDS} AS words
+        FROM documents WHERE doc_id % 20 = 0)
+  WHERE len(words) >= 6
+"""
+
+_Q134_SQL = f"""
+WITH all_docs AS ({_CONTAIN_AUG_SQL}),
+tok AS (
+  SELECT doc_id, {_DUCK_SHINGLES.replace('words', _DUCK_WORDS)} AS shingles
+  FROM all_docs
+),
+sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM tok),
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) > (SELECT CAST(floor(count(*) * 0.05) AS BIGINT) FROM all_docs)
+),
+cold AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM cold GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CASE WHEN sa.n_sh <= sb.n_sh THEN id_a ELSE id_b END AS contained_id,
+       round(n_inter::DOUBLE / least(sa.n_sh, sb.n_sh), 3) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter::DOUBLE / least(sa.n_sh, sb.n_sh), 3) >= {CONTAIN_T}
+"""
+
+
 DEDUP_QUERIES = {
     "q20_dedup_exact": q20_dedup_exact,
     "q21_dedup_ngram_jaccard": q21_dedup_ngram_jaccard,
@@ -1168,6 +1298,7 @@ DEDUP_QUERIES = {
     "q107_dedup_prefix_join": q107_dedup_prefix_join,
     "q120_cluster_survivors": q120_cluster_survivors,
     "q132_lsh_recall": q132_lsh_recall,
+    "q134_containment_dedup": q134_containment_dedup,
 }
 
 DEDUP_ORACLES = {
@@ -1183,4 +1314,5 @@ DEDUP_ORACLES = {
     "q107_dedup_prefix_join": _Q107_SQL,
     "q120_cluster_survivors": _q120_sql(),
     "q132_lsh_recall": _q132_sql(),
+    "q134_containment_dedup": _Q134_SQL,
 }

@@ -206,12 +206,167 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# q136 — KMV (bottom-k) sketches: pairwise corpus overlap without pair joins
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # bottom-k sketch size per source
+
+
+def q136_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-set Jaccard between sources, estimated from
+    KMV (bottom-k) sketches [Bar-Yossef et al. RANDOM'02; Beyer et al.
+    SIGMOD'07] — plus the exact value for self-verification.
+
+    Why this matters at 100 TB: "how much does source A overlap source
+    B?" drives dedup planning and mix design, but the exact answer
+    joins the full shingle inventories of every source pair.  A KMV
+    sketch reduces each source to its K smallest distinct md5 hashes —
+    mergeable, fixed-size, buildable in one pass — and estimates any
+    pair's Jaccard from 2K longs: among the k smallest hashes of the
+    merged pair, the fraction present in both sketches.  Sketch build is
+    a per-source bottom-k (here a window; at corpus scale a two-phase
+    partial bottom-k, since each partition can pre-trim to its local K
+    smallest before the exchange); the pair stage touches only the
+    n_sources×K sketch table, never the corpus.
+
+    The md5-derived hashes are shared bit-for-bit with the DuckDB
+    oracle, so the ESTIMATES match exactly across engines — estimation
+    error shows up only against ``exact_jaccard``, carried per pair.
+    """
+    from postfix_log_parser_spark.ext.dedup import shingles3_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "text"
+    )
+    sh = (
+        docs.select(
+            "source", F.explode(shingles3_udf(F.col("text"))).alias("s")
+        )
+        .select(
+            "source",
+            (
+                F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+                .cast("long")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    sk = (
+        sh.withColumn("r", rk)
+        .filter(F.col("r") <= KMV_K)
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("h")).alias("sk"))
+    )
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    a = sk.alias("a")
+    b = sk.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.sk").alias("ska"),
+        F.col("b.sk").alias("skb"),
+    )
+    u = F.array_sort(F.array_distinct(F.concat(F.col("ska"), F.col("skb"))))
+    k = F.least(F.lit(KMV_K), F.size(u))
+    thr = F.get(u, k - 1)
+    matches = F.size(
+        F.filter(
+            F.array_intersect(F.col("ska"), F.col("skb")),
+            lambda x: x <= thr,
+        )
+    )
+    est = pairs.select(
+        "src_a",
+        "src_b",
+        F.round(matches / k, 4).alias("kmv_jaccard"),
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    exact = F.round(
+        F.coalesce(F.col("n_inter"), F.lit(0))
+        / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+        4,
+    )
+    return (
+        est.join(inter, ["src_a", "src_b"], "left")
+        .join(sa, "src_a")
+        .join(sb, "src_b")
+        .select("src_a", "src_b", "kmv_jaccard", exact.alias("exact_jaccard"))
+    )
+
+
+def _q136_sql() -> str:
+    from postfix_log_parser_spark.ext.dedup import (
+        _DUCK_SHINGLES,
+        _DUCK_WORDS,
+        _duck_md5_long,
+    )
+
+    return f"""
+WITH tok AS (
+  SELECT source, {_DUCK_SHINGLES.replace('words', _DUCK_WORDS)} AS shingles
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, {_duck_md5_long('s')} AS h
+  FROM (SELECT source, unnest(shingles) AS s FROM tok)
+),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+rk AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS r
+  FROM sh
+),
+sk AS (
+  SELECT source, list_sort(list(h)) AS sk
+  FROM rk WHERE r <= {KMV_K} GROUP BY source
+),
+inter AS (
+  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_inter
+  FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.sk AS ska, b.sk AS skb,
+         list_sort(list_distinct(a.sk || b.sk)) AS u,
+         least({KMV_K}, len(list_distinct(a.sk || b.sk))) AS k
+  FROM sk a JOIN sk b ON a.source < b.source
+)
+SELECT p.src_a, p.src_b,
+       round(len(list_filter(list_intersect(p.ska, p.skb),
+                             x -> x <= p.u[p.k]))::DOUBLE / p.k, 4)
+         AS kmv_jaccard,
+       round(coalesce(i.n_inter, 0)::DOUBLE
+             / (sa.n + sb.n - coalesce(i.n_inter, 0)), 4) AS exact_jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+JOIN sizes sa ON sa.source = p.src_a
+JOIN sizes sb ON sb.source = p.src_b
+"""
+
+
 SKETCHES_QUERIES = {
     "q71_heavy_hitters_cms": q71_heavy_hitters_cms,
     "q94_hll_sketch_table": q94_hll_sketch_table,
+    "q136_kmv_overlap": q136_kmv_overlap,
 }
 
 SKETCHES_ORACLES = {
     "q71_heavy_hitters_cms": _Q71_SQL,
     "q94_hll_sketch_table": _Q94_SQL,
+    "q136_kmv_overlap": _q136_sql(),
 }

@@ -121,6 +121,15 @@ FUZZED = [
     "q130_session_patterns",
     "q131_touch_attribution",
     "q132_lsh_recall",
+    # r7 batch 2: colliding (ts, event_id) hit q137's max_by tie-break
+    # and q133's QI classes; the tiny vocabulary makes excerpt shingles
+    # collide across parents (q134) and shrinks the KMV universe below
+    # and above K across seeds (q136); q135's bit paths see dense cells
+    "q133_kanonymity",
+    "q134_containment_dedup",
+    "q135_zorder_layout",
+    "q136_kmv_overlap",
+    "q137_cdc_snapshot",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

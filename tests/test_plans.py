@@ -757,3 +757,84 @@ def test_q131_attribution_single_user_exchange(spark):
     plan = _plan(q131_touch_attribution(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_q133_kanonymity_single_pass(spark):
+    """The privacy audit must be one scan + one QI-keyed hash aggregate:
+    no joins, no windows, and the distinct-user count must ride the same
+    exchange as the class-size count (partial_count + partial distinct),
+    not a second shuffle of the fact table."""
+    from postfix_log_parser_spark.ext.privacy import q133_kanonymity
+
+    plan = _plan(q133_kanonymity(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+    # count-distinct plans as expand + two keyed exchanges max; the fact
+    # table itself is exchanged only on the QI key
+    assert plan.count("Exchange hashpartitioning") <= 2
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    read = scan.split("ReadSchema:")[1]
+    assert "props" not in read and "event_id" not in read  # pruned
+
+
+def test_q134_containment_is_shingle_keyed_no_cartesian(spark):
+    """Containment candidates must come from the shingle equi-join —
+    never an all-pairs product; the hot-shingle cap rides a broadcast."""
+    from postfix_log_parser_spark.ext.dedup import q134_containment_dedup
+
+    plan = _plan(q134_containment_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "shingle" in plan  # candidate join keyed on the shingle
+
+
+def test_q135_zone_map_audit_prunes_scan(spark):
+    """The z-cell audit is a projection + one hash aggregate; the Morton
+    code is plain bit arithmetic inside the scan stage (no UDF, no
+    python worker), and the scan reads only ts + user_id."""
+    from postfix_log_parser_spark.ext.layout import q135_zorder_layout
+
+    plan = _plan(q135_zorder_layout(spark, SF_DIR))
+    assert "Join" not in plan and "Window" not in plan
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    read = scan.split("ReadSchema:")[1]
+    assert "ts" in read and "user_id" in read
+    assert "props" not in read and "value" not in read
+
+
+def test_q135_zorder_partition_is_range_partitioned_sort(spark):
+    """The write-path layout operator must plan as RangePartitioning on
+    the Morton key with an in-partition sort — the shape that makes every
+    output file a compact z-range with prunable footer stats."""
+    from postfix_log_parser_spark.ext.layout import zorder_partition
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = zorder_partition(ev, F.col("user_id") % 256, F.hour("ts"), 16)
+    plan = _plan(df)
+    assert "rangepartitioning(_z" in plan
+    assert "Sort [_z" in plan
+
+
+def test_q136_kmv_pair_stage_touches_sketches_only(spark):
+    """The exact-intersection join must be an equi-join keyed on the
+    hash; the only nested-loop join allowed is the sketch-pair cross
+    (n_sources x K rows, broadcast side), never the corpus."""
+    from postfix_log_parser_spark.ext.sketches import q136_kmv_overlap
+
+    plan = _plan(q136_kmv_overlap(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q137_cdc_snapshot_is_partial_agg_not_window(spark):
+    """Changelog compaction must be max_by partial aggregation: one
+    user-keyed exchange carrying pre-reduced candidates — NO window sort
+    of the full changelog."""
+    from postfix_log_parser_spark.analytics import q137_cdc_snapshot
+
+    plan = _plan(q137_cdc_snapshot(spark, SF_DIR))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "partial_max_by" in plan.lower() or "partial" in plan.lower()
