@@ -1966,11 +1966,11 @@ def q137_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch equivalent of a streaming MERGE/upsert sink, and the
     complement of q61 (which keeps the full SCD2 history).
 
-    Scale shape: ``max_by`` over a (ts, event_id) struct — an ordinary
-    hash aggregate with map-side partial reduction, so the exchange
-    carries ONE candidate row per (user, map partition) instead of the
-    full changelog a window-sort compaction would shuffle and sort.
-    ``n_versions`` rides the same exchange."""
+    Scale shape: ``max_by`` over a (ts, event_id) struct — planned as a
+    SortAggregate (struct-ordered extremum) with a partial_max_by phase,
+    so the single user-keyed exchange carries ONE candidate row per
+    (user, map partition) instead of the full changelog a window-sort
+    compaction would shuffle.  ``n_versions`` rides the same exchange."""
     ev = load(spark, sf_dir, "events")
     ordkey = F.struct("ts", "event_id")
     last = ev.groupBy("user_id").agg(

@@ -7,10 +7,13 @@ audit is k-anonymity (every QI equivalence class holds >= k records) and
 l-diversity (each class spans >= l distinct sensitive values, so class
 membership does not reveal the sensitive attribute).
 
-Scale shape: ONE hash-partitioned groupBy on the QI tuple with map-side
-partial aggregation; the distinct-user count rides the same exchange as
-a partial-distinct aggregate.  No windows, no joins, no collect — the
-audit of a 100 TB fact table is a single pass.
+Scale shape: one scan, no windows, no joins, no collect.  The exact
+distinct-sensitive count makes Catalyst plan TWO keyed exchanges — a
+partial-distinct aggregate keyed on (QI, user) collapses duplicates
+map-side before the QI-keyed final — which is the textbook exact
+count-distinct shape; swap ``countDistinct`` for
+``approx_count_distinct`` to fold it back to one exchange when the
+audit tolerates HLL error.
 """
 
 from __future__ import annotations
