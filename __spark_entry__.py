@@ -88,7 +88,9 @@
   Morton layout with zone-map prunability audit (q135), KMV bottom-k
   sketches estimating pairwise source overlap from n_sources×K longs
   (q136), CDC changelog compaction to a live snapshot with delete
-  tombstones via max_by partial aggregation (q137);
+  tombstones via max_by partial aggregation (q137), two-phase top-k
+  per key — Arrow map-side trim below the single keyed exchange, the
+  partial phase Spark windows lack (q138);
   q113 (Spark 4 transformWithStateInPandas
   running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q135_zorder_layout",
     "q136_kmv_overlap",
     "q137_cdc_snapshot",
+    "q138_topk_per_key",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

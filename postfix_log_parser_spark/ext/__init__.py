@@ -48,6 +48,7 @@ from postfix_log_parser_spark.ext.timeseries import (
     TIMESERIES_ORACLES,
     TIMESERIES_QUERIES,
 )
+from postfix_log_parser_spark.ext.topk import TOPK_ORACLES, TOPK_QUERIES
 
 EXT_QUERIES = {
     **DEDUP_QUERIES,
@@ -73,6 +74,7 @@ EXT_QUERIES = {
     **RETRIEVAL_QUERIES,
     **SPANS_QUERIES,
     **CLASSIFY_QUERIES,
+    **TOPK_QUERIES,
 }
 
 EXT_ORACLES = {
@@ -99,4 +101,5 @@ EXT_ORACLES = {
     **RETRIEVAL_ORACLES,
     **SPANS_ORACLES,
     **CLASSIFY_ORACLES,
+    **TOPK_ORACLES,
 }

@@ -838,3 +838,20 @@ def test_q137_cdc_snapshot_is_partial_agg_not_window(spark):
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "partial_max_by" in plan.lower() or "partial" in plan.lower()
+
+
+def test_q138_two_phase_topk_trims_before_the_exchange(spark):
+    """Two-phase top-k: the partition-local trim (MapInPandas) must sit
+    BELOW the single user-keyed exchange, so the shuffle carries at most
+    k x partitions rows per key — never the full table."""
+    from postfix_log_parser_spark.ext.topk import q138_topk_per_key
+
+    plan = _plan(q138_topk_per_key(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "MapInPandas" in plan
+    # the trim is upstream of the exchange: in Spark's plan string the
+    # exchange line appears ABOVE its child MapInPandas line
+    exch = plan.index("Exchange hashpartitioning(user_id")
+    trim = plan.index("MapInPandas")
+    assert exch < trim, "trim must be a child of the exchange, not above it"
+    assert "Window" in plan
