@@ -90,7 +90,9 @@
   (q136), CDC changelog compaction to a live snapshot with delete
   tombstones via max_by partial aggregation (q137), two-phase top-k
   per key — Arrow map-side trim below the single keyed exchange, the
-  partial phase Spark windows lack (q138);
+  partial phase Spark windows lack (q138), embedding-QC outlier screen
+  — per-label centroid distance z-scores, centroids stay distributed
+  and broadcast back (q139);
   q113 (Spark 4 transformWithStateInPandas
   running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,

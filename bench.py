@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "q136_kmv_overlap",
     "q137_cdc_snapshot",
     "q138_topk_per_key",
+    "q139_embedding_outliers",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

@@ -132,6 +132,8 @@ FUZZED = [
     "q137_cdc_snapshot",
     # duplicate values across users hit the phase-1 trim's tie-break
     "q138_topk_per_key",
+    # 4-label random embeddings: small cohorts + near-boundary z values
+    "q139_embedding_outliers",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
