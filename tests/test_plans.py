@@ -855,3 +855,16 @@ def test_q138_two_phase_topk_trims_before_the_exchange(spark):
     trim = plan.index("MapInPandas")
     assert exch < trim, "trim must be a child of the exchange, not above it"
     assert "Window" in plan
+
+
+def test_q139_centroids_stay_distributed_and_broadcast_back(spark):
+    """Embedding QC: the centroid table must ride a BroadcastExchange
+    back onto the vectors (never a driver collect or a fact-side
+    shuffle), and the stats fan-out is one label-keyed window."""
+    from postfix_log_parser_spark.ext.embqc import q139_embedding_outliers
+
+    plan = _plan(q139_embedding_outliers(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "BroadcastExchange" in plan
+    assert "Window" in plan and "hashpartitioning(label" in plan
+    assert plan.count("FileScan parquet") == 2  # vectors + centroid build
