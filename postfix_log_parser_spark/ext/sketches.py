@@ -224,11 +224,12 @@ def q136_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch reduces each source to its K smallest distinct md5 hashes —
     mergeable, fixed-size, buildable in one pass — and estimates any
     pair's Jaccard from 2K longs: among the k smallest hashes of the
-    merged pair, the fraction present in both sketches.  Sketch build is
-    a per-source bottom-k (here a window; at corpus scale a two-phase
-    partial bottom-k, since each partition can pre-trim to its local K
-    smallest before the exchange); the pair stage touches only the
-    n_sources×K sketch table, never the corpus.
+    merged pair, the fraction present in both sketches.  The sketch
+    build is a TWO-PHASE bottom-k (``ext.topk.partial_topk``): each map
+    partition pre-trims to its local K smallest per source before the
+    exchange, so the per-source rank sorts K × partitions rows instead
+    of a hot source's entire distinct-shingle inventory; the pair stage
+    touches only the n_sources×K sketch table, never the corpus.
 
     The md5-derived hashes are shared bit-for-bit with the DuckDB
     oracle, so the ESTIMATES match exactly across engines — estimation
@@ -253,9 +254,16 @@ def q136_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # two-phase bottom-K (ext.topk.partial_topk): each partition's local
+    # K smallest hashes per source are trimmed BEFORE the exchange, so
+    # the per-source sort ranks K × partitions rows, not the source's
+    # full distinct-shingle inventory — the skew-robust sketch build
+    from postfix_log_parser_spark.ext.topk import partial_topk
+
+    trimmed = partial_topk(sh, "source", "h", None, KMV_K, ascending=True)
     rk = F.row_number().over(Window.partitionBy("source").orderBy("h"))
     sk = (
-        sh.withColumn("r", rk)
+        trimmed.withColumn("r", rk)
         .filter(F.col("r") <= KMV_K)
         .groupBy("source")
         .agg(F.array_sort(F.collect_list("h")).alias("sk"))

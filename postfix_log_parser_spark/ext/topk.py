@@ -36,26 +36,26 @@ def partial_topk(
     df: DataFrame,
     key: str,
     order_col: str,
-    tiebreak: str,
+    tiebreak: str | None,
     k: int,
+    ascending: bool = False,
 ) -> DataFrame:
     """Rows of ``df`` trimmed to each partition's local top-k per key
-    under (order_col DESC, tiebreak ASC) — phase 1 of two-phase top-k.
+    under (order_col DESC|ASC, tiebreak ASC) — phase 1 of two-phase
+    top-k (``ascending=True`` gives bottom-k, e.g. KMV sketch builds).
     Exact containment: any row in the global top-k is in its
     partition's local top-k, so the follow-up window sees every
     candidate.  Null order values are dropped (they cannot rank)."""
     schema = df.schema
+    cols = [key, order_col] + ([tiebreak] if tiebreak else [])
+    asc = [True, ascending] + ([True] if tiebreak else [])
 
     def _trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: pd.DataFrame | None = None
         for pdf in batches:
             pdf = pdf[pdf[order_col].notna()]
             pool = pdf if state is None else pd.concat([state, pdf])
-            pool = pool.sort_values(
-                [key, order_col, tiebreak],
-                ascending=[True, False, True],
-                kind="mergesort",
-            )
+            pool = pool.sort_values(cols, ascending=asc, kind="mergesort")
             # dropna=False: a NULL key is a legitimate group (SQL window
             # semantics put all NULL keys in one partition)
             state = pool.groupby(key, sort=False, dropna=False).head(k)

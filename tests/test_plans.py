@@ -826,6 +826,11 @@ def test_q136_kmv_pair_stage_touches_sketches_only(spark):
     plan = _plan(q136_kmv_overlap(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # the sketch build is two-phase: the partition-local bottom-K trim
+    # (MapInPandas) must sit below the source-keyed rank exchange
+    assert "MapInPandas" in plan
+    exch = plan.index("Exchange hashpartitioning(source")
+    assert exch < plan.index("MapInPandas")
 
 
 def test_q137_cdc_snapshot_is_partial_agg_not_window(spark):
