@@ -92,7 +92,9 @@
   per key — Arrow map-side trim below the single keyed exchange, the
   partial phase Spark windows lack (q138), embedding-QC outlier screen
   — per-label centroid distance z-scores, centroids stay distributed
-  and broadcast back (q139);
+  and broadcast back (q139), video scene-cut detection — decoded frame
+  sequences, aHash + adjacent-frame Hamming inside one Arrow stage, no
+  window shuffle (q140);
   q113 (Spark 4 transformWithStateInPandas
   running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,

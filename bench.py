@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "q137_cdc_snapshot",
     "q138_topk_per_key",
     "q139_embedding_outliers",
+    "q140_video_scene_cuts",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

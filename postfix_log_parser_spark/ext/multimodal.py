@@ -597,15 +597,136 @@ FROM per_doc GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q140 — video scene-cut detection over decoded frame sequences
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("n_bits", T.LongType(), False),
+        T.StructField("dist", T.LongType(), True),
+    ]
+)
+
+
+def scene_cut_frames(media: DataFrame) -> DataFrame:
+    """Per-frame aHash + Hamming distance to the previous frame, one
+    Arrow stage: each doc's synthetic 'video' is 2 + (n_chars mod 4)
+    frames, frame f decoding through the REAL P6 parser with seed
+    doc_id + f² (so consecutive frames drift and occasionally jump).
+    The frame loop stays inside the batch — consecutive frames of one
+    doc are adjacent in the same pandas batch, so the inter-frame
+    distance needs NO window/shuffle; only the tiny per-frame rows
+    leave the stage.  Real video swaps the synth for stored frames and
+    the same code shape holds (decode → hash → adjacent diff → emit)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, nbits, dists = [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                nf = 2 + int(n_chars) % 4
+                prev = None
+                for f in range(nf):
+                    px = decode_image(synth_ppm(int(doc_id) + f * f, int(n_chars)))
+                    gray = px.reshape(-1, 3).astype(np.int64).sum(axis=1) // 3
+                    bits = gray > (gray.sum() / gray.size)
+                    ids.append(int(doc_id))
+                    idxs.append(f)
+                    nbits.append(int(bits.size))
+                    dists.append(int((bits != prev).sum()) if prev is not None else None)
+                    prev = bits
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "n_bits": pd.array(nbits, dtype="int64"),
+                    "dist": pd.array(dists, dtype="Int64"),
+                }
+            )
+
+    return media.select(
+        "doc_id",
+        F.coalesce(F.col("meta.n_chars"), F.lit(0)).alias("n_chars"),
+    ).mapInPandas(batches, VIDEO_SCHEMA)
+
+
+def q140_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation per 'video': frame count, number of cuts
+    (adjacent-frame Hamming distance > ¼ of the hash width — integer
+    compare, no float threshold), and the largest jump.  The scene-cut
+    list is what a video curation pipeline feeds into keyframe
+    selection and frame-level dedup (q111's fingerprints on the cut
+    frames).  Scale: decode+hash+diff is embarrassingly parallel per
+    doc; the only exchange is the per-doc aggregate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = scene_cut_frames(to_media_table(docs))
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(
+            F.when(F.col("dist") * 4 > F.col("n_bits"), 1).otherwise(0)
+        ).cast("long").alias("n_cuts"),
+        F.max("dist").alias("max_dist"),
+    )
+
+
+_Q140_SQL = f"""
+WITH d AS (
+  SELECT doc_id, coalesce(n_chars, 0) AS nc
+  FROM documents WHERE text IS NOT NULL
+),
+fr AS (
+  SELECT doc_id, nc, unnest(range(0, CAST(2 + nc % 4 AS BIGINT))) AS f
+  FROM d
+),
+g AS (
+  SELECT doc_id, f,
+         list_transform(range(0, {SYNTH_W} * (1 + nc % 7)),
+           j -> ((31 * (doc_id + f * f) + 3 * j) % 256
+               + (31 * (doc_id + f * f) + 3 * j + 1) % 256
+               + (31 * (doc_id + f * f) + 3 * j + 2) % 256) // 3) AS gl
+  FROM fr
+),
+b AS (
+  SELECT doc_id, f, len(gl) AS n_bits,
+         list_transform(gl, v -> CASE WHEN v > list_sum(gl) / CAST(len(gl) AS DOUBLE)
+                                 THEN 1 ELSE 0 END) AS bits
+  FROM g
+),
+lagged AS (
+  SELECT doc_id, n_bits, bits,
+         lag(bits) OVER (PARTITION BY doc_id ORDER BY f) AS pbits
+  FROM b
+),
+dist AS (
+  SELECT doc_id, n_bits,
+         CASE WHEN pbits IS NULL THEN NULL
+              ELSE list_sum(list_transform(range(1, len(bits) + 1),
+                     i -> CASE WHEN bits[i] <> pbits[i] THEN 1 ELSE 0 END))
+         END AS dd
+  FROM lagged
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN dd * 4 > n_bits THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(max(dd) AS BIGINT) AS max_dist
+FROM dist GROUP BY doc_id
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q31_multimodal_features": q31_multimodal_features,
     "q34_frame_sample": q34_frame_sample,
     "q111_phash_dedup": q111_phash_dedup,
     "q116_audio_features": q116_audio_features,
+    "q140_video_scene_cuts": q140_video_scene_cuts,
 }
 MULTIMODAL_ORACLES = {
     "q31_multimodal_features": _Q31_SQL,
     "q34_frame_sample": _Q34_SQL,
     "q111_phash_dedup": _Q111_SQL,
     "q116_audio_features": _Q116_SQL,
+    "q140_video_scene_cuts": _Q140_SQL,
 }

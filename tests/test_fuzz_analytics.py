@@ -134,6 +134,8 @@ FUZZED = [
     "q138_topk_per_key",
     # 4-label random embeddings: small cohorts + near-boundary z values
     "q139_embedding_outliers",
+    # zero/short texts give 2-frame videos and minimum-width hashes
+    "q140_video_scene_cuts",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
