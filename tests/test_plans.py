@@ -873,3 +873,15 @@ def test_q139_centroids_stay_distributed_and_broadcast_back(spark):
     assert "BroadcastHashJoin" in plan and "BroadcastExchange" in plan
     assert "Window" in plan and "hashpartitioning(label" in plan
     assert plan.count("FileScan parquet") == 2  # vectors + centroid build
+
+
+def test_q140_scene_cuts_need_no_window_shuffle(spark):
+    """Video scene cuts: frames of a doc are adjacent inside the Arrow
+    stage, so the inter-frame Hamming must NOT plan a window — the only
+    exchange is the per-doc aggregate."""
+    from postfix_log_parser_spark.ext.multimodal import q140_video_scene_cuts
+
+    plan = _plan(q140_video_scene_cuts(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
