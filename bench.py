@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "q138_topk_per_key",
     "q139_embedding_outliers",
     "q140_video_scene_cuts",
+    "q141_filter_cascade",
+    "q142_random_projection",
+    "q143_unicode_normalize",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

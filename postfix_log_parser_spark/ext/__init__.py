@@ -8,6 +8,7 @@ on the scale path, no collect loops).
 """
 
 from postfix_log_parser_spark.ext.bpe import BPE_ORACLES, BPE_QUERIES
+from postfix_log_parser_spark.ext.cascade import CASCADE_ORACLES, CASCADE_QUERIES
 from postfix_log_parser_spark.ext.cluster import CLUSTER_ORACLES, CLUSTER_QUERIES
 from postfix_log_parser_spark.ext.export import EXPORT_ORACLES, EXPORT_QUERIES
 from postfix_log_parser_spark.ext.dedup import DEDUP_ORACLES, DEDUP_QUERIES
@@ -21,9 +22,17 @@ from postfix_log_parser_spark.ext.multimodal import (
     MULTIMODAL_ORACLES,
     MULTIMODAL_QUERIES,
 )
+from postfix_log_parser_spark.ext.normalize import (
+    NORMALIZE_ORACLES,
+    NORMALIZE_QUERIES,
+)
 from postfix_log_parser_spark.ext.packing import PACKING_ORACLES, PACKING_QUERIES
 from postfix_log_parser_spark.ext.privacy import PRIVACY_ORACLES, PRIVACY_QUERIES
 from postfix_log_parser_spark.ext.profile import PROFILE_ORACLES, PROFILE_QUERIES
+from postfix_log_parser_spark.ext.projection import (
+    PROJECTION_ORACLES,
+    PROJECTION_QUERIES,
+)
 from postfix_log_parser_spark.ext.quantize import QUANTIZE_ORACLES, QUANTIZE_QUERIES
 from postfix_log_parser_spark.ext.retrieval import (
     RETRIEVAL_ORACLES,
@@ -52,10 +61,12 @@ from postfix_log_parser_spark.ext.timeseries import (
 from postfix_log_parser_spark.ext.topk import TOPK_ORACLES, TOPK_QUERIES
 
 EXT_QUERIES = {
+    **CASCADE_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **TEXTSTATS_QUERIES,
     **MULTIMODAL_QUERIES,
+    **NORMALIZE_QUERIES,
     **PACKING_QUERIES,
     **PRIVACY_QUERIES,
     **LAYOUT_QUERIES,
@@ -63,6 +74,7 @@ EXT_QUERIES = {
     **QUANTIZE_QUERIES,
     **SAMPLING_QUERIES,
     **PROFILE_QUERIES,
+    **PROJECTION_QUERIES,
     **TIMESERIES_QUERIES,
     **SKETCHES_QUERIES,
     **GRAPH_QUERIES,
@@ -80,10 +92,12 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLES = {
+    **CASCADE_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
     **TEXTSTATS_ORACLES,
     **MULTIMODAL_ORACLES,
+    **NORMALIZE_ORACLES,
     **PACKING_ORACLES,
     **PRIVACY_ORACLES,
     **LAYOUT_ORACLES,
@@ -91,6 +105,7 @@ EXT_ORACLES = {
     **QUANTIZE_ORACLES,
     **SAMPLING_ORACLES,
     **PROFILE_ORACLES,
+    **PROJECTION_ORACLES,
     **TIMESERIES_ORACLES,
     **SKETCHES_ORACLES,
     **GRAPH_ORACLES,

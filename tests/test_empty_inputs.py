@@ -41,6 +41,8 @@ _GLOBAL_AGG = {
     "q129_drift_psi",
     # recall audit: always one summary row (all counts 0, NULL recall)
     "q132_lsh_recall",
+    # attrition report: always the 5 fixed cascade rows (all counts 0)
+    "q141_filter_cascade",
 }
 
 # the parse-pipeline queries run on the EMBEDDED golden log fixtures
