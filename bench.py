@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "q141_filter_cascade",
     "q142_random_projection",
     "q143_unicode_normalize",
+    "q144_vocab_oov",
+    "q145_dp_release",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

@@ -54,6 +54,7 @@ from postfix_log_parser_spark.ext.textstats import (
     TEXTSTATS_QUERIES,
 )
 from postfix_log_parser_spark.ext.udtfs import UDTF_ORACLES, UDTF_QUERIES
+from postfix_log_parser_spark.ext.vocab import VOCAB_ORACLES, VOCAB_QUERIES
 from postfix_log_parser_spark.ext.timeseries import (
     TIMESERIES_ORACLES,
     TIMESERIES_QUERIES,
@@ -84,6 +85,7 @@ EXT_QUERIES = {
     **BPE_QUERIES,
     **CORPUS_QUERIES,
     **UDTF_QUERIES,
+    **VOCAB_QUERIES,
     **RETRIEVAL_QUERIES,
     **SPANS_QUERIES,
     **CLASSIFY_QUERIES,
@@ -115,6 +117,7 @@ EXT_ORACLES = {
     **BPE_ORACLES,
     **CORPUS_ORACLES,
     **UDTF_ORACLES,
+    **VOCAB_ORACLES,
     **RETRIEVAL_ORACLES,
     **SPANS_ORACLES,
     **CLASSIFY_ORACLES,

@@ -66,5 +66,108 @@ GROUP BY 1, 2, 3
 """
 
 
-PRIVACY_QUERIES = {"q133_kanonymity": q133_kanonymity}
-PRIVACY_ORACLES = {"q133_kanonymity": _Q133_SQL}
+# ---------------------------------------------------------------------------
+# q145 — differentially-private count release (bounded contribution +
+# Laplace mechanism, deterministic seeded noise)
+# ---------------------------------------------------------------------------
+
+DP_CLAMP = 5      # per-(user, event_type) contribution bound C
+DP_EPSILON = 1.0  # per-release privacy budget
+
+
+def q145_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type count release under the Laplace mechanism.
+
+    Release pipeline (Dwork et al., TCC'06 shape):
+
+    1. **Contribution bounding** — each (user_id, event_type) pair
+       contributes at most ``DP_CLAMP`` events (``least(count, C)``), so
+       adding/removing one user-type pair moves the released count by at
+       most C: sensitivity Δ = C.
+    2. **Laplace noise** — scale b = Δ/ε added to the clamped sum via
+       inverse-CDF: ``-b·sign(u-½)·ln(1-2|u-½|)``.
+
+    Determinism contract: the "draw" u is a portable md5-derived uniform
+    of the release key (same 15-hex-digit trick as the CMS/KMV
+    sketches), NOT an RNG — reruns and the DuckDB oracle produce the
+    identical release, which is what a reproducible pipeline (and this
+    oracle check) needs; swap the hash input for a per-release secret
+    salt in production, which restores the mechanism's privacy while
+    keeping replays deterministic.
+
+    Scale shape (100 TB): two keyed exchanges — the clamp aggregate on
+    (user, event_type) collapses map-side, the release aggregate on
+    event_type is tiny; the noise is a constant-folded column
+    expression.  This is the exact-count-distinct shape q133 documents,
+    with a clamp instead of a distinct.
+    """
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    )
+    clamped = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.least(F.count(F.lit(1)), F.lit(DP_CLAMP)).alias("c"))
+    )
+    released = clamped.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("true_count")
+    )
+    b = float(DP_CLAMP) / DP_EPSILON
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    t = u - F.lit(0.5)
+    noise = (
+        F.lit(-b)
+        * F.signum(t)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t))
+    )
+    return released.select(
+        "event_type",
+        "true_count",
+        F.round(F.col("true_count") + noise, 3).alias("dp_count"),
+        F.round(noise, 3).alias("noise"),
+        F.lit(float(DP_EPSILON)).alias("epsilon"),
+        F.lit(DP_CLAMP).cast("long").alias("clamp"),
+    )
+
+
+_Q145_SQL = f"""
+WITH clamped AS (
+  SELECT user_id, event_type, least(count(*), {DP_CLAMP}) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id, event_type
+),
+released AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS true_count FROM clamped
+  GROUP BY event_type
+),
+noised AS (
+  SELECT event_type, true_count,
+         CAST(('0x' || substr(md5(event_type), 1, 15)) AS BIGINT)::DOUBLE
+           / 1152921504606846976.0 - 0.5 AS t
+  FROM released
+)
+SELECT event_type, true_count,
+       round(true_count
+             + (-{float(DP_CLAMP) / DP_EPSILON}) * sign(t)
+               * ln(1.0 - 2.0 * abs(t)), 3) AS dp_count,
+       round((-{float(DP_CLAMP) / DP_EPSILON}) * sign(t)
+             * ln(1.0 - 2.0 * abs(t)), 3) AS noise,
+       CAST({float(DP_EPSILON)} AS DOUBLE) AS epsilon,
+       CAST({DP_CLAMP} AS BIGINT) AS clamp
+FROM noised
+"""
+
+
+PRIVACY_QUERIES = {
+    "q133_kanonymity": q133_kanonymity,
+    "q145_dp_release": q145_dp_release,
+}
+PRIVACY_ORACLES = {
+    "q133_kanonymity": _Q133_SQL,
+    "q145_dp_release": _Q145_SQL,
+}
