@@ -36,7 +36,18 @@ def q144_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
         .select("source", F.explode(words_of(F.col("text"))).alias("word"))
     )
-    ws = docs.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
+    # the (source, word) aggregate feeds BOTH the vocab derivation and
+    # the coverage join; without an explicit materialization Spark plans
+    # two full corpus scans (ReuseExchange does not fire across the
+    # extra aggregate level).  The aggregate is vocab-sized — orders of
+    # magnitude smaller than the corpus — so a lazy localCheckpoint
+    # (materialized once at first action, lineage truncated) is the
+    # production call at 100 TB: one scan, one tiny cached table.
+    ws = (
+        docs.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     vocab = (
         ws.groupBy("word")
         .agg(F.sum("n").alias("freq"))

@@ -885,3 +885,71 @@ def test_q140_scene_cuts_need_no_window_shuffle(spark):
     assert "Window" not in plan
     assert "MapInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q141_cascade_single_scan_pruned_to_text(spark):
+    """Filter cascade: all metrics live inside the scan projection, so
+    the corpus scan must read ONLY text, with one corpus-side exchange
+    (the 5-value rule aggregate); the reach windows run on the 5-row
+    rule dimension, never the corpus."""
+    from postfix_log_parser_spark.ext.cascade import q141_filter_cascade
+
+    plan = _plan(q141_filter_cascade(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 1
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "text" in scan and "doc_id" not in scan and "source" not in scan
+    assert plan.count("Exchange hashpartitioning(rule") == 1
+
+
+def test_q142_projection_is_shuffle_free_and_jvm_side(spark):
+    """Random projection: embarrassingly parallel — NO exchange of any
+    kind, no Python stage (the sign matrix is a constant-folded
+    expression), and the scan prunes the label column."""
+    from postfix_log_parser_spark.ext.projection import q142_random_projection
+
+    plan = _plan(q142_random_projection(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert plan.count("FileScan parquet") == 1
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "embedding" in scan and "label" not in scan
+
+
+def test_q143_normalize_single_scan_one_arrow_stage(spark):
+    """Unicode canonicalization: one scan, one Arrow-batched Python
+    stage (the NFC UDF), zero shuffles — everything else is JVM-side."""
+    from postfix_log_parser_spark.ext.normalize import q143_unicode_normalize
+
+    plan = _plan(q143_unicode_normalize(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_q144_vocab_rides_broadcast_and_scans_corpus_once(spark):
+    """Vocab coverage: the top-V vocab must ride a BroadcastExchange
+    back onto the (source, word) aggregate, and the corpus must be
+    scanned ONCE (the aggregate is localCheckpoint-shared between the
+    vocab branch and the coverage branch)."""
+    from postfix_log_parser_spark.ext.vocab import q144_vocab_oov
+
+    df = q144_vocab_oov(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("FileScan parquet") <= 1, (
+        "corpus scanned more than once — checkpoint sharing regressed"
+    )
+
+
+def test_q145_dp_release_two_keyed_exchanges_pruned_scan(spark):
+    """DP release: the clamp aggregate keyed on (user, type) and the
+    release aggregate keyed on type — exactly two exchanges — over a
+    scan pruned to the two key columns; noise is constant-folded."""
+    from postfix_log_parser_spark.ext.privacy import q145_dp_release
+
+    plan = _plan(q145_dp_release(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Python" not in plan
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "user_id" in scan and "event_type" in scan and "value" not in scan
