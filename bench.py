@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "q143_unicode_normalize",
     "q144_vocab_oov",
     "q145_dp_release",
+    "q146_curation_pipeline",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

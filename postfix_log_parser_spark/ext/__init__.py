@@ -27,6 +27,7 @@ from postfix_log_parser_spark.ext.normalize import (
     NORMALIZE_QUERIES,
 )
 from postfix_log_parser_spark.ext.packing import PACKING_ORACLES, PACKING_QUERIES
+from postfix_log_parser_spark.ext.pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 from postfix_log_parser_spark.ext.privacy import PRIVACY_ORACLES, PRIVACY_QUERIES
 from postfix_log_parser_spark.ext.profile import PROFILE_ORACLES, PROFILE_QUERIES
 from postfix_log_parser_spark.ext.projection import (
@@ -69,6 +70,7 @@ EXT_QUERIES = {
     **MULTIMODAL_QUERIES,
     **NORMALIZE_QUERIES,
     **PACKING_QUERIES,
+    **PIPELINE_QUERIES,
     **PRIVACY_QUERIES,
     **LAYOUT_QUERIES,
     **CLUSTER_QUERIES,
@@ -101,6 +103,7 @@ EXT_ORACLES = {
     **MULTIMODAL_ORACLES,
     **NORMALIZE_ORACLES,
     **PACKING_ORACLES,
+    **PIPELINE_ORACLES,
     **PRIVACY_ORACLES,
     **LAYOUT_ORACLES,
     **CLUSTER_ORACLES,

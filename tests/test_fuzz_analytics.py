@@ -145,6 +145,8 @@ FUZZED = [
     "q143_unicode_normalize",
     "q144_vocab_oov",
     "q145_dp_release",
+    # composition: empty/dup-heavy fuzz docs collapse whole hash groups
+    "q146_curation_pipeline",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

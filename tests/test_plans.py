@@ -953,3 +953,17 @@ def test_q145_dp_release_two_keyed_exchanges_pruned_scan(spark):
     assert "Python" not in plan
     scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
     assert "user_id" in scan and "event_type" in scan and "value" not in scan
+
+
+def test_q146_pipeline_single_scan_two_exchanges(spark):
+    """Curation pipeline composition: the whole chain (canonicalize →
+    cascade → dedup → report) must plan as ONE corpus scan with exactly
+    two exchanges — the canonical-hash dedup window and the per-source
+    aggregate — and one Arrow Python stage (the NFC UDF)."""
+    from postfix_log_parser_spark.ext.pipeline import q146_curation_pipeline
+
+    plan = _plan(q146_curation_pipeline(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
