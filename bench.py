@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "q144_vocab_oov",
     "q145_dp_release",
     "q146_curation_pipeline",
+    "q147_skew_audit",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

@@ -42,6 +42,7 @@ from postfix_log_parser_spark.ext.retrieval import (
 from postfix_log_parser_spark.ext.sampling import SAMPLING_ORACLES, SAMPLING_QUERIES
 from postfix_log_parser_spark.ext.classify import CLASSIFY_ORACLES, CLASSIFY_QUERIES
 from postfix_log_parser_spark.ext.spans import SPANS_ORACLES, SPANS_QUERIES
+from postfix_log_parser_spark.ext.skew import SKEW_ORACLES, SKEW_QUERIES
 from postfix_log_parser_spark.ext.sketches import (
     SKETCHES_ORACLES,
     SKETCHES_QUERIES,
@@ -80,6 +81,7 @@ EXT_QUERIES = {
     **PROJECTION_QUERIES,
     **TIMESERIES_QUERIES,
     **SKETCHES_QUERIES,
+    **SKEW_QUERIES,
     **GRAPH_QUERIES,
     **ENTITY_QUERIES,
     **FORMATS_QUERIES,
@@ -113,6 +115,7 @@ EXT_ORACLES = {
     **PROJECTION_ORACLES,
     **TIMESERIES_ORACLES,
     **SKETCHES_ORACLES,
+    **SKEW_ORACLES,
     **GRAPH_ORACLES,
     **ENTITY_ORACLES,
     **FORMATS_ORACLES,

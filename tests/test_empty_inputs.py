@@ -43,6 +43,8 @@ _GLOBAL_AGG = {
     "q132_lsh_recall",
     # attrition report: always the 5 fixed cascade rows (all counts 0)
     "q141_filter_cascade",
+    # skew audit: always one summary row per audited key (4 branches)
+    "q147_skew_audit",
 }
 
 # the parse-pipeline queries run on the EMBEDDED golden log fixtures

@@ -37,6 +37,7 @@ BNLJ_BOUNDED = {
     "q117_stratified_eval_set": "1-row total broadcast for largest-remainder apportionment",
     "q122_nb_source_classifier": "class-constant table (|classes| rows) broadcast",
     "q136_kmv_overlap": "n_sources*K sketch rows; pair stage joins sketches only",
+    "q147_skew_audit": "1-row summary x 1-row hot-key frames joined per branch",
 }
 
 

@@ -967,3 +967,20 @@ def test_q146_pipeline_single_scan_two_exchanges(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q147_skew_audit_stats_never_touch_the_corpus(spark):
+    """Skew audit: each branch collapses its table to a counts aggregate
+    map-side; the hot-key pick joins the counts table against a
+    broadcast 1-row max — no window, no sort of the corpus, and every
+    scan prunes to its single key column."""
+    from postfix_log_parser_spark.ext.skew import q147_skew_audit
+
+    plan = _plan(q147_skew_audit(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for ln in plan.splitlines():
+        if "FileScan parquet" in ln and "lineitem" in ln:
+            read = ln.split("ReadSchema:")[1]
+            assert "l_orderkey" in read and "l_comment" not in read
