@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "q145_dp_release",
     "q146_curation_pipeline",
     "q147_skew_audit",
+    "q148_bpe_tokenize",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",
