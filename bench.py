@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "q146_curation_pipeline",
     "q147_skew_audit",
     "q148_bpe_tokenize",
+    "q149_ks_drift",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

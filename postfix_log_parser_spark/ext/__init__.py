@@ -17,6 +17,7 @@ from postfix_log_parser_spark.ext.embqc import EMBQC_ORACLES, EMBQC_QUERIES
 from postfix_log_parser_spark.ext.entity import ENTITY_ORACLES, ENTITY_QUERIES
 from postfix_log_parser_spark.ext.formats import FORMATS_ORACLES, FORMATS_QUERIES
 from postfix_log_parser_spark.ext.graph import GRAPH_ORACLES, GRAPH_QUERIES
+from postfix_log_parser_spark.ext.ksdrift import KSDRIFT_ORACLES, KSDRIFT_QUERIES
 from postfix_log_parser_spark.ext.layout import LAYOUT_ORACLES, LAYOUT_QUERIES
 from postfix_log_parser_spark.ext.multimodal import (
     MULTIMODAL_ORACLES,
@@ -73,6 +74,7 @@ EXT_QUERIES = {
     **PACKING_QUERIES,
     **PIPELINE_QUERIES,
     **PRIVACY_QUERIES,
+    **KSDRIFT_QUERIES,
     **LAYOUT_QUERIES,
     **CLUSTER_QUERIES,
     **QUANTIZE_QUERIES,
@@ -107,6 +109,7 @@ EXT_ORACLES = {
     **PACKING_ORACLES,
     **PIPELINE_ORACLES,
     **PRIVACY_ORACLES,
+    **KSDRIFT_ORACLES,
     **LAYOUT_ORACLES,
     **CLUSTER_ORACLES,
     **QUANTIZE_ORACLES,

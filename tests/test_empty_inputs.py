@@ -45,6 +45,8 @@ _GLOBAL_AGG = {
     "q141_filter_cascade",
     # skew audit: always one summary row per audited key (4 branches)
     "q147_skew_audit",
+    # KS verdict: one global-aggregate row (NULL stats on empty input)
+    "q149_ks_drift",
 }
 
 # the parse-pipeline queries run on the EMBEDDED golden log fixtures

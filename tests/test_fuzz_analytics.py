@@ -150,6 +150,8 @@ FUZZED = [
     # learned-merge tokenizer: the tiny vocabulary converges in <8 merges
     # across seeds; roundtrip/bounds invariants must hold regardless
     "q148_bpe_tokenize",
+    # parity snapshots of random docs: near-boundary D vs critical value
+    "q149_ks_drift",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
