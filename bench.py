@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "q147_skew_audit",
     "q148_bpe_tokenize",
     "q149_ks_drift",
+    "q150_stream_curation",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

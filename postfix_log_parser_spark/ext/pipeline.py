@@ -188,5 +188,119 @@ FROM ranked GROUP BY source
 """
 
 
-PIPELINE_QUERIES = {"q146_curation_pipeline": q146_curation_pipeline}
-PIPELINE_ORACLES = {"q146_curation_pipeline": _Q146_SQL}
+# ---------------------------------------------------------------------------
+# q150 — the same curation chain under Structured Streaming
+# ---------------------------------------------------------------------------
+
+def q150_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q146's canonicalize → cascade → dedup chain run INCREMENTALLY:
+    documents arrive as a file stream, the NFC pandas UDF and every
+    cascade metric evaluate per micro-batch, and ``dropDuplicates`` on
+    the canonical hash carries the dedup decision ACROSS batches in the
+    state store — the shape a continuously-ingesting corpus pipeline
+    runs.  Emits only the canonical hash (the surviving-document key
+    set), so the emitted set is deterministic regardless of which
+    duplicate arrives first; over availableNow it equals the batch
+    DISTINCT the oracle computes.
+
+    State note (100 TB): plain ``dropDuplicates`` state grows with
+    distinct content — the production bound is q95's
+    ``dropDuplicatesWithinWatermark`` once documents carry an ingest
+    timestamp; documents.parquet has none, so the unbounded variant is
+    the honest demo and the bound is documented here.
+    """
+    from postfix_log_parser_spark.logquery import _run_stream_to_memory
+
+    # maxFilesPerTrigger=1: each arriving file is its own micro-batch,
+    # so the dedup state is genuinely exercised ACROSS batches (on the
+    # single-file driver testdata this is a no-op)
+    src = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sf_dir}/documents.parque[t]")
+    )
+    docs = src.filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    ).select(
+        "doc_id", _augment(F.col("text"), F.col("doc_id")).alias("raw")
+    )
+    canon = F.regexp_replace(_nfc(F.col("raw")), _ZERO_WIDTH_RE, "")
+    staged = docs.select(canon.alias("canon"))
+    w = words_of(F.col("canon"))
+    n_words = F.size(w)
+    n_chars = F.length("canon")
+    n_alpha = F.length(F.regexp_replace("canon", "[^a-zA-Z]", ""))
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars)
+    uniq_ratio = F.when(
+        n_words > 0, F.size(F.array_distinct(w)).cast("double") / n_words
+    )
+    awl = F.when(
+        n_words > 0,
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double") / n_words,
+    )
+    survived = (
+        (n_words >= MIN_WORDS)
+        & (alpha_ratio >= MIN_ALPHA_RATIO)
+        & (uniq_ratio >= MIN_UNIQ_RATIO)
+        & awl.between(WLEN_LO, WLEN_HI)
+    )
+    out = (
+        staged.filter(F.coalesce(survived, F.lit(False)))
+        .select(F.md5(F.col("canon").cast("binary")).alias("canon_md5"))
+        .dropDuplicates(["canon_md5"])
+    )
+    return _run_stream_to_memory(spark, out, "q150")
+
+
+_Q150_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN chr(8203) ELSE '' END ||
+         CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769) || ' ' ELSE '' END ||
+         text ||
+         CASE WHEN doc_id % 5 = 0 THEN ' A' || chr(778) ELSE '' END AS raw
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+canon AS (
+  SELECT regexp_replace(nfc_normalize(raw),
+                        '[\\x{{200B}}\\x{{200C}}\\x{{200D}}\\x{{FEFF}}]',
+                        '', 'g') AS canon
+  FROM aug
+),
+m AS (
+  SELECT canon,
+         list_filter(string_split_regex(lower(canon), '[^a-z0-9]+'),
+                     x -> x != '') AS words,
+         length(canon) AS n_chars,
+         length(regexp_replace(canon, '[^a-zA-Z]', '', 'g')) AS n_alpha
+  FROM canon
+)
+SELECT DISTINCT md5(canon) AS canon_md5
+FROM m
+WHERE coalesce(
+        len(words) >= {MIN_WORDS}
+        AND (CASE WHEN n_chars > 0
+                  THEN n_alpha::DOUBLE / n_chars END) >= {MIN_ALPHA_RATIO}
+        AND (CASE WHEN len(words) > 0
+                  THEN len(list_distinct(words))::DOUBLE / len(words) END)
+            >= {MIN_UNIQ_RATIO}
+        AND (CASE WHEN len(words) > 0
+                  THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE
+                       / len(words) END) BETWEEN {WLEN_LO} AND {WLEN_HI},
+        FALSE)
+"""
+
+
+PIPELINE_QUERIES = {
+    "q146_curation_pipeline": q146_curation_pipeline,
+    "q150_stream_curation": q150_stream_curation,
+}
+PIPELINE_ORACLES = {
+    "q146_curation_pipeline": _Q146_SQL,
+    "q150_stream_curation": _Q150_SQL,
+}

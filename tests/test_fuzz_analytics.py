@@ -152,6 +152,8 @@ FUZZED = [
     "q148_bpe_tokenize",
     # parity snapshots of random docs: near-boundary D vs critical value
     "q149_ks_drift",
+    # streaming curation: emitted hash set must equal the batch DISTINCT
+    "q150_stream_curation",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

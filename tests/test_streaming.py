@@ -769,3 +769,38 @@ def test_q113_stream_running_stats_end_to_end(spark):
 
     rows = q113_stream_running_stats(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) > 0
+
+
+def test_stream_curation_dedups_across_batches(spark, tmp_path):
+    """q150's cross-batch state: a document whose canonical form already
+    passed through an earlier micro-batch must NOT re-emit when a
+    byte-identical copy arrives in a later file — the dedup decision
+    lives in the state store, not the batch."""
+    from postfix_log_parser_spark.ext.pipeline import q150_stream_curation
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # engineered to PASS all four cascade rules: 14 words (>= 12), all
+    # 5-letter (awl 5.0 in [4.0, 5.1]; alpha ratio 70/83 = 0.843), fully
+    # distinct (uniq 1.0)
+    base = (
+        "table value merge batch spark query scans sorts joins group "
+        "index shard files parts"
+    )
+    in_dir = tmp_path / "documents.parquet"
+    # doc_id 1 and 101: identical text, NO augmentation residues
+    # (1 % 3,5,7 != 0 and 101 % 3,5,7 != 0) -> identical canonical form.
+    # Two appends -> two part files in the flat dir; q150's
+    # maxFilesPerTrigger=1 source makes each its own micro-batch.
+    spark.createDataFrame([(1, base, "en", "web", len(base))], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(in_dir))
+    spark.createDataFrame(
+        [(101, base, "en", "web", len(base)), (2, base + " extra word tail", "en", "web", 0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    src_dir = str(tmp_path)
+    out = q150_stream_curation(spark, src_dir)
+    hashes = [r.canon_md5 for r in out.collect()]
+    assert len(hashes) == len(set(hashes)), "duplicate canonical hash emitted"
+    assert len(set(hashes)) == 2  # base doc once + the distinct variant
