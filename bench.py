@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "q148_bpe_tokenize",
     "q149_ks_drift",
     "q150_stream_curation",
+    "q151_metadata_stats",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

@@ -19,6 +19,10 @@ from postfix_log_parser_spark.ext.formats import FORMATS_ORACLES, FORMATS_QUERIE
 from postfix_log_parser_spark.ext.graph import GRAPH_ORACLES, GRAPH_QUERIES
 from postfix_log_parser_spark.ext.ksdrift import KSDRIFT_ORACLES, KSDRIFT_QUERIES
 from postfix_log_parser_spark.ext.layout import LAYOUT_ORACLES, LAYOUT_QUERIES
+from postfix_log_parser_spark.ext.metastats import (
+    METASTATS_ORACLES,
+    METASTATS_QUERIES,
+)
 from postfix_log_parser_spark.ext.multimodal import (
     MULTIMODAL_ORACLES,
     MULTIMODAL_QUERIES,
@@ -69,6 +73,7 @@ EXT_QUERIES = {
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **TEXTSTATS_QUERIES,
+    **METASTATS_QUERIES,
     **MULTIMODAL_QUERIES,
     **NORMALIZE_QUERIES,
     **PACKING_QUERIES,
@@ -104,6 +109,7 @@ EXT_ORACLES = {
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
     **TEXTSTATS_ORACLES,
+    **METASTATS_ORACLES,
     **MULTIMODAL_ORACLES,
     **NORMALIZE_ORACLES,
     **PACKING_ORACLES,

@@ -47,6 +47,8 @@ _GLOBAL_AGG = {
     "q147_skew_audit",
     # KS verdict: one global-aggregate row (NULL stats on empty input)
     "q149_ks_drift",
+    # footer probes: one row per probed table (n_rows=0, NULL envelopes)
+    "q151_metadata_stats",
 }
 
 # the parse-pipeline queries run on the EMBEDDED golden log fixtures

@@ -984,3 +984,26 @@ def test_q147_skew_audit_stats_never_touch_the_corpus(spark):
         if "FileScan parquet" in ln and "lineitem" in ln:
             read = ln.split("ReadSchema:")[1]
             assert "l_orderkey" in read and "l_comment" not in read
+
+
+def test_q151_aggregates_pushed_to_parquet_footers(spark):
+    """Metadata stats: every branch's COUNT/MIN/MAX must be answered by
+    the scan itself — PushedAggregation on a DSv2 BatchScan, one per
+    probed table, with no fallback partial-aggregate scan of data rows.
+    The pin inspects the pre-checkpoint plan INSIDE the conf scope (the
+    public q151 returns a materialized LogicalRDD)."""
+    from postfix_log_parser_spark.ext.metastats import (
+        _pushdown_scope,
+        _stats_plan,
+        q151_metadata_stats,
+    )
+
+    with _pushdown_scope(spark):
+        plan = _plan(_stats_plan(spark, SF_DIR))
+    assert plan.count("PushedAggregation: [COUNT(*)") == 4
+    assert plan.count("BatchScan parquet") == 4
+    assert "FileScan parquet" not in plan  # nothing fell back to v1
+    # and the public wrapper restores the session's v1 source list
+    v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    q151_metadata_stats(spark, SF_DIR)
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == v1
