@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "q149_ks_drift",
     "q150_stream_curation",
     "q151_metadata_stats",
+    "q152_dpp_prune",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

@@ -13,6 +13,7 @@ from postfix_log_parser_spark.ext.cluster import CLUSTER_ORACLES, CLUSTER_QUERIE
 from postfix_log_parser_spark.ext.export import EXPORT_ORACLES, EXPORT_QUERIES
 from postfix_log_parser_spark.ext.dedup import DEDUP_ORACLES, DEDUP_QUERIES
 from postfix_log_parser_spark.ext.corpus import CORPUS_ORACLES, CORPUS_QUERIES
+from postfix_log_parser_spark.ext.dpp import DPP_ORACLES, DPP_QUERIES
 from postfix_log_parser_spark.ext.embqc import EMBQC_ORACLES, EMBQC_QUERIES
 from postfix_log_parser_spark.ext.entity import ENTITY_ORACLES, ENTITY_QUERIES
 from postfix_log_parser_spark.ext.formats import FORMATS_ORACLES, FORMATS_QUERIES
@@ -101,6 +102,7 @@ EXT_QUERIES = {
     **SPANS_QUERIES,
     **CLASSIFY_QUERIES,
     **TOPK_QUERIES,
+    **DPP_QUERIES,
     **EMBQC_QUERIES,
 }
 
@@ -137,5 +139,6 @@ EXT_ORACLES = {
     **SPANS_ORACLES,
     **CLASSIFY_ORACLES,
     **TOPK_ORACLES,
+    **DPP_ORACLES,
     **EMBQC_ORACLES,
 }

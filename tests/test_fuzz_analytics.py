@@ -154,6 +154,8 @@ FUZZED = [
     "q149_ks_drift",
     # streaming curation: emitted hash set must equal the batch DISTINCT
     "q150_stream_curation",
+    # DPP join over the rewritten partitioned fact on random events
+    "q152_dpp_prune",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]

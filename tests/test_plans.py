@@ -1007,3 +1007,21 @@ def test_q151_aggregates_pushed_to_parquet_footers(spark):
     v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
     q151_metadata_stats(spark, SF_DIR)
     assert spark.conf.get("spark.sql.sources.useV1SourceList") == v1
+
+
+def test_q152_fact_scan_prunes_partitions_dynamically(spark):
+    """DPP: the partitioned fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters (fed by the dim's
+    broadcast), the dim must ride a BroadcastExchange, and the fact
+    side must never shuffle before the join."""
+    from postfix_log_parser_spark.ext.dpp import _dpp_plan, _materialize
+
+    work = _materialize(spark, SF_DIR)
+    plan = _plan(_dpp_plan(spark, work))
+    assert "dynamicpruningexpression" in plan
+    assert "BroadcastHashJoin" in plan
+    fact = next(
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "/fact" in ln
+    )
+    assert "PartitionFilters" in fact and "dynamicpruning" in fact
