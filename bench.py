@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "q150_stream_curation",
     "q151_metadata_stats",
     "q152_dpp_prune",
+    "q153_pysink_roundtrip",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

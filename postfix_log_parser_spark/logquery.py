@@ -192,6 +192,43 @@ def q124_pysource_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events_projection(events)
 
 
+def q153_pysink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q124's inverse composed with it: the golden fixture lines are
+    WRITTEN through the ``maillog`` Python Data Source writer (3
+    range-partitioned tasks → ``part-0000{0,1,2}.log`` + a committed
+    ``_SUCCESS`` manifest), read back through the maillog READER, and
+    parsed+sessionized — the full custom-connector round trip must
+    reproduce q40's events byte-for-byte (identical VALUES oracle).
+
+    Order contract under test: ``repartitionByRange`` +
+    ``sortWithinPartitions`` makes partition ids ordered ranges of the
+    line index, the writer's zero-padded file names replay that order
+    in the reader's name-sort, and per-file line order is the task
+    iterator order — so the read-back ``seq`` is the original line
+    order without any metadata pass."""
+    from postfix_log_parser_spark.sources.maillog import register_maillog
+
+    register_maillog(spark)
+    work = _work_dir("q153_pysink_") + "/out"
+    lines = "\n".join(
+        [BASIC, MIXED, SUBJECT, ASCII_SUBJECT, DOVECOT, MULTIPLE_TO]
+    ).split("\n")
+    df = spark.createDataFrame(
+        list(enumerate(lines)), "idx long, value string"
+    )
+    (
+        df.repartitionByRange(3, "idx")
+        .sortWithinPartitions("idx")
+        .select("value")
+        .write.format("maillog")
+        .mode("append")
+        .save(work)
+    )
+    raw = spark.read.format("maillog").load(work).select("value", "seq")
+    events, _faults, _state = sessionize(parse_lines_arrow(raw), raw_lines=raw)
+    return _events_projection(events)
+
+
 def q45_fused_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fixtures and projection as q40, through the FUSED engine
     (``sessionize_raw``: one raw-line shuffle, parse+fold+J1 in a single
@@ -1061,6 +1098,7 @@ LOG_QUERIES = {
     "q40_log_events": q40_log_events,
     "q45_fused_events": q45_fused_events,
     "q124_pysource_events": q124_pysource_events,
+    "q153_pysink_roundtrip": q153_pysink_roundtrip,
     "q48_pii_mask": q48_pii_mask,
     "q49_stream_hourly": q49_stream_hourly,
     "q50_stream_enrich": q50_stream_enrich,
@@ -1100,6 +1138,7 @@ LOG_ORACLES = {
     "q40_log_events": _Q40_SQL,
     "q45_fused_events": _Q40_SQL,
     "q124_pysource_events": _Q40_SQL,
+    "q153_pysink_roundtrip": _Q40_SQL,
     "q48_pii_mask": _Q48_SQL.format(q40=_Q40_SQL),
     "q49_stream_hourly": _Q49_SQL,
     "q50_stream_enrich": _Q50_SQL,

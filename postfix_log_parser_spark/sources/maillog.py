@@ -27,16 +27,31 @@ Scale notes:
 * the reader streams line-by-line (no whole-file materialization) and
   yields plain tuples — Spark batches them to Arrow internally.
 
-The source is intentionally read-only and batch-only; streaming ingest
-stays on ``readStream.text`` + ``prepare_stream`` (the watermark needs
-Spark's native file-stream bookkeeping).
+Since r7 batch 3 the source is also WRITABLE: ``MailLogWriter``
+implements the Python Data Source write path (one ``part-<idx>.log``
+text file per task, zero-padded so the reader's name-sort replays
+partition order; per-file line order is the iterator order, so a
+``maillog`` write→read round-trips the global (file, line) order
+exactly).  The writer demonstrates the task/commit split of the API —
+tasks emit commit messages naming the file they wrote, ``commit()``
+finalizes on the driver — over the local filesystem this container
+has; a production target would stage to temp names and rename in
+``commit()``.  Streaming ingest stays on ``readStream.text`` +
+``prepare_stream`` (the watermark needs Spark's native file-stream
+bookkeeping).
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _SEQ_BITS = 40
@@ -66,6 +81,7 @@ class MailLogReader(DataSourceReader):
             names = sorted(
                 n for n in os.listdir(path)
                 if os.path.isfile(os.path.join(path, n))
+                and not n.startswith(("_", "."))  # manifests, hidden files
             )
             self._files = [os.path.join(path, n) for n in names]
         else:
@@ -86,9 +102,56 @@ class MailLogReader(DataSourceReader):
                 yield (partition.path, base + i, line.rstrip("\n"))
 
 
+class _WroteFile(WriterCommitMessage):
+    def __init__(self, path: str, n_lines: int):
+        self.path = path
+        self.n_lines = n_lines
+
+
+class MailLogWriter(DataSourceWriter):
+    """Write a single-string-column DataFrame as rotated log files.
+
+    Each task writes ``part-<partition:05d>.log`` (zero-padded: the
+    reader sorts file names, so partition order survives the round
+    trip); each commit message names the file and its line count, and
+    ``commit()`` writes a ``_SUCCESS`` manifest from them — the
+    standard two-phase shape, kept rename-free because the local-FS
+    demo has no atomic-visibility gap to close."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("maillog writer requires a path (save(dir))")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.log")
+        n = 0
+        with open(out, "w") as fh:
+            for row in iterator:
+                fh.write(f"{row[-1]}\n")
+                n += 1
+        return _WroteFile(out, n)
+
+    def commit(self, messages):
+        total = sum(m.n_lines for m in messages if m is not None)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(f"{total}\n")
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class MailLogDataSource(DataSource):
     """``spark.dataSource.register(MailLogDataSource)`` then
-    ``spark.read.format("maillog").load(dir)``."""
+    ``spark.read.format("maillog").load(dir)`` /
+    ``df.write.format("maillog").mode("append").save(dir)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -99,6 +162,9 @@ class MailLogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return MailLogReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return MailLogWriter(self.options, overwrite)
 
 
 _REGISTERED = set()

@@ -63,6 +63,7 @@ _FIXTURE_INPUT = {
     "q45_fused_events",
     "q48_pii_mask",
     "q124_pysource_events",  # golden fixture through the maillog source
+    "q153_pysink_roundtrip",  # fixture through the maillog writer+reader
 }
 
 

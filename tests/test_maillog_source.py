@@ -49,3 +49,38 @@ def test_single_file_path_load(spark, tmp_path):
     p.write_text("only\n")
     rows = spark.read.format("maillog").load(str(p)).collect()
     assert [(r.seq, r.value) for r in rows] == [(0, "only")]
+
+
+def test_maillog_writer_roundtrip_and_manifest(spark, tmp_path):
+    """Writer contract: zero-padded part files replay partition order in
+    the reader's name-sort, the committed _SUCCESS manifest records the
+    total line count, and the reader SKIPS the manifest."""
+    from postfix_log_parser_spark.sources.maillog import register_maillog
+
+    register_maillog(spark)
+    out = str(tmp_path / "log_out")
+    lines = [f"line {i:03d}" for i in range(30)]
+    df = spark.createDataFrame(
+        list(enumerate(lines)), "idx long, value string"
+    )
+    (
+        df.repartitionByRange(4, "idx")
+        .sortWithinPartitions("idx")
+        .select("value")
+        .write.format("maillog")
+        .mode("append")
+        .save(out)
+    )
+    import os
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read().strip() == "30"
+    back = (
+        spark.read.format("maillog").load(out)
+        .orderBy("seq")
+        .select("value")
+        .collect()
+    )
+    assert [r.value for r in back] == lines
