@@ -95,6 +95,22 @@
   and broadcast back (q139), video scene-cut detection — decoded frame
   sequences, aHash + adjacent-frame Hamming inside one Arrow stage, no
   window shuffle (q140);
+  quality-filter cascade with per-rule attrition
+  (q141), Achlioptas sparse random projection — constant-folded
+  integer-hash sign matrix, zero shuffles (q142), unicode NFC
+  canonicalization with zero-width strip (q143), tokenizer vocab
+  coverage / OOV audit (q144), differentially-private count release —
+  contribution clamp + deterministic md5-seeded Laplace (q145),
+  chained curation pipeline — canonicalize→cascade→dedup→yield report
+  as ONE plan, single scan (q146), shuffle-key skew audit (q147),
+  applied BPE tokenizer — 8 learned merges, bounded 1-row collects,
+  self-verifying roundtrip invariants (q148), exact two-sample KS
+  drift test (q149), the curation chain under Structured Streaming
+  with cross-batch dedup state (q150), metadata-only table stats via
+  parquet aggregate pushdown — PushedAggregation, footers only (q151),
+  dynamic partition pruning over a partitioned fact sink (q152),
+  maillog Python Data Source WRITER roundtrip — two-phase commit,
+  write→read→parse→sessionize equals the q40 golden oracle (q153);
   q113 (Spark 4 transformWithStateInPandas
   running stats) registers only where the protobuf TWS runtime exists,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
