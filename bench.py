@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "q151_metadata_stats",
     "q152_dpp_prune",
     "q153_pysink_roundtrip",
+    "q154_split_leakage",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

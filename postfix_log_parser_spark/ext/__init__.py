@@ -20,6 +20,7 @@ from postfix_log_parser_spark.ext.formats import FORMATS_ORACLES, FORMATS_QUERIE
 from postfix_log_parser_spark.ext.graph import GRAPH_ORACLES, GRAPH_QUERIES
 from postfix_log_parser_spark.ext.ksdrift import KSDRIFT_ORACLES, KSDRIFT_QUERIES
 from postfix_log_parser_spark.ext.layout import LAYOUT_ORACLES, LAYOUT_QUERIES
+from postfix_log_parser_spark.ext.leakage import LEAKAGE_ORACLES, LEAKAGE_QUERIES
 from postfix_log_parser_spark.ext.metastats import (
     METASTATS_ORACLES,
     METASTATS_QUERIES,
@@ -82,6 +83,7 @@ EXT_QUERIES = {
     **PRIVACY_QUERIES,
     **KSDRIFT_QUERIES,
     **LAYOUT_QUERIES,
+    **LEAKAGE_QUERIES,
     **CLUSTER_QUERIES,
     **QUANTIZE_QUERIES,
     **SAMPLING_QUERIES,
@@ -119,6 +121,7 @@ EXT_ORACLES = {
     **PRIVACY_ORACLES,
     **KSDRIFT_ORACLES,
     **LAYOUT_ORACLES,
+    **LEAKAGE_ORACLES,
     **CLUSTER_ORACLES,
     **QUANTIZE_ORACLES,
     **SAMPLING_ORACLES,

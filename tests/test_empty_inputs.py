@@ -49,6 +49,8 @@ _GLOBAL_AGG = {
     "q149_ks_drift",
     # footer probes: one row per probed table (n_rows=0, NULL envelopes)
     "q151_metadata_stats",
+    # leakage audit: one global summary row (0 components, NULL rate)
+    "q154_split_leakage",
 }
 
 # the parse-pipeline queries run on the EMBEDDED golden log fixtures

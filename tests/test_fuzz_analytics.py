@@ -156,6 +156,9 @@ FUZZED = [
     "q150_stream_curation",
     # DPP join over the rewritten partitioned fact on random events
     "q152_dpp_prune",
+    # random corpora rarely near-dup: the audit must agree even when the
+    # component map is empty (0 components, NULL rate)
+    "q154_split_leakage",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
