@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "q152_dpp_prune",
     "q153_pysink_roundtrip",
     "q154_split_leakage",
+    "q155_aqe_skew_join",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

@@ -7,6 +7,7 @@ column plumbing — all designed scale-first (bucketed joins, no all-pairs
 on the scale path, no collect loops).
 """
 
+from postfix_log_parser_spark.ext.aqeskew import AQESKEW_ORACLES, AQESKEW_QUERIES
 from postfix_log_parser_spark.ext.bpe import BPE_ORACLES, BPE_QUERIES
 from postfix_log_parser_spark.ext.cascade import CASCADE_ORACLES, CASCADE_QUERIES
 from postfix_log_parser_spark.ext.cluster import CLUSTER_ORACLES, CLUSTER_QUERIES
@@ -71,6 +72,7 @@ from postfix_log_parser_spark.ext.timeseries import (
 from postfix_log_parser_spark.ext.topk import TOPK_ORACLES, TOPK_QUERIES
 
 EXT_QUERIES = {
+    **AQESKEW_QUERIES,
     **CASCADE_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
@@ -109,6 +111,7 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLES = {
+    **AQESKEW_ORACLES,
     **CASCADE_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,

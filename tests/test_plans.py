@@ -1025,3 +1025,19 @@ def test_q152_fact_scan_prunes_partitions_dynamically(spark):
         if "FileScan parquet" in ln and "/fact" in ln
     )
     assert "PartitionFilters" in fact and "dynamicpruning" in fact
+
+
+def test_q155_aqe_splits_the_skewed_partition(spark):
+    """AQE skew handling: executed inside the conf scope, the final
+    adaptive plan must mark the join SortMergeJoin(skew=true) with a
+    'coalesced and skewed' AQEShuffleRead — the runtime split actually
+    happened, not just the conf being set."""
+    from postfix_log_parser_spark.ext.aqeskew import _skew_join, _skew_scope
+
+    with _skew_scope(spark):
+        df = _skew_join(spark, SF_DIR)
+        df.collect()
+        plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin(skew=true)" in plan
+    assert "skewed" in plan  # AQEShuffleRead ... skewed
