@@ -52,9 +52,13 @@ def duplicated_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     eligible = docs.select("doc_id", "text").filter(F.length("text") >= k)
     # per-doc fingerprint array, exploded to (doc_id, p, h); the text
     # column dies inside this projection — nothing downstream carries it
+    # unhex: the fingerprint shuffles as 16 raw bytes, not a 32-char hex
+    # string — measured 2x lighter on the q119/q128 exchanges (the
+    # SHUFFLE_AUDIT top movers); the oracle's hex h is internal to the
+    # SQL and never compared, so representations may differ
     hashes = F.transform(
         F.sequence(F.lit(1), F.length("text") - k + 1),
-        lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
+        lambda i: F.unhex(F.md5(F.col("text").substr(i, F.lit(k)))),
     )
     grams = eligible.select(
         "doc_id", F.posexplode(hashes).alias("pos0", "h")
@@ -242,7 +246,10 @@ def winnowed_spans(
         .select(
             "doc_id",
             F.substring("kmin", 34, 10).cast("long").alias("p"),
-            F.substring("kmin", 1, 32).alias("h"),
+            # binary h past this narrow stage (same 2x-shuffle note as
+            # duplicated_spans; the string form exists only inside the
+            # winnow key where the '|' position tie-break needs it)
+            F.unhex(F.substring("kmin", 1, 32)).alias("h"),
         )
     )
     dup1 = (
@@ -282,7 +289,9 @@ def winnowed_spans(
         .select(
             "doc_id",
             "p",
-            F.md5(F.col("text").substr(F.col("p").cast("int"), F.lit(k))).alias("h"),
+            F.unhex(
+                F.md5(F.col("text").substr(F.col("p").cast("int"), F.lit(k)))
+            ).alias("h"),
         )
         .distinct()  # adjacent regions may overlap after expansion
     )
