@@ -831,18 +831,24 @@ def q74_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows: sequence(0, -1) would count DOWN and feed slice() negative
     # offsets (adversarial/null corpora; same lazy-If guard as
     # shingles_of)
+    # unhex: the chunk key shuffles/broadcasts as 16 raw bytes, not a
+    # 32-char hex string (internal key — never compared to the oracle)
     chunk_hashes = F.when(
         F.size("words") >= CHUNK_WORDS,
         F.transform(
             F.sequence(F.lit(0), n_full - 1),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.slice(F.col("words"), i * CHUNK_WORDS + 1, CHUNK_WORDS),
+            lambda i: F.unhex(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("words"), i * CHUNK_WORDS + 1, CHUNK_WORDS
+                        ),
+                    )
                 )
             ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
     chunks = docs.select("doc_id", F.explode(chunk_hashes).alias("ck"))
     # chunks seen in ≥2 distinct docs; small relative to the corpus, so
     # the join back is broadcast-able at scale
