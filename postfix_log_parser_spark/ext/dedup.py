@@ -275,14 +275,19 @@ def _minhash_bands(with_sh: DataFrame) -> DataFrame:
             for i in range(N_MINHASH)
         ]
     )
+    # unhex: band keys join as 16 raw bytes, not 32-char hex (internal
+    # equi-join keys — unhex is injective, so the candidate set is
+    # unchanged and the oracle's hex keys still select the same pairs)
     band_keys = [
-        F.md5(
-            F.concat_ws(
-                "_",
-                *[
-                    F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
+        F.unhex(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
             )
         ).alias(f"b{b}")
         for b in range(N_BANDS)
