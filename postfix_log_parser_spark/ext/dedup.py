@@ -1212,16 +1212,13 @@ def q134_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles were dropped from both sides.  ``contained_id`` names the
     smaller (contained) side, ties to the lower doc_id."""
     docs = _contain_augmented(spark, sf_dir)
-    # unhex(md5(shingle)): downstream only ever equi-joins and counts the
-    # shingles, never reads their text — 16 fixed bytes through the
-    # persist + three shuffles instead of variable ~20-char strings
-    sh = (
-        docs.select(
-            "doc_id", F.explode(shingles3_udf(F.col("text"))).alias("sh_txt")
-        )
-        .select("doc_id", F.unhex(F.md5("sh_txt")).alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # NOTE: shingles deliberately shuffle as TEXT, not unhex(md5(...)) —
+    # measured 1.9 MB vs 2.4 MB at sf0.01: short natural-language
+    # shingles lz4-compress far below a 16-byte incompressible hash.
+    # (The opposite held for q119's 32-char hex md5 keys.)
+    sh = docs.select(
+        "doc_id", F.explode(shingles3_udf(F.col("text"))).alias("shingle")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = docs.count()
     df_cap = int(n_docs * 0.05)
     hot = (
