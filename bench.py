@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "q153_pysink_roundtrip",
     "q154_split_leakage",
     "q155_aqe_skew_join",
+    "q156_token_budget",
     "q124_pysource_events",
     "q40_log_events",
     "q45_fused_events",

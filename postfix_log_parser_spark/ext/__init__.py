@@ -9,6 +9,7 @@ on the scale path, no collect loops).
 
 from postfix_log_parser_spark.ext.aqeskew import AQESKEW_ORACLES, AQESKEW_QUERIES
 from postfix_log_parser_spark.ext.bpe import BPE_ORACLES, BPE_QUERIES
+from postfix_log_parser_spark.ext.budget import BUDGET_ORACLES, BUDGET_QUERIES
 from postfix_log_parser_spark.ext.cascade import CASCADE_ORACLES, CASCADE_QUERIES
 from postfix_log_parser_spark.ext.cluster import CLUSTER_ORACLES, CLUSTER_QUERIES
 from postfix_log_parser_spark.ext.export import EXPORT_ORACLES, EXPORT_QUERIES
@@ -73,6 +74,7 @@ from postfix_log_parser_spark.ext.topk import TOPK_ORACLES, TOPK_QUERIES
 
 EXT_QUERIES = {
     **AQESKEW_QUERIES,
+    **BUDGET_QUERIES,
     **CASCADE_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
@@ -112,6 +114,7 @@ EXT_QUERIES = {
 
 EXT_ORACLES = {
     **AQESKEW_ORACLES,
+    **BUDGET_ORACLES,
     **CASCADE_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
