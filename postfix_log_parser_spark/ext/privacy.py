@@ -87,13 +87,20 @@ def q145_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. **Laplace noise** — scale b = Δ/ε added to the clamped sum via
        inverse-CDF: ``-b·sign(u-½)·ln(1-2|u-½|)``.
 
-    Determinism contract: the "draw" u is a portable md5-derived uniform
-    of the release key (same 15-hex-digit trick as the CMS/KMV
-    sketches), NOT an RNG — reruns and the DuckDB oracle produce the
-    identical release, which is what a reproducible pipeline (and this
-    oracle check) needs; swap the hash input for a per-release secret
-    salt in production, which restores the mechanism's privacy while
-    keeping replays deterministic.
+    Determinism contract — and what this query does NOT claim: the
+    "draw" u is a portable md5-derived uniform of the PUBLIC release key
+    (same 15-hex-digit trick as the CMS/KMV sketches), NOT an RNG, so
+    reruns and the DuckDB oracle produce the identical release.  That
+    makes this a demonstration of the mechanism's SHAPE (clamp →
+    sensitivity bound → Laplace inverse-CDF), not a private release:
+    deterministic per-key noise provides no fresh randomness across
+    repeated or adaptive releases, so the ε-DP accounting does not
+    apply to it — and the output deliberately carries ``true_count``
+    next to ``dp_count`` precisely because it is an oracle-checkable
+    demo, which any real release must never do.  A production release
+    needs fresh (or at minimum per-release-secret-keyed, carefully
+    argued) randomness, must drop ``true_count``/``noise``, and must
+    track cumulative ε across releases.
 
     Scale shape (100 TB): two keyed exchanges — the clamp aggregate on
     (user, event_type) collapses map-side, the release aggregate on

@@ -8,39 +8,50 @@ probability 1/6 each, 0 otherwise, scaled by sqrt(s/D') with s = 3) so
 — no codebook to train or broadcast — which is why pipelines run it
 FIRST, before any clustering sees the vectors.
 
-Determinism contract: the "random" matrix is a pure integer hash of
-(j, k) — ``(j*73856093 + k*19349663) % 6`` mapping 0 → +1, 1 → -1,
-else 0 — so Spark and the DuckDB oracle materialize the *identical*
-matrix with no RNG, no seed plumbing, and bit-equal output (the same
-trick the salted-join and shard-export queries use for reproducible
-pseudo-randomness).
+Determinism contract: the sign matrix is derived ONCE, in Python at
+plan-construction time, from ``md5("jl|j|k")`` per entry (first 60 bits
+mod 6: 0 → +1, 1 → -1, else 0 — the same portable-md5 trick the
+split/sampling queries use) and embedded as constant literals in BOTH
+the Spark expression and the DuckDB oracle.  Neither engine hashes at
+runtime, there is no RNG and no seed plumbing, and the output is
+bit-equal.  An earlier revision used ``(j*H1 + k*H2) % 6`` with two
+spatial-hash primes; that pair is degenerate mod 6 (both ≡ 5), which
+collapsed the matrix to 6 distinct rows — md5 mixing removes the
+algebraic structure entirely (verified: all 16 projection columns
+distinct, nonzero density 0.318 ≈ 1/3).
 
 Scale shape (100 TB of vectors): embarrassingly parallel — one narrow
-projection inside the scan, no shuffle, no UDF (nested
-``transform``/``aggregate`` over constant index ranges stays
-JVM-side).  The sign matrix is never materialized as data: it is a
-constant-folded expression, so there is nothing to broadcast.  The
+projection inside the scan, no shuffle, no UDF.  Each output coordinate
+is a constant-folded sum of ~21 signed ``element_at`` terms (only the
+nonzero matrix entries are emitted), so the whole projection stays
+inside whole-stage codegen and there is nothing to broadcast.  The
 norm-preservation ratio emitted per vector is the JL audit a pipeline
 alerts on (mean ≈ 1, spread shrinking with D').
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 D_IN = 64
 D_OUT = 16
-_H1, _H2 = 73856093, 19349663  # spatial-hash primes (public folklore pair)
-_SCALE = "sqrt(3.0)/4.0"       # sqrt(s/D') with s=3, D'=16 — exact in both
+_SCALE = "sqrt(3.0)/4.0"  # sqrt(s/D') with s=3, D'=16 — exact in both
 _ROUND = 6
 
 
-def _sign(j: Column, k: Column) -> Column:
-    h = (j.cast("long") * _H1 + k.cast("long") * _H2) % 6
-    return (
-        F.when(h == 0, F.lit(1.0)).when(h == 1, F.lit(-1.0)).otherwise(F.lit(0.0))
-    )
+def _sign(j: int, k: int) -> int:
+    h = int(hashlib.md5(f"jl|{j}|{k}".encode()).hexdigest()[:15], 16) % 6
+    return 1 if h == 0 else (-1 if h == 1 else 0)
+
+
+# nonzero entries per output coordinate: k -> [(j, sign), ...]
+_NONZERO: list[list[tuple[int, int]]] = [
+    [(j, s) for j in range(D_IN) if (s := _sign(j, k)) != 0]
+    for k in range(D_OUT)
+]
 
 
 def q142_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,35 +69,29 @@ def q142_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = F.expr(_SCALE)
     v = F.col("v")
 
-    def y_at(k: Column) -> Column:
-        return F.round(
-            scale
-            * F.aggregate(
-                F.sequence(F.lit(0), F.lit(D_IN - 1)),
-                F.lit(0.0),
-                lambda acc, j: acc + F.element_at(v, j + 1) * _sign(j, k),
-            ),
-            _ROUND,
-        )
+    def y_at(k: int) -> Column:
+        acc = F.lit(0.0)
+        for j, s in _NONZERO[k]:
+            term = F.element_at(v, j + 1)
+            acc = acc + term if s > 0 else acc - term
+        return F.round(scale * acc, _ROUND)
 
-    proj = F.transform(F.sequence(F.lit(0), F.lit(D_OUT - 1)), y_at)
+    ys = [y_at(k).alias(f"yk{k}") for k in range(D_OUT)]
     onorm2 = F.round(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), _ROUND
     )
-    out = e.select(
+    proj = e.select("vec_id", *ys, onorm2.alias("onorm2"))
+    pnorm2 = F.round(
+        sum(F.col(f"yk{k}") * F.col(f"yk{k}") for k in range(D_OUT)),
+        _ROUND,
+    )
+    out = proj.select(
         "vec_id",
-        proj.alias("y"),
-        onorm2.alias("onorm2"),
-    ).select(
-        "vec_id",
-        F.element_at("y", 1).alias("y0"),
-        F.element_at("y", 2).alias("y1"),
-        F.element_at("y", 3).alias("y2"),
-        F.element_at("y", 4).alias("y3"),
-        F.round(
-            F.aggregate(F.col("y"), F.lit(0.0), lambda acc, x: acc + x * x),
-            _ROUND,
-        ).alias("pnorm2"),
+        F.col("yk0").alias("y0"),
+        F.col("yk1").alias("y1"),
+        F.col("yk2").alias("y2"),
+        F.col("yk3").alias("y3"),
+        pnorm2.alias("pnorm2"),
         "onorm2",
     )
     return out.select(
@@ -98,10 +103,12 @@ def q142_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIGN_SQL = (
-    f"CASE (j*{_H1} + k*{_H2}) % 6 WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 "
-    "ELSE 0.0 END"
-)
+def _y_sql(k: int) -> str:
+    terms = "".join(
+        (" + " if s > 0 else " - ") + f"v[{j + 1}]" for j, s in _NONZERO[k]
+    )
+    return f"round(({_SCALE}) * (0.0{terms}), {_ROUND})"
+
 
 _Q142_SQL = f"""
 WITH e AS (
@@ -110,15 +117,14 @@ WITH e AS (
 ),
 p AS (
   SELECT vec_id,
-         list_transform(range(0, {D_OUT}), k ->
-           round(({_SCALE}) * list_sum(list_transform(range(0, {D_IN}),
-             j -> v[j + 1] * {_SIGN_SQL})), {_ROUND})) AS y,
+         {", ".join(f"{_y_sql(k)} AS yk{k}" for k in range(D_OUT))},
          round(list_sum(list_transform(v, x -> x * x)), {_ROUND}) AS onorm2
   FROM e
 ),
 q AS (
-  SELECT vec_id, y[1] AS y0, y[2] AS y1, y[3] AS y2, y[4] AS y3,
-         round(list_sum(list_transform(y, x -> x * x)), {_ROUND}) AS pnorm2,
+  SELECT vec_id, yk0 AS y0, yk1 AS y1, yk2 AS y2, yk3 AS y3,
+         round({" + ".join(f"yk{k}*yk{k}" for k in range(D_OUT))},
+               {_ROUND}) AS pnorm2,
          onorm2
   FROM p
 )

@@ -32,11 +32,20 @@ implements the Python Data Source write path (one ``part-<idx>.log``
 text file per task, zero-padded so the reader's name-sort replays
 partition order; per-file line order is the iterator order, so a
 ``maillog`` write→read round-trips the global (file, line) order
-exactly).  The writer demonstrates the task/commit split of the API —
-tasks emit commit messages naming the file they wrote, ``commit()``
-finalizes on the driver — over the local filesystem this container
-has; a production target would stage to temp names and rename in
-``commit()``.  Streaming ingest stays on ``readStream.text`` +
+exactly).  The write path is a REAL two-phase commit: tasks stage to
+dot-prefixed temp names (which the reader skips, so a half-written job
+is invisible) and ``commit()`` on the driver renames the winners —
+tasks never touch final names, so a retried or speculative task cannot
+clobber committed data, and losing attempts' staged files are swept in
+``commit()``/``abort()``.  ``mode("overwrite")`` clears the previous
+snapshot's part files and manifest inside ``commit()`` (atomically
+with the rename pass, not at write start, so a failed overwrite leaves
+the previous snapshot intact); ``mode("append")`` into a directory
+that already holds part files raises rather than silently interleaving
+two jobs' rotation orders (stale-tail clobber: a second append with
+fewer partitions would otherwise leave the old job's higher-numbered
+files for the reader to replay).  Streaming ingest stays on
+``readStream.text`` +
 ``prepare_stream`` (the watermark needs Spark's native file-stream
 bookkeeping).
 """
@@ -103,20 +112,28 @@ class MailLogReader(DataSourceReader):
 
 
 class _WroteFile(WriterCommitMessage):
-    def __init__(self, path: str, n_lines: int):
-        self.path = path
+    def __init__(self, staged: str, final_name: str, n_lines: int):
+        self.staged = staged
+        self.final_name = final_name
         self.n_lines = n_lines
 
 
 class MailLogWriter(DataSourceWriter):
     """Write a single-string-column DataFrame as rotated log files.
 
-    Each task writes ``part-<partition:05d>.log`` (zero-padded: the
-    reader sorts file names, so partition order survives the round
-    trip); each commit message names the file and its line count, and
-    ``commit()`` writes a ``_SUCCESS`` manifest from them — the
-    standard two-phase shape, kept rename-free because the local-FS
-    demo has no atomic-visibility gap to close."""
+    Two-phase commit: each task stages ``.staged-part-<pid:05d>-<task
+    attempt>.log`` (dot-prefixed — invisible to the reader) and reports
+    (staged path, final name ``part-<pid:05d>.log``, line count);
+    ``commit()`` on the driver clears the previous snapshot when
+    ``overwrite``, renames exactly the winning attempts' files to their
+    zero-padded final names (the reader sorts file names, so partition
+    order survives the round trip), sweeps losing attempts' leftovers,
+    and writes the ``_SUCCESS`` manifest last.  Tasks never write final
+    names, so task retry/speculation cannot clobber committed data.
+    ``append`` into a directory that already holds part files raises —
+    interleaving two jobs' rotation orders (or leaving a previous job's
+    higher-numbered tail files) would corrupt the reader's seq
+    contract."""
 
     def __init__(self, options: dict, overwrite: bool):
         self.path = options.get("path")
@@ -127,25 +144,61 @@ class MailLogWriter(DataSourceWriter):
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}.log")
+        staged = os.path.join(
+            self.path, f".staged-part-{pid:05d}-{ctx.taskAttemptId()}.log"
+        )
         n = 0
-        with open(out, "w") as fh:
+        with open(staged, "w") as fh:
             for row in iterator:
                 fh.write(f"{row[-1]}\n")
                 n += 1
-        return _WroteFile(out, n)
+        return _WroteFile(staged, f"part-{pid:05d}.log", n)
+
+    def _existing_parts(self) -> list:
+        if not os.path.isdir(self.path):
+            return []
+        return [
+            n for n in os.listdir(self.path)
+            if n.startswith("part-") and n.endswith(".log")
+        ]
 
     def commit(self, messages):
-        total = sum(m.n_lines for m in messages if m is not None)
+        stale = self._existing_parts()
+        if stale:
+            if not self.overwrite:
+                raise ValueError(
+                    f"maillog: destination {self.path} already holds "
+                    f"{len(stale)} part file(s); append would interleave "
+                    "two jobs' rotation orders — use mode('overwrite') "
+                    "or a fresh directory"
+                )
+            for n in stale:
+                os.remove(os.path.join(self.path, n))
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                os.remove(success)
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(m.staged, os.path.join(self.path, m.final_name))
+            total += m.n_lines
+        # losing speculative attempts staged files too — sweep them
+        for n in os.listdir(self.path):
+            if n.startswith(".staged-part-"):
+                os.remove(os.path.join(self.path, n))
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write(f"{total}\n")
 
     def abort(self, messages):
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+        if not os.path.isdir(self.path):
+            return
+        for n in os.listdir(self.path):
+            if n.startswith(".staged-part-"):
+                os.remove(os.path.join(self.path, n))
 
 
 class MailLogDataSource(DataSource):

@@ -84,3 +84,62 @@ def test_maillog_writer_roundtrip_and_manifest(spark, tmp_path):
         .collect()
     )
     assert [r.value for r in back] == lines
+    # commit() swept all staged temp files
+    assert not [n for n in names if n.startswith(".staged-part-")]
+
+
+def _write_maillog(df, out, mode):
+    (
+        df.write.format("maillog").mode(mode).save(out)
+    )
+
+
+def test_maillog_overwrite_clears_stale_tail(spark, tmp_path):
+    """Overwrite with FEWER partitions than the previous snapshot must
+    not leave the old job's higher-numbered part files for the reader
+    to replay, and the manifest must count only the new snapshot."""
+    register_maillog(spark)
+    out = str(tmp_path / "ow")
+    first = spark.createDataFrame(
+        [(i, f"old {i}") for i in range(8)], "idx long, value string"
+    )
+    _write_maillog(
+        first.repartitionByRange(4, "idx").sortWithinPartitions("idx")
+        .select("value"), out, "append",
+    )
+    assert len([n for n in os.listdir(out) if n.startswith("part-")]) == 4
+    second = spark.createDataFrame(
+        [(i, f"new {i}") for i in range(3)], "idx long, value string"
+    )
+    _write_maillog(
+        second.repartitionByRange(2, "idx").sortWithinPartitions("idx")
+        .select("value"), out, "overwrite",
+    )
+    parts = sorted(n for n in os.listdir(out) if n.startswith("part-"))
+    assert len(parts) == 2  # stale part-00002/3 removed
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read().strip() == "3"
+    back = [
+        r.value for r in
+        spark.read.format("maillog").load(out).orderBy("seq").collect()
+    ]
+    assert back == ["new 0", "new 1", "new 2"]
+
+
+def test_maillog_append_into_nonempty_raises(spark, tmp_path):
+    """Append into a directory that already holds part files would
+    interleave two jobs' rotation orders — the commit refuses, and the
+    previous snapshot survives untouched."""
+    register_maillog(spark)
+    out = str(tmp_path / "ap")
+    df = spark.createDataFrame([("one",)], "value string").coalesce(1)
+    _write_maillog(df, out, "append")
+    before = sorted(os.listdir(out))
+    with pytest.raises(Exception, match="rotation orders|overwrite"):
+        _write_maillog(df, out, "append")
+    # staged leftovers from the failed job are swept by abort()
+    assert sorted(
+        n for n in os.listdir(out) if not n.startswith(".staged-part-")
+    ) == before
+    back = [r.value for r in spark.read.format("maillog").load(out).collect()]
+    assert back == ["one"]
