@@ -316,16 +316,36 @@ def _jaccard_verified(cand: DataFrame, with_sh: DataFrame, threshold: float) -> 
     )
 
 
-def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 md5-derived permutations), 4 bands × 2 rows;
-    candidate pairs from band-key equi-joins, verified with exact Jaccard
-    >= 0.5 on the full shingle sets.
+# Staged LSH+CC artifacts, keyed per (SparkContext, sf_dir).  Four
+# contract queries consume the q22→q36 pipeline — q36 (components),
+# q120 (survivors), q132 (recall audit), q154 (split leakage) — and it
+# is the most expensive pipeline in the fleet; without staging each of
+# them re-runs the full shingle→minhash→band-join→verify (and three of
+# them the CC loop on top).  At 100 TB that recomputation is 4× a
+# full-corpus shingle pass — production writes the verified pair list
+# and the component map to checkpoint TABLES; per-session
+# localCheckpoint frames are the local-mode twin of that.  The staged
+# frames are eagerly materialized and tiny (output-proportional: only
+# near-dup pairs/members), so holding them for the session is cheap.
+_PAIR_STAGE: dict[tuple[int, str], DataFrame] = {}
+_COMP_STAGE: dict[tuple[int, str], DataFrame] = {}
+# test hook: how many times each stage actually computed (not cache-hit)
+STAGE_COMPUTES = {"pairs": 0, "components": 0}
 
-    Scale shape: signature computation is one shuffle (explode shingles →
-    groupBy doc, min per permutation); candidate generation is an
-    equi-join on (band_idx, band_key) — output-proportional, never
-    all-pairs.  False negatives are a property of the (deterministic)
-    hash family, identical in the oracle."""
+
+def _stage_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+    return (id(spark.sparkContext), sf_dir)
+
+
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22's verified near-dup pair list, computed ONCE per (session,
+    sf_dir) and returned as an eagerly-materialized localCheckpoint
+    frame (schema: id_a, id_b, jaccard)."""
+    key = _stage_key(spark, sf_dir)
+    staged = _PAIR_STAGE.get(key)
+    if staged is not None:
+        return staged
+    STAGE_COMPUTES["pairs"] += 1
     docs = _augmented(spark, sf_dir)
     # shingle sets feed the signature explode AND both verify-join sides —
     # materialize once (at scale: a checkpoint table)
@@ -345,7 +365,27 @@ def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     )
-    return _jaccard_verified(cand, with_sh, 0.5)
+    pairs = _jaccard_verified(cand, with_sh, 0.5).localCheckpoint(eager=True)
+    # the checkpoint holds the materialized pairs — the shingle cache
+    # (corpus-proportional, unlike the pairs) can go immediately
+    with_sh.unpersist()
+    _PAIR_STAGE[key] = pairs
+    return pairs
+
+
+def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5-derived permutations), 4 bands × 2 rows;
+    candidate pairs from band-key equi-joins, verified with exact Jaccard
+    >= 0.5 on the full shingle sets.
+
+    Scale shape: signature computation is one shuffle (explode shingles →
+    groupBy doc, min per permutation); candidate generation is an
+    equi-join on (band_idx, band_key) — output-proportional, never
+    all-pairs.  False negatives are a property of the (deterministic)
+    hash family, identical in the oracle.  The result is STAGED per
+    (session, sf_dir) — see ``lsh_verified_pairs`` — so the q36/q120/
+    q132/q154 consumers share one execution."""
+    return lsh_verified_pairs(spark, sf_dir)
 
 
 def _q22_sql() -> str:
@@ -660,8 +700,17 @@ def q36_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs are shallow: pairs/triples, so 1-2 rounds).  At 100 TB each
     round is two hash shuffles keyed on doc id — no driver state beyond
     the converged flag; for deep graphs swap the per-round persist for a
-    reliable checkpoint to truncate lineage."""
-    edges = q22_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    reliable checkpoint to truncate lineage.
+
+    Both the input pair list and the component map are STAGED per
+    (session, sf_dir): q120/q154 reuse the map, q132 the pairs — one
+    LSH+CC execution per process instead of four."""
+    key = _stage_key(spark, sf_dir)
+    staged = _COMP_STAGE.get(key)
+    if staged is not None:
+        return staged
+    STAGE_COMPUTES["components"] += 1
+    edges = lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     und = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
@@ -707,9 +756,11 @@ def q36_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted labels (which would otherwise leak for the session).
     result = labels.localCheckpoint(eager=True)
     labels.unpersist()
-    return result.select(
+    out = result.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
     )
+    _COMP_STAGE[key] = out
+    return out
 
 
 def _q36_sql() -> str:
