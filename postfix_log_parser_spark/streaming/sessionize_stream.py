@@ -342,20 +342,36 @@ def _make_fold(ttl_seconds: int, processing_time: bool = False):
         # splits in (file, block) order) — stream == batch on ties
         rows = rows.sort_values(["timestamp", "file", "seq"], kind="stable")
 
+        from postfix_log_parser_spark.operators.parse import _parse_row
+
         opened = False  # did this batch leave an open session?
         for row in rows.itertuples(index=False):
             ts = None if pd.isna(row.timestamp) else row.timestamp.to_pydatetime()
-            if row.kind == "dovecot" and row.dove_dup:
+            if row.dove_dup:
                 # J1: apply only if the session's CURRENT message-id
                 # matches (parse.py:370-375); never touches raw_log (Q8)
                 if fields and fields.get("message-id") == row.dovecot_msgid:
                     fields["dovecot_fileinto_action"] = row.dovecot_action
                 continue
-            raw_log.append(row.line)
+            # FUSED parse: the feed ships the raw line (the plan upstream
+            # is only the cheap queue-shape/evt projection), and the full
+            # per-line parse — the same Python twin the fused batch
+            # engine uses — runs here, inside the state worker, where the
+            # line is already in Python.  Admission re-checks the gates
+            # the cheap feed filter over-admits (min-arity, strict ISO
+            # parse, dovecot-fault shapes): unadmitted lines never fold,
+            # exactly as the old pre-filtered feed.
+            (
+                _seq, line, kind, _pts, _qid, pfields, pto_list, pstatus,
+                psubject, _dmsgid, _daction, pfault, admitted,
+            ) = _parse_row(0, row.line)
+            if not admitted:
+                continue
+            raw_log.append(line)
             if start_ts is None:
                 start_ts = ts
             opened = True
-            if row.fault_reason is not None and not pd.isna(row.fault_reason):
+            if pfault is not None:
                 # admitted line that raised in the reference (Q12)
                 out.append(
                     {
@@ -365,12 +381,12 @@ def _make_fold(ttl_seconds: int, processing_time: bool = False):
                         "fields": None,
                         "to_list": None,
                         "raw_log": None,
-                        "fault_reason": row.fault_reason,
-                        "fault_line": row.line,
+                        "fault_reason": pfault,
+                        "fault_line": line,
                     }
                 )
                 continue
-            if row.kind == "removed":
+            if kind == "removed":
                 missing = next(
                     (
                         k
@@ -405,22 +421,19 @@ def _make_fold(ttl_seconds: int, processing_time: bool = False):
                             "to_list": None,
                             "raw_log": None,
                             "fault_reason": f"KeyError: '{missing}'",
-                            "fault_line": row.line,
+                            "fault_line": line,
                         }
                     )
                 continue
-            if row.kind == "subject":
-                fields["subject"] = row.subject
+            if kind == "subject":
+                fields["subject"] = psubject
                 continue
-            if row.fields is not None and len(row.fields) > 0:
-                for k, v in dict(row.fields).items():
-                    fields[k] = v
-            if row.to_list is not None and len(row.to_list) > 0:
-                to_list.extend(list(row.to_list))
-            if row.status_description is not None and not pd.isna(
-                row.status_description
-            ):
-                fields["status_description"] = row.status_description
+            if pfields:
+                fields.update(pfields)
+            if pto_list:
+                to_list.extend(pto_list)
+            if pstatus is not None:
+                fields["status_description"] = pstatus
 
         if opened or (start_ts is not None and raw_log):
             keys = list(fields.keys())
@@ -482,10 +495,13 @@ def sessionize_stream(
     Two chained stateful stages: the msgid correlation join (stream-stream
     inner join, state bounded by watermark + the ±TTL range condition),
     then one hash shuffle on ``queue_id`` into the fold's state store.
-    Everything upstream (prepare, parse) is narrow; everything downstream
-    (projection) is stateless.
+    Everything upstream is a narrow regex/token projection — the full
+    per-line parse is FUSED into the fold's Python state worker
+    (``_parse_row``, the streaming twin of the batch ``sessionize_raw``
+    engine), so the streaming plan never instantiates the Catalyst parse
+    expression tree; everything downstream (projection) is stateless.
     """
-    from postfix_log_parser_spark.operators.parse import _WS
+    from postfix_log_parser_spark.operators.parse import _QUEUE_ID_RE, _WS
 
     prepared = prepare_stream(lines, line_col)
 
@@ -498,11 +514,9 @@ def sessionize_stream(
     # non-event-time filter conjuncts below EventTimeWatermark, after
     # which a dovecot-only node sees no rows on dovecot-free input, and
     # the global min-policy watermark freezes at epoch (TTL eviction
-    # never fires).  Keeping the evt computation out of parse_lines also
-    # keeps the two JOIN branches lightweight projections — the full
-    # parse expression tree is instantiated once (admitted branch), not
-    # three times (the triplicated tree overflows the 64KB codegen
-    # method limit and drops whole branches to interpreted eval).
+    # never fires).  All three branches are lightweight regex/token
+    # projections — since the fold fused the full parse into its state
+    # worker, no branch instantiates the Catalyst parse tree at all.
     nws = f"[^{_WS[1:-1]}]"  # complement of the Python-whitespace class
     trimmed = F.regexp_replace(F.col("value"), f"^{_WS}+|{_WS}+$", "")
     head = F.regexp_extract(trimmed, f"^({nws}+)", 1)
@@ -513,29 +527,40 @@ def sessionize_stream(
         "evt", F.coalesce(head_ts, F.col("_dove_ts"))
     ).withWatermark("evt", watermark_delay)
 
-    parsed = parse_lines(base, passthrough=("evt", "file"))
-    admitted = parsed.filter(F.col("admitted")).select(
-        "queue_id",
+    # FUSED feed (the streaming twin of the batch ``sessionize_raw``
+    # engine): the fold branch ships the RAW trimmed line keyed by the
+    # token-3 queue-id candidate — no Catalyst parse tree in the
+    # streaming plan at all.  The full per-line parse (``_parse_row``,
+    # the differentially-tested Python twin of ``parse_lines``) runs
+    # inside the state worker, where the line is already in Python.
+    # This cuts the dominant q43 fixed costs measured on the unfused
+    # plan: queryPlanning ~0.9-1.2 s (analyzing/optimizing the giant
+    # parse expression tree per query start) and the parse branch's
+    # codegen stages inside addBatch — the state-store commits were
+    # never the bottleneck (~180 ms of a 3.5 s trigger).  The cheap
+    # filter over-admits (it checks only queue shape + parseable evt);
+    # the fold's admission re-check drops the rest, so the fed state
+    # operator sees exactly the lines the old parse-filtered feed did
+    # plus a bounded sliver of never-folding ones.
+    tok3 = F.get(F.split(trimmed, f"{_WS}+"), 3)
+    admitted = base.filter(
+        tok3.rlike(_QUEUE_ID_RE) & F.col("evt").isNotNull()
+    ).select(
+        F.substring(tok3, 1, 11).alias("queue_id"),
         # evt == the parsed timestamp for every admitted line (same ISO
         # gate + try_to_timestamp), and it carries the watermark metadata
         # the stateful fold needs
         F.col("evt").alias("timestamp"),
         "file",
         "seq",
-        "line",
-        "kind",
+        trimmed.alias("line"),
         # an ADMITTED line that merely has the dovecot shape must fold
         # its k=v fields like any line — the reference's handler
         # returns False and the line continues (parse.py:362-378);
         # correlation duplicates (dove_dup=true) come from the join
         F.lit(False).alias("dove_dup"),
-        "fields",
-        "to_list",
-        "status_description",
-        "subject",
-        "dovecot_msgid",
-        "dovecot_action",
-        "fault_reason",
+        F.lit(None).cast("string").alias("dovecot_msgid"),
+        F.lit(None).cast("string").alias("dovecot_action"),
     )
 
     # J1 correlation join: assignments (admitted-shaped lines carrying a
@@ -618,15 +643,9 @@ def sessionize_stream(
         F.col("d_file").alias("file"),
         F.col("d_seq").alias("seq"),
         F.col("d_line").alias("line"),
-        F.lit("dovecot").alias("kind"),
         F.lit(True).alias("dove_dup"),
-        F.lit(None).cast("map<string,string>").alias("fields"),
-        F.lit(None).cast("array<string>").alias("to_list"),
-        F.lit(None).cast("string").alias("status_description"),
-        F.lit(None).cast("string").alias("subject"),
         F.col("d_msgid").alias("dovecot_msgid"),
         F.col("d_action").alias("dovecot_action"),
-        F.lit(None).cast("string").alias("fault_reason"),
     )
 
     feed = admitted.unionByName(resolved)
