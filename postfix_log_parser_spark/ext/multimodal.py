@@ -5,15 +5,17 @@ struct; per-item decode / feature-extraction runs as an Arrow-batched
 ``mapInPandas`` stage (the idiomatic shape for CPU-bound per-item Python
 work: vectorized transfer, per-partition execution, no driver loop).
 
-``decode_image`` is a REAL decoder for binary PPM (P6) — a pure-Python
-header+raster parser, no imaging library needed — and q31 exercises it
-end-to-end: each document gets a deterministic synthetic P6 payload, the
-decoder turns it back into a pixel array, and exact integer pixel features
-(px_sum / n_px) flow into the oracle-checked aggregate.  Other formats
-(JPEG/PNG/audio/video) still raise ``NotImplementedError``: decoding them
-requires codecs this container doesn't have; swap the seam for
-PIL/torchvision in a real deployment — the mapInPandas plumbing is
-format-agnostic.
+``decode_image`` REALLY decodes two formats, no imaging library needed:
+binary PPM (P6; pure-Python header+raster parser — q31 exercises it
+end-to-end with deterministic synthetic payloads whose exact integer
+pixel features flow into the oracle-checked aggregate) and PNG (stdlib
+zlib inflate + per-scanline unfilter for all five filter types + chunk
+CRC verification — q111's payloads are genuinely COMPRESSED synthetic
+PNGs whose filter types cycle by row, decoded back to the same pixels
+the closed-form oracle recomputes).  Formats needing an actual codec
+(JPEG/WebP/compressed audio) still raise ``NotImplementedError``; swap
+the seam for PIL/torchvision in a real deployment — the mapInPandas
+plumbing is format-agnostic.
 """
 
 from __future__ import annotations
@@ -54,15 +56,177 @@ def synth_ppm(doc_id: int, n_chars: int) -> bytes:
     return b"P6\n# synth\n%d %d\n255\n" % (SYNTH_W, h) + raster
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_png(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic synthetic PNG for a document: the SAME gradient
+    raster as ``synth_ppm`` (so decoded pixels — and the closed-form
+    DuckDB oracle — are identical), genuinely zlib-compressed, with the
+    scanline filter type CYCLING 0..4 by row so every PNG filter
+    (None/Sub/Up/Average/Paeth) is exercised by the decoder."""
+    import struct
+    import zlib
+
+    w = SYNTH_W
+    h = 1 + (n_chars % 7)
+    stride = w * 3
+    a = (doc_id * 31) % 256
+    raster = bytes((a + i) % 256 for i in range(stride * h))
+
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        row = raster[r * stride : (r + 1) * stride]
+        ft = r % 5
+        out.append(ft)
+        if ft == 0:
+            out += row
+        elif ft == 1:  # Sub
+            out += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) % 256
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            out += bytes((row[i] - prev[i]) % 256 for i in range(stride))
+        elif ft == 3:  # Average
+            out += bytes(
+                (row[i] - ((row[i - 3] if i >= 3 else 0) + prev[i]) // 2) % 256
+                for i in range(stride)
+            )
+        else:  # Paeth
+            out += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                )
+                % 256
+                for i in range(stride)
+            )
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(content: bytes) -> "np.ndarray":
+    """Pure-stdlib PNG decoder: chunk walk with CRC32 verification,
+    concatenated-IDAT zlib inflate, per-scanline unfilter (all five
+    filter types).  Supports 8-bit color types 0 (grayscale, replicated
+    to RGB), 2 (RGB) and 6 (RGBA, alpha dropped); palette, 16-bit and
+    interlaced images raise NotImplementedError (the refusal seam, now
+    behind a working COMPRESSED-format decoder)."""
+    import struct
+    import zlib
+
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("PNG chunk truncated")
+        (crc,) = struct.unpack(
+            ">I", content[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError("only 8-bit PNG supported")
+    if interlace:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up — vectorized
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth — left-dependent scan
+            cur = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    cur[i] = (line[i] + left) % 256
+                elif ft == 3:
+                    cur[i] = (line[i] + (left + prev[i]) // 2) % 256
+                else:
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    cur[i] = (line[i] + _paeth(int(left), int(prev[i]), int(ul))) % 256
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        img[r] = cur.astype(np.uint8)
+        prev = cur
+    px = img.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 4:
+        return np.ascontiguousarray(px[:, :, :3])
+    return px
+
+
 def decode_image(content: bytes) -> "np.ndarray":
     """Decode an image payload into an (h, w, 3) uint8 pixel array.
 
-    REAL decoder for binary PPM (P6): netpbm header tokenizer (whitespace-
-    separated tokens, ``#`` comments to end-of-line, per the spec) followed
-    by the raw RGB raster.  Formats needing a codec library (JPEG/PNG/...)
+    REAL decoders for two formats: binary PPM (P6 — netpbm header
+    tokenizer: whitespace-separated tokens, ``#`` comments to
+    end-of-line, per the spec — followed by the raw RGB raster) and PNG
+    (stdlib zlib inflate + per-scanline unfilter + CRC verification, see
+    ``_decode_png``).  Formats needing a codec library (JPEG/WebP/...)
     raise NotImplementedError — swap this seam for PIL/torchvision in a
     real deployment; the Spark plumbing around it is format-agnostic.
     """
+    if content[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(content)
     if content[:2] == b"P6":
         pos = 2
         tokens: list[int] = []
@@ -86,7 +250,7 @@ def decode_image(content: bytes) -> "np.ndarray":
             raise ValueError(f"P6 raster truncated: {len(raster)} != {w * h * 3}")
         return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
     raise NotImplementedError(
-        "only binary PPM (P6) decodes without an imaging library; "
+        "only binary PPM (P6) and PNG decode without an imaging library; "
         "see ext.multimodal docstring"
     )
 
@@ -355,14 +519,19 @@ def phash_media(media: DataFrame) -> DataFrame:
     stage: decode → grayscale (integer (r+g+b)//3) → threshold against
     the image's mean luminance → bit-string fingerprint.  The classic
     aHash; bit-exact across engines because the gray values are integers
-    and the mean is one double division of exact integer sums."""
+    and the mean is one double division of exact integer sums.
+
+    The payloads here are synthetic PNGs (``synth_png``): genuinely
+    zlib-COMPRESSED images through the full chunk-walk + inflate +
+    unfilter decode path — q31 keeps the uncompressed PPM path, so both
+    real decoders stay oracle-exercised."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             fps = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                px = decode_image(synth_ppm(int(doc_id), int(n_chars)))
+                px = decode_image(synth_png(int(doc_id), int(n_chars)))
                 gray = px.reshape(-1, 3).astype(np.int64).sum(axis=1) // 3
                 mean = gray.sum() / gray.size
                 fps.append("".join("1" if g > mean else "0" for g in gray))
@@ -388,8 +557,10 @@ def q111_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: fingerprints are tiny and uniformly distributed, so the
     group-by partitions evenly; near-duplicate (small-hamming) clustering
     on top of these fingerprints would reuse q22's banded-signature
-    equi-join shape.  Real media would swap ``synth_ppm`` for the stored
-    payload; the decode seam (ext/multimodal.decode_image) is the same.
+    equi-join shape.  Real media would swap ``synth_png`` for the stored
+    payload; the decode seam (ext/multimodal.decode_image) is the same —
+    and here it runs the FULL compressed-format path (zlib inflate +
+    scanline unfilter + CRC verification).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     fps = phash_media(to_media_table(docs))

@@ -1,5 +1,9 @@
 """Multimodal plumbing tests: binary+metadata schema, resize and
-frame-sample mapInPandas stages, real P6 decode (codec formats stubbed)."""
+frame-sample mapInPandas stages, real P6 + PNG decode (codec formats
+stubbed)."""
+
+import struct
+import zlib
 
 import pytest
 
@@ -7,14 +11,35 @@ from postfix_log_parser_spark.ext.multimodal import (
     FRAME_BYTES,
     FRAME_EVERY,
     SYNTH_W,
+    _PNG_SIG,
     _fake_resize,
     decode_image,
     extract_features,
     resize_media,
     sample_frames,
+    synth_png,
     synth_ppm,
     to_media_table,
 )
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def _png(w, h, depth, color, interlace, raw) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 @pytest.fixture(scope="module")
@@ -32,7 +57,53 @@ def media(spark):
 
 def test_decode_codec_formats_are_stubbed():
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # a truncated PNG signature is NOT a PNG — generic refusal, not a crash
+    with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_png_decodes_same_pixels_as_ppm():
+    """synth_png carries the same gradient raster as synth_ppm through
+    real zlib compression with the filter type cycling 0..4 by row —
+    heights 1..7 cover every PNG filter, and decoded pixels must be
+    byte-identical to the uncompressed P6 twin."""
+    for doc_id in (0, 7, 12345):
+        for n_chars in (0, 4, 6, 13, 100):
+            a = decode_image(synth_ppm(doc_id, n_chars))
+            b = decode_image(synth_png(doc_id, n_chars))
+            assert a.shape == b.shape and (a == b).all(), (doc_id, n_chars)
+
+
+def test_png_grayscale_and_rgba_paths():
+    # 2x2 grayscale: row 0 filter None, row 1 filter Up
+    g = decode_image(_png(2, 2, 8, 0, 0, bytes([0, 10, 20, 2, 5, 5])))
+    assert g.shape == (2, 2, 3)
+    assert g[0, 0].tolist() == [10, 10, 10]  # gray replicated to RGB
+    assert g[1, 0].tolist() == [15, 15, 15]  # Up: 10 + 5
+    # 1x1 RGBA: alpha dropped
+    r = decode_image(_png(1, 1, 8, 6, 0, bytes([0, 1, 2, 3, 255])))
+    assert r.shape == (1, 1, 3) and r[0, 0].tolist() == [1, 2, 3]
+
+
+def test_png_refusal_seams():
+    """Palette / 16-bit / interlaced stay behind NotImplementedError —
+    the refusal contract now tested against a working compressed
+    decoder, not in place of one."""
+    for depth, color, interlace in ((8, 3, 0), (16, 2, 0), (8, 2, 1)):
+        with pytest.raises(NotImplementedError):
+            decode_image(_png(1, 1, depth, color, interlace, b"\x00\x00\x00\x00"))
+
+
+def test_png_integrity_errors():
+    # corrupt a byte inside IHDR: CRC verification must catch it
+    payload = bytearray(synth_png(5, 10))
+    payload[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_image(bytes(payload))
+    # raster shorter than h*(stride+1): size check, not silent garbage
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_image(_png(2, 2, 8, 2, 0, bytes([0, 1, 2, 3])))
 
 
 def test_decode_p6_roundtrip():
