@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q59_ann_pq",
     "q60_int8_quant",
     "q68_ann_ivfpq",
+    "q157_ann_incremental",
     "q34_frame_sample",
     "q35_grouping_sets",
     "q70_gapfill_hourly",

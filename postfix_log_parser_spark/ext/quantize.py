@@ -417,13 +417,216 @@ JOIN cells b ON b.vec_id = t.neighbor_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q157 — incremental ANN: new vectors vs the PERSISTED IVF-PQ index
+# ---------------------------------------------------------------------------
+
+NEW_BATCH_MOD = 100
+NEW_BATCH_RESIDUE = 50  # disjoint from q68's query set (vec_id % 100 == 0)
+
+# persisted-index stage, keyed per (SparkContext, sf_dir) — the same
+# staging pattern as the dedup pair list (ext/dedup.py): the OPERATIONAL
+# daily mode never rebuilds the index for a new ingest batch, it probes
+# the one already written.  The staged frame holds ONLY (vec_id, cell,
+# codes) — the 8-byte-code working set, ~64× smaller than the vectors.
+_IVF_STAGE: dict[tuple[int, str], DataFrame] = {}
+IVF_STAGE_COMPUTES = {"n": 0}
+
+
+def _is_new_batch(vec_id: Column) -> Column:
+    return vec_id % NEW_BATCH_MOD == NEW_BATCH_RESIDUE
+
+
+def ivfpq_index(spark: SparkSession, sf_dir: str):
+    """The persisted IVF-PQ index over the CORPUS side (everything except
+    the new batch): (vec_id, cell, codes), eagerly materialized once per
+    (session, sf_dir).  At 100 TB this is a table partitioned by cell
+    with a binary codes column; localCheckpoint is the local-mode twin.
+    Returns None when the corpus has no codebook rows (empty input)."""
+    from postfix_log_parser_spark.ext.similarity import _cell_scores
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key in _IVF_STAGE:
+        return _IVF_STAGE[key]
+    emb = _with_norm(_emb(spark, sf_dir))
+    cb = _codebook(emb)
+    if not cb[0]:
+        _IVF_STAGE[key] = None
+        return None
+    IVF_STAGE_COMPUTES["n"] += 1
+    cb_lit = _cb_lit(cb)
+    base = emb.filter(~_is_new_batch(F.col("vec_id"))).withColumn(
+        "cs", _cell_scores(F.col("v"))
+    )
+    cell = (F.array_position(F.col("cs"), F.array_max("cs")) - 1).cast("int")
+    index = base.select(
+        "vec_id",
+        cell.alias("cell"),
+        _codes_expr(F.col("v"), cb_lit).alias("codes"),
+    ).localCheckpoint(eager=True)
+    _IVF_STAGE[key] = index
+    return index
+
+
+def q157_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN — q69's asymmetric new-batch shape applied to
+    similarity search: a small ingest batch of NEW vectors (vec_id ≡ 50
+    mod 100 plays the daily delta) is searched against the PERSISTED
+    IVF-PQ index (``ivfpq_index``) with NO index rebuild.  Each new
+    vector computes its own nprobe=2 coarse cells and ADC lookup tables;
+    candidates come from the broadcast equi-join of the (tiny) new batch
+    against the index's cell partitions, scoring touches only the stored
+    8-byte codes, and the exact cosine reranks the top-k by joining the
+    winners back to the vector table.
+
+    Scale shape (100 TB): the index side is a cell-partitioned codes
+    table read once per batch (nprobe/16 of it after pruning); the new
+    batch broadcasts; nothing re-encodes the corpus.  The plan is pinned
+    in tests/test_plans.py: index side = checkpoint scan (no re-encode),
+    one BroadcastHashJoin on the probe cell."""
+    from postfix_log_parser_spark.ext.similarity import _cell_scores
+
+    index = ivfpq_index(spark, sf_dir)
+    if index is None:
+        return spark.createDataFrame(
+            [], "new_id long, rn int, neighbor_id long, adc_dot double, cosine double"
+        )
+    emb = _with_norm(_emb(spark, sf_dir))
+    cb_lit = _cb_lit(_codebook(emb))
+
+    newv = emb.filter(_is_new_batch(F.col("vec_id"))).withColumn(
+        "cs", _cell_scores(F.col("v"))
+    )
+    cell = (F.array_position(F.col("cs"), F.array_max("cs")) - 1).cast("int")
+    newv = newv.withColumn("cell", cell)
+    masked = F.transform(
+        F.col("cs"),
+        lambda x, i: F.when(i == F.col("cell"), F.lit(float("-inf"))).otherwise(x),
+    )
+    p2 = (F.array_position(masked, F.array_max(masked)) - 1).cast("int")
+    queries = newv.withColumn("p2", p2).select(
+        F.col("vec_id").alias("new_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        _lut_expr(F.col("v"), cb_lit).alias("lut"),
+        F.explode(F.array(F.col("cell"), F.col("p2"))).alias("probe_cell"),
+    )
+
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("adc_raw").desc(), F.col("vec_id")
+    )
+    top = (
+        index.join(F.broadcast(queries), F.col("cell") == F.col("probe_cell"))
+        .withColumn("adc_raw", _adc_expr())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOP_K)
+        .select("new_id", "rn", "vec_id", "adc_raw", "qv", "qn")
+    )
+    exact = top.join(emb.select("vec_id", "v", "nrm"), "vec_id")
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    return exact.select(
+        "new_id",
+        "rn",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.col("adc_raw"), 4).alias("adc_dot"),
+        F.round(cos, 4).alias("cosine"),
+    )
+
+
+def _q157_sql() -> str:
+    from postfix_log_parser_spark.ext.similarity import CENTROIDS
+
+    cents_sql = ", ".join(
+        "[" + ", ".join(repr(x) for x in cent) + "]" for cent in CENTROIDS
+    )
+    score = (
+        "list_transform(cents, c -> "
+        "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * c[i])))"
+    )
+    return f"""
+WITH cfg AS (SELECT [{cents_sql}]::DOUBLE[][] AS cents),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nrm,
+         {score} AS cs
+  FROM e, cfg
+),
+cells AS (
+  SELECT vec_id, v, nrm, cs,
+         CAST(list_position(cs, list_max(cs)) - 1 AS INTEGER) AS cell
+  FROM n
+),
+q0 AS (
+  SELECT vec_id AS new_id, v, nrm, cell AS p1,
+         CAST(list_position(cs, list_max(list_transform(range(1, len(cs) + 1),
+              j -> CASE WHEN j - 1 = cell THEN '-infinity'::DOUBLE
+                        ELSE cs[j] END))) - 1 AS INTEGER) AS p2
+  FROM cells WHERE vec_id % {NEW_BATCH_MOD} = {NEW_BATCH_RESIDUE}
+),
+probes AS (SELECT new_id, unnest([p1, p2]) AS probe_cell FROM q0),
+cbv AS (SELECT vec_id AS c, v FROM e WHERE vec_id < {CW}),
+cb AS (
+  SELECT m, c, v[(m - 1) * {SUB} + 1 : (m - 1) * {SUB} + {SUB}] AS sub
+  FROM cbv, unnest(range(1, {M} + 1)) AS t(m)
+),
+enc AS (
+  SELECT e.vec_id, cb.m, cb.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id, cb.m
+           ORDER BY list_sum(list_transform(range(1, {SUB} + 1),
+             i -> (e.v[{_SUBD} + i] - cb.sub[i]) * (e.v[{_SUBD} + i] - cb.sub[i]))),
+             cb.c) AS rn
+  FROM e, cb
+  WHERE e.vec_id % {NEW_BATCH_MOD} != {NEW_BATCH_RESIDUE}
+),
+codes AS (SELECT vec_id, m, c AS code FROM enc WHERE rn = 1),
+lut AS (
+  SELECT q0.new_id, cb.m, cb.c,
+         list_sum(list_transform(range(1, {SUB} + 1),
+           i -> q0.v[{_SUBD} + i] * cb.sub[i])) AS dp
+  FROM q0, cb
+),
+candpairs AS (
+  SELECT p.new_id, c.vec_id
+  FROM probes p JOIN cells c
+    ON c.cell = p.probe_cell
+   AND c.vec_id % {NEW_BATCH_MOD} != {NEW_BATCH_RESIDUE}
+),
+adc AS (
+  SELECT cp.new_id, cp.vec_id AS neighbor_id,
+         list_sum(list(l.dp ORDER BY l.m)) AS adc_raw
+  FROM candpairs cp
+  JOIN codes cd ON cd.vec_id = cp.vec_id
+  JOIN lut l ON l.new_id = cp.new_id AND l.m = cd.m AND l.c = cd.code
+  GROUP BY cp.new_id, cp.vec_id
+),
+ranked AS (
+  SELECT new_id, neighbor_id, adc_raw,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY adc_raw DESC, neighbor_id) AS rn
+  FROM adc
+),
+top AS (SELECT * FROM ranked WHERE rn <= {PQ_TOP_K})
+SELECT t.new_id, t.rn, t.neighbor_id,
+       round(t.adc_raw, 4) AS adc_dot,
+       round(list_sum(list_transform(range(1, len(q0.v) + 1),
+               i -> q0.v[i] * b.v[i])) / (q0.nrm * b.nrm), 4) AS cosine
+FROM top t
+JOIN q0 ON q0.new_id = t.new_id
+JOIN cells b ON b.vec_id = t.neighbor_id
+"""
+
+
 QUANTIZE_QUERIES = {
     "q59_ann_pq": q59_ann_pq,
     "q60_int8_quant": q60_int8_quant,
     "q68_ann_ivfpq": q68_ann_ivfpq,
+    "q157_ann_incremental": q157_ann_incremental,
 }
 QUANTIZE_ORACLES = {
     "q59_ann_pq": _Q59_SQL,
     "q60_int8_quant": _Q60_SQL,
     "q68_ann_ivfpq": _q68_sql(),
+    "q157_ann_incremental": _q157_sql(),
 }

@@ -308,6 +308,29 @@ def test_q68_ivfpq_candidates_are_equi_join(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_q157_incremental_ann_probes_persisted_index(spark):
+    """Incremental ANN must PROBE the persisted IVF-PQ index, never
+    rebuild it: the index side is the staged checkpoint (ExistingRDD —
+    no corpus re-encode in this plan), candidates come from a broadcast
+    HASH join on the probe cell, and the only parquet scans are the new
+    batch and the exact-rerank lookup."""
+    from postfix_log_parser_spark.ext.quantize import (
+        IVF_STAGE_COMPUTES,
+        q157_ann_incremental,
+    )
+
+    plan = _final_plan(q157_ann_incremental(spark, SF_DIR))
+    assert "ExistingRDD" in plan  # persisted index, not a rebuild
+    assert plan.count("BroadcastHashJoin") >= 2  # probe-cell join + rerank
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan parquet") == 2  # new batch + rerank only
+    # a second call probes the SAME staged index — no recompute
+    before = IVF_STAGE_COMPUTES["n"]
+    q157_ann_incremental(spark, SF_DIR).collect()
+    assert IVF_STAGE_COMPUTES["n"] == before
+
+
 def test_q69_incremental_join_no_cartesian(spark):
     """Incremental dedup's candidate generation is the band-key equi-join
     of new batch against index — no cartesian, no sort-merge explosion;
