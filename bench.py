@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q118_contamination_matrix",
     "q119_substring_dedup",
     "q125_winnowed_spans",
+    "q158_strided_spans",
     "q128_boilerplate_topk",
     "q114_semantic_blocked_neardup",
     "q120_cluster_survivors",

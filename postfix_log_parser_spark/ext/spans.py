@@ -22,10 +22,14 @@ Spark-first shape (vs the paper's single-node suffix array):
    into maximal spans with the classic gaps-and-islands window —
    partitioned by doc_id, so state is bounded by a single document.
 
-At 100 TB the stride-1 window blowup is the knob: run with stride S > 1
-for candidate spans (guaranteed to hit any duplicated span of length
->= K + S - 1), then re-verify candidate regions at stride 1 — same
-plan, two passes.  Here stride = 1, which is exact at K.
+At 100 TB the stride-1 window blowup is the knob, and this module ships
+both ways to turn it: q125 (winnowing — content-defined selection with
+the DETERMINISTIC gap bound W, exact for spans >= K + 2W - 1) and q158
+(mod-hash sampling at EXPECTED stride S — lighter pass-1 selection with
+a probabilistic miss bound).  A positional stride would be unsound: the
+two copies of a span sit at different offsets, so stride-aligned grams
+have different content and never hash-join.  Here stride = 1, which is
+exact at K.
 
 Portability: md5 is bit-identical in Spark and DuckDB and both engines'
 ``substr`` is character-based, so the oracle replays the computation
@@ -259,13 +263,24 @@ def winnowed_spans(
         .select("h")
     )
     hits1 = fp.join(dup1, "h").select("doc_id", "p")
+    return _verify_regions(eligible, hits1, k, pad)
+
+
+def _verify_regions(
+    eligible: DataFrame, seeds: DataFrame, k: int, pad: int
+) -> DataFrame:
+    """Shared pass 2 of the two-pass span detectors (winnowed q125,
+    strided q158): merge pass-1 seed positions (doc_id, p) into padded
+    candidate regions, regenerate stride-1 grams ONLY inside the regions
+    (output-proportional), and run q119's exact dup-test + island merge
+    on them."""
     by_doc = Window.partitionBy("doc_id").orderBy("p")
     prev1 = F.lag("p").over(by_doc)
     region_id = F.sum(
         F.when(prev1.isNull() | (F.col("p") - prev1 > pad), 1).otherwise(0)
     ).over(by_doc)
     regions = (
-        hits1.withColumn("rid", region_id)
+        seeds.withColumn("rid", region_id)
         .groupBy("doc_id", "rid")
         .agg(
             (F.min("p") - pad).alias("lo_raw"),
@@ -316,6 +331,144 @@ def winnowed_spans(
         )
         .select("doc_id", "span_start", "span_len", "n_windows")
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — "stride-S" two-pass spans via mod-hash (content-defined) sampling
+# ---------------------------------------------------------------------------
+#
+# The knob q119's docstring names.  A POSITIONAL stride can't work
+# symmetrically (the two copies of a span sit at different offsets, so
+# stride-aligned grams have different content and never hash-join — the
+# same objection the winnowing comment above makes); the sound way to
+# "run at stride S" is mod-hash selection (Broder-style mod-p sketching,
+# the 0-mod-p variant of winnowing): keep a gram iff its fingerprint ≡ 0
+# (mod S).  Selection depends only on gram CONTENT, so both copies of a
+# shared span select the same grams, at expected density 1/S — an
+# EXPECTED stride of S rather than a positional one.
+#
+# Guarantee (vs q125's deterministic one): winnowing bounds the gap
+# between selections at W, so spans >= K + 2W - 1 are found exactly;
+# mod-hash gaps are geometric with mean S — a span is found iff at least
+# one of its L - K + 1 grams selects (miss probability (1-1/S)^(L-K+1),
+# ~0.3% at L = K + 2·PAD_GAPS·S), and found spans are exact-maximal
+# within the padded regions.  Both engines draw the same md5, so which
+# spans select is deterministic and identical — the differential pytest
+# pins strided == stride-1 for every span the fixed corpora contain
+# above the documented threshold.
+
+STRIDE_S = 4
+_STRIDE_PAD = SPAN_K + 8 * STRIDE_S  # gap tolerance AND region expansion
+
+
+def strided_spans(
+    docs: DataFrame, k: int = SPAN_K, s: int = STRIDE_S
+) -> DataFrame:
+    """Two-pass duplicated-span detection at expected stride ``s``:
+    mod-hash pass-1 selection (only ~1/s of gram rows cross the
+    exchange, 16-byte keys), padded-region merge, exact stride-1
+    re-verify inside regions.  ``s = 1`` degenerates to selecting every
+    gram (pass 1 equals q119's gram stream).  Same output schema as
+    :func:`duplicated_spans`."""
+    pad = k + 8 * s
+    eligible = docs.select("doc_id", "text").filter(F.length("text") >= k)
+    hexes = F.transform(
+        F.sequence(F.lit(1), F.length("text") - k + 1),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
+    )
+    grams = eligible.select(
+        "doc_id", F.posexplode(hexes).alias("pos0", "hx")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("p"), "hx")
+    # content-defined selection BEFORE the exchange: the narrow filter
+    # runs inside the scan stage, so only selected grams shuffle
+    sel = grams.filter(
+        F.conv(F.substring("hx", 1, 15), 16, 10).cast("long") % s == 0
+    ).select("doc_id", "p", F.unhex("hx").alias("h"))
+    dup1 = (
+        sel.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    seeds = sel.join(dup1, "h").select("doc_id", "p")
+    return _verify_regions(eligible, seeds, k, pad)
+
+
+def q158_strided_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q119's spans through the mod-hash "stride-S" two-pass knob
+    (S = 4): the pass-1 exchange carries ~1/4 of the gram rows, and the
+    exact re-verify reconstructs every span the fixed corpus shares
+    (differentially pinned against stride-1 in tests/test_spans_diff)."""
+    return strided_spans(_augmented(spark, sf_dir))
+
+
+_Q158_SQL = f"""
+WITH all_docs AS ({_AUG_SQL}),
+d AS (
+  SELECT doc_id, text, length(text) - {SPAN_K} + 1 AS m
+  FROM all_docs WHERE length(text) >= {SPAN_K}
+),
+pos AS (SELECT doc_id, text, unnest(range(1, m + 1)) AS p FROM d),
+g AS (
+  SELECT doc_id, p,
+         md5(substr(text, CAST(p AS INTEGER), {SPAN_K})) AS h
+  FROM pos
+),
+sel AS (
+  SELECT doc_id, p, h FROM g
+  WHERE CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % {STRIDE_S} = 0
+),
+dup1 AS (
+  SELECT h FROM sel GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+seeds AS (SELECT sel.doc_id, sel.p FROM sel JOIN dup1 USING (h)),
+lag1 AS (
+  SELECT doc_id, p,
+         lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+  FROM seeds
+),
+rid AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev IS NULL OR p - prev > {_STRIDE_PAD}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS region_id
+  FROM lag1
+),
+regions AS (
+  SELECT doc_id, region_id,
+         min(p) - {_STRIDE_PAD} AS lo_raw,
+         max(p) + {_STRIDE_PAD} AS hi_raw
+  FROM rid GROUP BY doc_id, region_id
+),
+pass2 AS (
+  SELECT DISTINCT r.doc_id, t.p,
+         md5(substr(d.text, CAST(t.p AS INTEGER), {SPAN_K})) AS h
+  FROM regions r
+  JOIN d ON d.doc_id = r.doc_id,
+  unnest(range(greatest(1, r.lo_raw), least(d.m, r.hi_raw) + 1)) AS t(p)
+),
+dup2 AS (
+  SELECT h FROM pass2 GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+hit2 AS (SELECT pass2.doc_id, pass2.p FROM pass2 JOIN dup2 USING (h)),
+lag2 AS (
+  SELECT doc_id, p,
+         lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+  FROM hit2
+),
+isl AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev IS NULL OR p - prev > 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM lag2
+)
+SELECT doc_id,
+       min(p) AS span_start,
+       max(p) - min(p) + {SPAN_K} AS span_len,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl
+GROUP BY doc_id, island
+"""
 
 
 def q125_winnowed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,9 +609,11 @@ SPANS_QUERIES = {
     "q119_substring_dedup": q119_substring_dedup,
     "q125_winnowed_spans": q125_winnowed_spans,
     "q128_boilerplate_topk": q128_boilerplate_topk,
+    "q158_strided_spans": q158_strided_spans,
 }
 SPANS_ORACLES = {
     "q119_substring_dedup": _Q119_SQL,
     "q125_winnowed_spans": _Q125_SQL,
     "q128_boilerplate_topk": _Q128_SQL,
+    "q158_strided_spans": _Q158_SQL,
 }

@@ -115,6 +115,7 @@ FUZZED = [
     "q122_nb_source_classifier",
     "q123_quality_calibration",
     "q125_winnowed_spans",
+    "q158_strided_spans",
     "q126_observed_export",
     "q127_dataset_card",
     "q128_boilerplate_topk",

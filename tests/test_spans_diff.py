@@ -162,3 +162,59 @@ def test_winnowed_pass1_moves_fraction_of_grams(spark):
         .count()
     )
     assert n_sel < 0.4 * m_total  # ~2/(W+1) ≈ 0.22 expected at W=8
+
+
+def test_strided_spans_match_exact_on_long_spans(spark):
+    """q158's mod-hash "expected stride" selection: on corpora whose
+    duplicated spans are long (miss probability (1-1/S)^(L-K+1) ~ 0, and
+    md5 makes the draw deterministic), the two-pass strided pipeline
+    must equal the stride-1 reference row-for-row."""
+    from postfix_log_parser_spark.ext.spans import strided_spans
+
+    text = "".join(chr(97 + (i * 7) % 26) for i in range(200))
+    a = "A" + "".join(chr(98 + (i * 11) % 24) for i in range(80)) + BOILER
+    b = BOILER + "".join(chr(99 + (i * 13) % 23) for i in range(90)) + "Z"
+    corpus = _docs(spark, [(1, text), (2, text), (3, a), (4, b)])
+    exact = sorted(map(tuple, duplicated_spans(corpus).collect()))
+    strided = sorted(map(tuple, strided_spans(corpus).collect()))
+    assert strided == exact
+    assert len(exact) == 4
+
+
+def test_strided_equals_exact_on_augmented_testdata(spark):
+    """sf0.001 augmented corpus: q158 == q119 row-for-row (the planted
+    duplicated spans are full-text copies, far above the miss bound)."""
+    from postfix_log_parser_spark.ext import EXT_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = sorted(
+        map(tuple, EXT_QUERIES["q119_substring_dedup"](spark, sf).collect())
+    )
+    strided = sorted(
+        map(tuple, EXT_QUERIES["q158_strided_spans"](spark, sf).collect())
+    )
+    assert strided == exact and len(exact) > 0
+
+
+def test_strided_pass1_moves_fraction_of_grams(spark):
+    """The point of the knob: the pass-1 cross-doc exchange carries
+    ~1/S of the gram stream (content-defined mod-hash selection), not
+    all of it."""
+    from pyspark.sql import functions as F
+
+    from postfix_log_parser_spark.ext.spans import SPAN_K, STRIDE_S
+
+    text = "".join(chr(97 + (i * 7 + i * i * 3) % 26) for i in range(2000))
+    corpus = _docs(spark, [(1, text), (2, text[100:1900])])
+    m_total = sum(len(t) - SPAN_K + 1 for t in (text, text[100:1900]))
+    k = SPAN_K
+    hexes = F.transform(
+        F.sequence(F.lit(1), F.length("text") - k + 1),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
+    )
+    grams = corpus.select(F.explode(hexes).alias("hx"))
+    n_sel = grams.filter(
+        F.conv(F.substring("hx", 1, 15), 16, 10).cast("long") % STRIDE_S == 0
+    ).count()
+    frac = n_sel / m_total
+    assert 0.5 / STRIDE_S < frac < 2.0 / STRIDE_S
