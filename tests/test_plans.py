@@ -308,6 +308,37 @@ def test_q68_ivfpq_candidates_are_equi_join(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_q154_leakage_never_rescans_the_corpus(spark):
+    """The split label is a constant-folded md5 of doc_id computed in
+    the projection over the component map — the audit must not join back
+    to (or rescan) the documents table.  With the LSH+CC stage the
+    component map is a checkpoint, so the whole plan reads ZERO parquet:
+    one ExistingRDD scan, component-keyed aggregate, 1-row summary."""
+    from postfix_log_parser_spark.ext.leakage import q154_split_leakage
+
+    plan = _final_plan(q154_split_leakage(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 0  # no second corpus scan
+    assert "ExistingRDD" in plan  # staged component map
+    assert "Join" not in plan  # split is a projection, not a corpus join
+
+
+def test_q156_budget_window_is_bounded_by_source_dim(spark):
+    """The greedy token-budget fill runs its windows on a SINGLE
+    partition — legal only because the window input is the per-source
+    aggregate (|sources| rows), never the corpus.  Pin: corpus scanned
+    once, per-source reduction exchanges BELOW the single-partition
+    exchange, and the windows sit above it."""
+    from postfix_log_parser_spark.ext.budget import q156_token_budget
+
+    plan = _final_plan(q156_token_budget(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1  # one corpus scan
+    assert plan.count("Exchange SinglePartition") == 1
+    # the reduction to |sources| rows happens before the global window
+    body = plan.split("Exchange SinglePartition")[1]
+    assert "hashpartitioning(source" in body  # per-source agg below it
+    assert "Window" in plan.split("Exchange SinglePartition")[0]
+
+
 def test_q157_incremental_ann_probes_persisted_index(spark):
     """Incremental ANN must PROBE the persisted IVF-PQ index, never
     rebuild it: the index side is the staged checkpoint (ExistingRDD —
