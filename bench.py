@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q60_int8_quant",
     "q68_ann_ivfpq",
     "q157_ann_incremental",
+    "q159_ann_recall",
     "q34_frame_sample",
     "q35_grouping_sets",
     "q70_gapfill_hourly",

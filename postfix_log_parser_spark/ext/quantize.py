@@ -630,3 +630,87 @@ QUANTIZE_ORACLES = {
     "q68_ann_ivfpq": _q68_sql(),
     "q157_ann_incremental": _q157_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# q159 — IVF-PQ recall audit (measure the ANN loss, don't guess it)
+# ---------------------------------------------------------------------------
+
+def q159_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does q68's nprobe=2 IVF-PQ actually miss?  q25 is the
+    exact brute-force cosine top-k over the same vectors, so its top
+    ``PQ_TOP_K`` rows are the ground truth; q68's neighbor set is the
+    approximate answer, and the overlap IS the recall@k — the same
+    measure-don't-guess audit q132 runs for the LSH dedup banding.
+    Production tunes (nprobe, M, CW) against this number instead of
+    trusting the quantization-error analysis.
+
+    Output: one row — n_queries, k, n_exact, n_approx, n_hits, recall.
+
+    Scale shape: both arms are the already-bucketed pipelines; the audit
+    join is keyed on the (qid, neighbor_id) pair — K rows per query.  At
+    100 TB this runs on a sampled query set; recall concentrates fast
+    because (query, rank) pairs are the unit."""
+    from postfix_log_parser_spark.ext.similarity import q25_ann_bruteforce
+
+    exact = (
+        q25_ann_bruteforce(spark, sf_dir)
+        .filter(F.col("rn") <= PQ_TOP_K)
+        .select("qid", "neighbor_id", F.lit(1).alias("in_exact"))
+    )
+    approx = q68_ann_ivfpq(spark, sf_dir).select(
+        "qid", "neighbor_id", F.lit(1).alias("in_approx")
+    )
+    j = exact.join(approx, ["qid", "neighbor_id"], "full_outer")
+    n_exact = F.sum(F.coalesce("in_exact", F.lit(0)))
+    n_approx = F.sum(F.coalesce("in_approx", F.lit(0)))
+    n_hits = F.sum(
+        F.when(
+            F.col("in_exact").isNotNull() & F.col("in_approx").isNotNull(), 1
+        ).otherwise(0)
+    )
+    return j.agg(
+        F.count_distinct("qid").cast("long").alias("n_queries"),
+        F.lit(PQ_TOP_K).cast("long").alias("k"),
+        n_exact.cast("long").alias("n_exact"),
+        n_approx.cast("long").alias("n_approx"),
+        n_hits.cast("long").alias("n_hits"),
+        F.round(
+            F.try_divide(n_hits, F.nullif(n_exact, F.lit(0))), 4
+        ).alias("recall"),
+    )
+
+
+def _q159_sql() -> str:
+    from postfix_log_parser_spark.ext.similarity import _Q25_SQL
+
+    return f"""
+WITH exact_full AS ({_Q25_SQL}),
+exact AS (
+  SELECT qid, neighbor_id, 1 AS in_exact
+  FROM exact_full WHERE rn <= {PQ_TOP_K}
+),
+approx AS (
+  SELECT qid, neighbor_id, 1 AS in_approx FROM ({_q68_sql()})
+),
+j AS (
+  SELECT coalesce(e.qid, a.qid) AS qid,
+         e.in_exact, a.in_approx
+  FROM exact e
+  FULL OUTER JOIN approx a
+    ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+)
+SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+       CAST({PQ_TOP_K} AS BIGINT) AS k,
+       CAST(sum(coalesce(in_exact, 0)) AS BIGINT) AS n_exact,
+       CAST(sum(coalesce(in_approx, 0)) AS BIGINT) AS n_approx,
+       CAST(sum(CASE WHEN in_exact = 1 AND in_approx = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN in_exact = 1 AND in_approx = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(sum(coalesce(in_exact, 0)), 0), 4) AS recall
+FROM j
+"""
+
+
+QUANTIZE_QUERIES["q159_ann_recall"] = q159_ann_recall
+QUANTIZE_ORACLES["q159_ann_recall"] = _q159_sql()

@@ -41,6 +41,8 @@ _GLOBAL_AGG = {
     "q129_drift_psi",
     # recall audit: always one summary row (all counts 0, NULL recall)
     "q132_lsh_recall",
+    # ANN recall audit: same shape — one global-aggregate summary row
+    "q159_ann_recall",
     # attrition report: always the 5 fixed cascade rows (all counts 0)
     "q141_filter_cascade",
     # skew audit: always one summary row per audited key (4 branches)

@@ -96,6 +96,7 @@ FUZZED = [
     "q60_int8_quant",
     "q68_ann_ivfpq",
     "q157_ann_incremental",
+    "q159_ann_recall",
     # r7 batch: the tiny fuzz vocabulary makes cross-doc 40-char spans
     # ubiquitous (q119/q125/q128 island merges under heavy overlap),
     # integer score TIES exercise q120/q122/q123's tie-breaks, the
