@@ -113,3 +113,78 @@ FROM per_comp
 
 LEAKAGE_QUERIES = {"q154_split_leakage": q154_split_leakage}
 LEAKAGE_ORACLES = {"q154_split_leakage": _q154_sql()}
+
+
+# ---------------------------------------------------------------------------
+# q160 — dedup-aware split REPAIR: assign splits by component, not doc
+# ---------------------------------------------------------------------------
+
+def q160_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX for the leakage q154 measures: hash the COMPONENT id (the
+    near-dup cluster's canonical doc_id), not the doc id, so every member
+    of a cluster lands on the same side of the train/val/test line by
+    construction — zero straddling components, zero leaky eval docs.
+    Singleton docs (no near-dup edge) keep the plain doc-id hash, so the
+    repair perturbs only the contaminated sliver of the q83 split.
+
+    Output: one row per split — (split, n_docs, n_dup_members,
+    n_components) over the augmented corpus.  The no-straddle property
+    is pinned in pytest (every component's members share one split).
+
+    Scale shape (100 TB): the component map is output-proportional and
+    STAGED (one LSH+CC execution per session); the corpus left-joins it
+    on doc_id — one hash exchange against a small side (broadcastable at
+    any scale where dup clusters are rare) — and the split label is a
+    constant-folded md5 of the coalesced key.  One keyed aggregate."""
+    from postfix_log_parser_spark.ext.dedup import _augmented, q36_dedup_components
+
+    comps = q36_dedup_components(spark, sf_dir)
+    docs = _augmented(spark, sf_dir).select("doc_id")
+    j = docs.join(F.broadcast(comps), "doc_id", "left")
+    key = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    labeled = j.select(
+        "doc_id",
+        "component_id",
+        _split_of(key).alias("split"),
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("component_id").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_dup_members"),
+            F.count_distinct("component_id").cast("long").alias("n_components"),
+        )
+    )
+
+
+def _q160_sql() -> str:
+    from postfix_log_parser_spark.ext.dedup import _AUG_SQL
+
+    split = f"""CASE
+      WHEN CAST(('0x' || substr(md5('split|' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+           < {SPLIT_TRAIN} THEN 'train'
+      WHEN CAST(('0x' || substr(md5('split|' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+           < {SPLIT_VAL} THEN 'val'
+      ELSE 'test' END"""
+    return f"""
+WITH comps AS MATERIALIZED ({_q36_sql()}),
+all_docs AS ({_AUG_SQL}),
+j AS (
+  SELECT d.doc_id, c.component_id,
+         coalesce(c.component_id, d.doc_id) AS k
+  FROM all_docs d LEFT JOIN comps c USING (doc_id)
+),
+labeled AS (SELECT doc_id, component_id, {split} AS split FROM j)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN component_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_members,
+       CAST(count(DISTINCT component_id) AS BIGINT) AS n_components
+FROM labeled GROUP BY split
+"""
+
+
+LEAKAGE_QUERIES["q160_component_split"] = q160_component_split
+LEAKAGE_ORACLES["q160_component_split"] = _q160_sql()

@@ -56,3 +56,32 @@ def test_stage_is_keyed_by_sf_dir(spark, fresh_stage, tmp_path):
     dedup.q22_dedup_minhash_lsh(spark, SF_DIR).count()
     dedup.q22_dedup_minhash_lsh(spark, other).count()
     assert dedup.STAGE_COMPUTES["pairs"] - before == 2
+
+
+def test_q160_component_split_has_zero_straddle(spark):
+    """The repair's defining property: after component-keyed assignment,
+    every near-dup component's members share ONE split — the leakage
+    q154 measures is zero by construction."""
+    from pyspark.sql import functions as F
+
+    from postfix_log_parser_spark.ext.dedup import _augmented, q36_dedup_components
+    from postfix_log_parser_spark.ext.leakage import _split_of
+
+    comps = q36_dedup_components(spark, SF_DIR)
+    key = F.col("component_id")
+    labeled = comps.select(
+        "component_id", _split_of(F.coalesce(key, F.col("doc_id"))).alias("split")
+    )
+    straddle = (
+        labeled.groupBy("component_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # and the split totals cover the whole augmented corpus
+    from postfix_log_parser_spark.ext import EXT_QUERIES
+
+    out = EXT_QUERIES["q160_component_split"](spark, SF_DIR).collect()
+    n_total = _augmented(spark, SF_DIR).count()
+    assert sum(r.n_docs for r in out) == n_total

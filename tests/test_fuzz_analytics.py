@@ -162,6 +162,7 @@ FUZZED = [
     # random corpora rarely near-dup: the audit must agree even when the
     # component map is empty (0 components, NULL rate)
     "q154_split_leakage",
+    "q160_component_split",
     # odd total tokens hit the floor()-budget boundary; ties in
     # n_distinct exercise the (quality, source) rank tie-break
     "q156_token_budget",
