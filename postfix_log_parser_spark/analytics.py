@@ -392,8 +392,24 @@ FROM grouped GROUP BY user_id
 # q11 — tumbling time-window aggregation (batch twin of the streaming agg)
 # ---------------------------------------------------------------------------
 
+def _avg_cents_4dp(sum_cents: F.Column, n: F.Column) -> F.Column:
+    """Half-up 4-decimal average of an exact integer-cent sum, computed
+    ENTIRELY in integer space: avg·10⁴ = 100·S/n, and half-up of a
+    non-negative rational is floor((200·S + n) / (2·n)).  The quotient's
+    distance from an integer is ≥ 1/(2n) ≫ one double ulp, so the FP
+    division + floor is exact — and both engines execute the identical
+    IEEE ops, unlike their native round() implementations, which
+    disagree by one display ulp exactly on .00005 boundaries (found at
+    sf0.1 on q11/q96)."""
+    return F.floor((200 * sum_cents + n) / (2.0 * n)) / 10_000.0
+
+
 def q11_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # exact integer cents (value is a 2-decimal double): sums are
+    # order-independent and the display rounding is integer-exact —
+    # see _avg_cents_4dp
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
@@ -403,8 +419,8 @@ def q11_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _avg_cents_4dp(F.sum(cents), F.count("value")).alias("avg_value"),
+            (F.sum(cents) / 100.0).alias("sum_value"),
         )
     )
 
@@ -412,8 +428,9 @@ def q11_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
        event_type, count(*) AS n,
-       round(avg(value), 4) AS avg_value,
-       round(sum(value), 2) AS sum_value
+       floor((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             / (2.0 * count(value))) / 10000.0 AS avg_value,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -959,8 +976,13 @@ def q96_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value is a 2-decimal double: aggregate EXACT integer cents so the
     # sum/avg are independent of partition summation order (a raw double
     # sum can land on a round() boundary differently per engine — the
-    # q65 sufficient-statistics discipline)
+    # q65 sufficient-statistics discipline).  The ROUNDING itself is
+    # also integer-space (see _avg_cents_4dp): at sf0.1 one user's avg
+    # lands exactly on the .00005 boundary, where Spark's BigDecimal
+    # HALF_UP and DuckDB's C round() disagree by 1 ulp of the display.
     cents = F.round(F.col("value") * 100).cast("long")
+    n_all = F.count(F.lit(1))
+    micros = F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
     return ev.groupBy("user_id").agg(
         cnt("view"),
         cnt("click"),
@@ -968,15 +990,11 @@ def q96_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("signup"),
         cnt("error"),
         (F.sum(cents) / 100.0).alias("sum_value"),
-        F.round(F.sum(cents) / (100.0 * F.count(F.lit(1))), 4).alias(
-            "avg_value"
-        ),
-        F.round(
-            (
-                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
-            )
-            / F.lit(3_600_000_000.0),
-            4,
+        _avg_cents_4dp(F.sum(cents), n_all).alias("avg_value"),
+        # span at 1e4 scale: micros/3.6e9·1e4 = micros/360000 — the same
+        # exact-integer half-up (micros and the divisor are exact longs)
+        (
+            F.floor((2 * micros + 360_000) / F.lit(720_000.0)) / 10_000.0
         ).alias("span_hours"),
     )
 
@@ -989,10 +1007,10 @@ SELECT user_id,
        count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
        count(*) FILTER (WHERE event_type = 'error') AS n_error,
        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
-       round(sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)), 4)
-         AS avg_value,
-       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 3600000000.0, 4)
-         AS span_hours
+       floor((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
+             / (2.0 * count(*))) / 10000.0 AS avg_value,
+       floor((2 * (epoch_us(max(ts)) - epoch_us(min(ts))) + 360000)
+             / 720000.0) / 10000.0 AS span_hours
 FROM events
 GROUP BY user_id
 """

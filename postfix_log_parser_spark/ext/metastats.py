@@ -38,6 +38,10 @@ _PROBED = (
 )
 
 
+def _zero_norm(c):
+    return F.when(c == 0, F.lit(0.0)).otherwise(c)
+
+
 def _stats_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pushdown-shaped plan — ONLY valid while the DSv2 + pushdown
     confs are live (see q151's scope)."""
@@ -56,8 +60,12 @@ def _stats_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(
                 F.lit(label).alias("probe"),
                 F.col("n_rows").cast("long").alias("n_rows"),
-                F.col("raw_min").cast("double").alias("vmin"),
-                F.col("raw_max").cast("double").alias("vmax"),
+                # parquet writers canonicalize float stats as min=-0.0 /
+                # max=+0.0 (per the spec's sort order), so a pushed-down
+                # MIN can return the footer's -0.0 where a data scan
+                # returns 0.0 — normalize the sign of zero (they are ==)
+                _zero_norm(F.col("raw_min").cast("double")).alias("vmin"),
+                _zero_norm(F.col("raw_max").cast("double")).alias("vmax"),
             )
         )
     return reduce(DataFrame.unionAll, branches)

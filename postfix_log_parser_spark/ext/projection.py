@@ -42,6 +42,17 @@ _SCALE = "sqrt(3.0)/4.0"  # sqrt(s/D') with s=3, D'=16 — exact in both
 _ROUND = 6
 
 
+def _hround(x, digits: int):
+    """Half-up rounding as floor(x·10^d + 0.5)/10^d — plain IEEE ops
+    that both engines execute identically on the identical input double.
+    Native round() differs between Spark (BigDecimal HALF_UP on the
+    double's exact decimal expansion) and DuckDB (C rounding of x·10^d)
+    by one display ulp exactly on .5 boundaries — found at sf0.1, where
+    5 of 2000 norm_ratios landed on a .00005 tie."""
+    p = float(10 ** digits)
+    return F.floor(x * p + 0.5) / p
+
+
 def _sign(j: int, k: int) -> int:
     h = int(hashlib.md5(f"jl|{j}|{k}".encode()).hexdigest()[:15], 16) % 6
     return 1 if h == 0 else (-1 if h == 1 else 0)
@@ -74,14 +85,14 @@ def q142_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j, s in _NONZERO[k]:
             term = F.element_at(v, j + 1)
             acc = acc + term if s > 0 else acc - term
-        return F.round(scale * acc, _ROUND)
+        return _hround(scale * acc, _ROUND)
 
     ys = [y_at(k).alias(f"yk{k}") for k in range(D_OUT)]
-    onorm2 = F.round(
+    onorm2 = _hround(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), _ROUND
     )
     proj = e.select("vec_id", *ys, onorm2.alias("onorm2"))
-    pnorm2 = F.round(
+    pnorm2 = _hround(
         sum(F.col(f"yk{k}") * F.col(f"yk{k}") for k in range(D_OUT)),
         _ROUND,
     )
@@ -96,18 +107,23 @@ def q142_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "vec_id", "y0", "y1", "y2", "y3", "pnorm2", "onorm2",
-        F.round(
-            F.when(F.col("onorm2") > 0, F.col("pnorm2") / F.col("onorm2")),
-            4,
+        F.when(
+            F.col("onorm2") > 0,
+            _hround(F.col("pnorm2") / F.col("onorm2"), 4),
         ).alias("norm_ratio"),
     )
+
+
+def _hround_sql(expr: str, digits: int) -> str:
+    p = 10 ** digits
+    return f"floor(({expr}) * {p}.0 + 0.5) / {p}.0"
 
 
 def _y_sql(k: int) -> str:
     terms = "".join(
         (" + " if s > 0 else " - ") + f"v[{j + 1}]" for j, s in _NONZERO[k]
     )
-    return f"round(({_SCALE}) * (0.0{terms}), {_ROUND})"
+    return _hround_sql(f"({_SCALE}) * (0.0{terms})", _ROUND)
 
 
 _Q142_SQL = f"""
@@ -118,18 +134,18 @@ WITH e AS (
 p AS (
   SELECT vec_id,
          {", ".join(f"{_y_sql(k)} AS yk{k}" for k in range(D_OUT))},
-         round(list_sum(list_transform(v, x -> x * x)), {_ROUND}) AS onorm2
+         {_hround_sql("list_sum(list_transform(v, x -> x * x))", _ROUND)} AS onorm2
   FROM e
 ),
 q AS (
   SELECT vec_id, yk0 AS y0, yk1 AS y1, yk2 AS y2, yk3 AS y3,
-         round({" + ".join(f"yk{k}*yk{k}" for k in range(D_OUT))},
-               {_ROUND}) AS pnorm2,
+         {_hround_sql(" + ".join(f"yk{k}*yk{k}" for k in range(D_OUT)), _ROUND)} AS pnorm2,
          onorm2
   FROM p
 )
 SELECT vec_id, y0, y1, y2, y3, pnorm2, onorm2,
-       round(CASE WHEN onorm2 > 0 THEN pnorm2 / onorm2 END, 4) AS norm_ratio
+       CASE WHEN onorm2 > 0
+            THEN {_hround_sql("pnorm2 / onorm2", 4)} END AS norm_ratio
 FROM q
 """
 

@@ -53,6 +53,16 @@ fold's tie order matches batch across micro-batches), the join keys on
 msgid with a ±TTL range bound (state evicted by watermark), the fold
 shuffles once on the uniform hex ``queue_id``, and state per key is one
 bounded session (5-20 lines) — no skew, no unbounded state.
+
+FUSED since r8: the fold branch ships the RAW trimmed line (keyed by
+the cheap token-3 queue-id candidate) and the full per-line parse runs
+inside the state worker via ``_parse_row`` — the streaming twin of the
+batch ``sessionize_raw`` engine.  The Catalyst parse tree never enters
+the streaming plan, which cut q43's per-query fixed cost ~30%
+(queryPlanning 1.2 s → 0.6 s, addBatch 2.9 s → 1.6 s measured warm);
+the three branches are all narrow regex/token projections, and the
+fold re-checks admission so the over-admitting cheap filter never
+changes WHAT folds.
 """
 
 from __future__ import annotations

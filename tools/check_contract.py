@@ -94,6 +94,8 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:  # IEEE -0.0 == 0.0 — don't let the sign bit differ
+            return "0"
         return f"{v:.9g}"
     if isinstance(v, bool):
         return str(int(v))
