@@ -26,6 +26,7 @@ BNLJ_BOUNDED = {
     "q23_dedup_simhash": "bounded doc_id<200 slice joined on hamming<=k — documented demo bound",
     "q24_embed_neardup": "tiled cogroup probe bound; guarded by MAX_EXACT_COSINE_ROWS",
     "q25_ann_bruteforce": "tiny fixed query set broadcast against the scan",
+    "q159_ann_recall": "inherits q25's bounded query-set broadcast (the exact arm)",
     "q59_ann_pq": "K*DIM codebook LUT broadcast (constant size)",
     "q71_heavy_hitters_cms": "1-row global-N aggregate broadcast for the error bound",
     "q89_cooccurrence_lift": "1-row global basket-count broadcast for the lift denominator",
