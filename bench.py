@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "q151_metadata_stats",
     "q152_dpp_prune",
     "q153_pysink_roundtrip",
+    "q161_pystream_source",
     "q154_split_leakage",
     "q160_component_split",
     "q155_aqe_skew_join",

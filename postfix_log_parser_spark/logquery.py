@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from postfix_log_parser_spark.operators.parse import parse_lines_arrow
+from postfix_log_parser_spark.operators.parse import parse_lines, parse_lines_arrow
 from postfix_log_parser_spark.operators.sessionize import sessionize
 from postfix_log_parser_spark.sources.text import lines_df
 
@@ -227,6 +227,77 @@ def q153_pysink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.format("maillog").load(work).select("value", "seq")
     events, _faults, _state = sessionize(parse_lines_arrow(raw), raw_lines=raw)
     return _events_projection(events)
+
+
+def q161_pystream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read path of the ``maillog`` Python Data Source — the
+    third leg of the custom-connector story (q124 batch read, q153
+    two-phase-commit write): the rotated-log fixture directory is
+    consumed through ``MailLogStreamReader``, ONE file per micro-batch
+    (genuine cross-batch offset progression, replayable exactly-once via
+    readBetweenOffsets), parsed with the Catalyst parser, and reduced to
+    per-kind admitted-line counts under complete-mode aggregation.
+
+    The oracle is the independent Python parse twin (``_parse_row``)
+    folded over the same fixture lines at module-definition time — so
+    the comparison differentially checks streaming source + Catalyst
+    parse against the reference-shaped per-line logic."""
+    import uuid
+
+    from postfix_log_parser_spark.sources.maillog import register_maillog
+
+    register_maillog(spark)
+    work = _work_dir("q161_pystream_")
+    in_dir = f"{work}/in"
+    os.makedirs(in_dir)
+    parts = [
+        "\n".join([BASIC, MIXED]),
+        "\n".join([SUBJECT, ASCII_SUBJECT]),
+        "\n".join([DOVECOT, MULTIPLE_TO]),
+    ]
+    for i, txt in enumerate(parts):
+        with open(f"{in_dir}/mail.log.{i:02d}", "w") as fh:
+            fh.write(txt + "\n")
+    raw = spark.readStream.format("maillog").load(in_dir).select("value", "seq")
+    parsed = parse_lines(raw)
+    counts = (
+        parsed.filter(F.col("admitted"))
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    qname = f"q161_sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(qname).select("kind", "n_lines")
+
+
+def _q161_sql() -> str:
+    from collections import Counter
+
+    from postfix_log_parser_spark.operators.parse import _parse_row
+
+    lines = "\n".join(
+        [BASIC, MIXED, SUBJECT, ASCII_SUBJECT, DOVECOT, MULTIPLE_TO]
+    ).split("\n")
+    c: Counter = Counter()
+    for i, ln in enumerate(lines):
+        row = _parse_row(i, ln)
+        if row[12]:  # admitted
+            c[row[2]] += 1
+    values = ", ".join(
+        f"('{k}', CAST({v} AS BIGINT))" for k, v in sorted(c.items())
+    )
+    return f"SELECT * FROM (VALUES {values}) AS t(kind, n_lines)"
 
 
 def q45_fused_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,6 +1170,7 @@ LOG_QUERIES = {
     "q45_fused_events": q45_fused_events,
     "q124_pysource_events": q124_pysource_events,
     "q153_pysink_roundtrip": q153_pysink_roundtrip,
+    "q161_pystream_source": q161_pystream_source,
     "q48_pii_mask": q48_pii_mask,
     "q49_stream_hourly": q49_stream_hourly,
     "q50_stream_enrich": q50_stream_enrich,
@@ -1138,6 +1210,7 @@ LOG_ORACLES = {
     "q40_log_events": _Q40_SQL,
     "q45_fused_events": _Q40_SQL,
     "q124_pysource_events": _Q40_SQL,
+    "q161_pystream_source": _q161_sql(),
     "q153_pysink_roundtrip": _Q40_SQL,
     "q48_pii_mask": _Q48_SQL.format(q40=_Q40_SQL),
     "q49_stream_hourly": _Q49_SQL,

@@ -44,10 +44,16 @@ the previous snapshot intact); ``mode("append")`` into a directory
 that already holds part files raises rather than silently interleaving
 two jobs' rotation orders (stale-tail clobber: a second append with
 fewer partitions would otherwise leave the old job's higher-numbered
-files for the reader to replay).  Streaming ingest stays on
-``readStream.text`` +
-``prepare_stream`` (the watermark needs Spark's native file-stream
-bookkeeping).
+files for the reader to replay).
+
+Since r8 the source is also STREAM-READABLE: ``MailLogStreamReader``
+(``spark.readStream.format("maillog").load(dir)``) consumes a rotated
+directory one file per micro-batch with a consumed-file-list offset —
+exactly-once via deterministic ``readBetweenOffsets`` replay (q161).
+The sessionize streaming pipeline itself stays on ``readStream.text``
++ ``prepare_stream`` (its watermark wants Spark's native file-stream
+bookkeeping), so the maillog stream is the connector surface, not the
+fold's ingest path.
 """
 
 from __future__ import annotations
@@ -57,8 +63,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -109,6 +117,77 @@ class MailLogReader(DataSourceReader):
                         "seq encoding would collide with the next file"
                     )
                 yield (partition.path, base + i, line.rstrip("\n"))
+
+
+class MailLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of ``MailLogReader`` for ROTATED logs: each
+    micro-batch ingests exactly ONE not-yet-consumed file (name order —
+    rotation order), so multi-file directories exercise genuine
+    cross-batch offset progression, like q150's maxFilesPerTrigger=1.
+
+    Offset contract (exactly-once): the offset is the sorted list of
+    consumed file names.  ``read(start)`` picks the first new file and
+    returns its rows plus the advanced offset; ``readBetweenOffsets``
+    replays the delta deterministically (rotated files are immutable —
+    the same contract every file-based streaming source relies on), so
+    a failed batch re-reads identically.  Rows carry the same
+    ``(file, seq, value)`` schema and ``(file_index << 40) | line``
+    sparse seq as the batch reader, with the file index taken from the
+    offset-list position so seq is stable across restarts."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("maillog stream requires a directory path")
+        if not os.path.isdir(path):
+            raise ValueError("maillog stream reads a ROTATED-LOG directory")
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"consumed": []}
+
+    def _listing(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.path)
+            if os.path.isfile(os.path.join(self.path, n))
+            and not n.startswith(("_", "."))
+        )
+
+    def _rows_of(self, name: str, index: int):
+        base = index << _SEQ_BITS
+        full = os.path.join(self.path, name)
+        with open(full, "r", errors="replace") as fh:
+            for i, line in enumerate(fh):
+                if i >= _MAX_LINES:
+                    raise ValueError(
+                        f"maillog: {full} exceeds {_MAX_LINES} lines; "
+                        "seq encoding would collide with the next file"
+                    )
+                yield (full, base + i, line.rstrip("\n"))
+
+    def read(self, start: dict):
+        # rows return as iter(list): the prefetch cache both next()s
+        # the iterator AND copy.copy()s it for replay — a list_iterator
+        # supports both, a bare generator or list supports neither
+        consumed = list(start.get("consumed", []))
+        new = [n for n in self._listing() if n not in consumed]
+        if not new:
+            return iter([]), start
+        name = new[0]
+        end = {"consumed": consumed + [name]}
+        return iter(list(self._rows_of(name, len(consumed)))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        consumed = list(start.get("consumed", []))
+        rows = []
+        for index, name in enumerate(end.get("consumed", [])):
+            if index < len(consumed):
+                continue  # already in start
+            rows.extend(self._rows_of(name, index))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # rotated files are immutable; nothing to clean up
 
 
 class _WroteFile(WriterCommitMessage):
@@ -218,6 +297,9 @@ class MailLogDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return MailLogWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return MailLogStreamReader(self.options)
 
 
 _REGISTERED = set()

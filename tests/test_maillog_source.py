@@ -143,3 +143,59 @@ def test_maillog_append_into_nonempty_raises(spark, tmp_path):
     ) == before
     back = [r.value for r in spark.read.format("maillog").load(out).collect()]
     assert back == ["one"]
+
+
+def test_maillog_stream_one_file_per_batch(spark, tmp_path):
+    """The streaming reader ingests one rotated file per micro-batch,
+    carries the batch-reader's (file, seq, value) contract, and the
+    consumed-file offset advances across batches."""
+    import uuid
+
+    register_maillog(spark)
+    d = tmp_path / "rot"
+    d.mkdir()
+    (d / "m.log.00").write_text("a0\na1\n")
+    (d / "m.log.01").write_text("b0\n")
+    (d / "m.log.02").write_text("c0\nc1\nc2\n")
+    qname = f"mls_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("maillog").load(str(d))
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = {p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0}
+        assert len(batches) == 3  # one file per micro-batch
+    finally:
+        q.stop()
+    rows = spark.table(qname).orderBy("seq").collect()
+    assert [r.value for r in rows] == ["a0", "a1", "b0", "c0", "c1", "c2"]
+    # sparse seq: file index in the high bits, line number low
+    assert [r.seq for r in rows] == [0, 1, 1 << 40, 2 << 40, (2 << 40) + 1, (2 << 40) + 2]
+
+
+def test_maillog_stream_replay_is_deterministic(spark, tmp_path):
+    """readBetweenOffsets must reproduce exactly the rows of the delta
+    between two offsets — the exactly-once replay contract."""
+    from postfix_log_parser_spark.sources.maillog import MailLogStreamReader
+
+    d = tmp_path / "rot2"
+    d.mkdir()
+    (d / "x.log").write_text("x0\n")
+    (d / "y.log").write_text("y0\ny1\n")
+    r = MailLogStreamReader({"path": str(d)})
+    o0 = r.initialOffset()
+    rows1, o1 = r.read(o0)
+    rows2, o2 = r.read(o1)
+    assert [t[2] for t in rows1] == ["x0"]
+    assert [t[2] for t in rows2] == ["y0", "y1"]
+    # replay each delta and the combined range
+    assert [t[2] for t in r.readBetweenOffsets(o0, o1)] == ["x0"]
+    assert [t[2] for t in r.readBetweenOffsets(o1, o2)] == ["y0", "y1"]
+    assert [t[2] for t in r.readBetweenOffsets(o0, o2)] == ["x0", "y0", "y1"]
+    # idle source: offset unchanged, no rows
+    rows3, o3 = r.read(o2)
+    assert list(rows3) == [] and o3 == o2
