@@ -266,18 +266,31 @@ def q161_pystream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lines"))
     )
     qname = f"q161_sink_{uuid.uuid4().hex[:8]}"
-    query = (
-        counts.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
+    # same per-batch-overhead scoping as q43: the fixture is ~40 lines
+    # over 4 micro-batches — a 32-partition state commit per batch
+    # dominates; one partition is the right size, and the trailing
+    # no-data batch adds nothing a complete-mode count needs
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key, "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set(nodata_key, "false")
     try:
-        query.processAllAvailable()
+        query = (
+            counts.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     finally:
-        query.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(nodata_key, old_nodata)
     return spark.table(qname).select("kind", "n_lines")
 
 
