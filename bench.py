@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "q152_dpp_prune",
     "q153_pysink_roundtrip",
     "q161_pystream_source",
+    "q162_pystream_sessions",
     "q154_split_leakage",
     "q160_component_split",
     "q155_aqe_skew_join",

@@ -313,6 +313,64 @@ def _q161_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(kind, n_lines)"
 
 
+def q162_pystream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full composition: custom streaming CONNECTOR × stateful
+    engine.  The q43 fixture set is written as THREE rotated files and
+    consumed through the maillog Python Data Source's STREAMING reader
+    (one file per micro-batch), then runs the complete sessionize
+    pipeline — watermarked msgid correlation join + fused
+    applyInPandasWithState fold — so the dovecot/session state crosses
+    REAL micro-batch boundaries fed by a custom source.  Same VALUES
+    oracle as q43 (identical fixture lines, identical events
+    projection); the seq contract under test is the source-provided
+    sparse (file_idx << 40) | line order flowing through
+    ``prepare_stream``'s trust path instead of scan metadata."""
+    import uuid
+
+    from postfix_log_parser_spark.sources.maillog import register_maillog
+    from postfix_log_parser_spark.streaming import sessionize_stream, stream_events
+
+    register_maillog(spark)
+    work = _work_dir("q162_pystream_")
+    in_dir = f"{work}/in"
+    os.makedirs(in_dir)
+    # two rotated files = two micro-batches: cross-batch state is real
+    # (sessions opened in batch 0 close in batch 1) while the per-batch
+    # fixed cost (Python source round-trip + 3 state-store commits)
+    # stays at the minimum that still exercises it
+    parts = ["\n".join([MIXED, SUBJECT, ASCII_SUBJECT]),
+             "\n".join([DOVECOT, MULTIPLE_TO])]
+    for i, txt in enumerate(parts):
+        with open(f"{in_dir}/mail.log.{i:02d}", "w") as fh:
+            fh.write(txt + "\n")
+    raw = spark.readStream.format("maillog").load(in_dir)
+    folded = sessionize_stream(raw)
+    qname = f"q162_sink_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key, "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set(nodata_key, "false")
+    try:
+        query = (
+            stream_events(folded)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(nodata_key, old_nodata)
+        shutil.rmtree(work, ignore_errors=True)
+    return _events_projection(spark.table(qname))
+
+
 def q45_fused_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fixtures and projection as q40, through the FUSED engine
     (``sessionize_raw``: one raw-line shuffle, parse+fold+J1 in a single
@@ -1184,6 +1242,7 @@ LOG_QUERIES = {
     "q124_pysource_events": q124_pysource_events,
     "q153_pysink_roundtrip": q153_pysink_roundtrip,
     "q161_pystream_source": q161_pystream_source,
+    "q162_pystream_sessions": q162_pystream_sessions,
     "q48_pii_mask": q48_pii_mask,
     "q49_stream_hourly": q49_stream_hourly,
     "q50_stream_enrich": q50_stream_enrich,
@@ -1238,6 +1297,7 @@ LOG_ORACLES = {
     "q41_log_faults": _Q41_SQL,
     "q42_log_state": _Q42_SQL,
     "q43_stream_events": _Q43_SQL,
+    "q162_pystream_sessions": _Q43_SQL,
     "q44_sink_roundtrip": _Q44_SQL,
 }
 

@@ -237,12 +237,26 @@ def _prepare_partition(
 def prepare_stream(lines: DataFrame, line_col: str = "value") -> DataFrame:
     """Attach ``file`` + ``seq`` (stable in-file byte offset) and a
     carried-forward event time on dovecot lines (``_dove_ts``).  Works on
-    both streaming and batch DataFrames (one narrow Arrow pass)."""
-    df = lines.select(
-        F.col(line_col).alias("value"),
-        F.input_file_name().alias("_file"),
-        F.expr("input_file_block_start()").alias("_block"),
-    )
+    both streaming and batch DataFrames (one narrow Arrow pass).
+
+    A source that already carries ``file`` + ``seq`` columns (the
+    ``maillog`` Python Data Source — batch or stream) is trusted: its
+    per-line seq rides in the ``_block`` slot, which makes every line
+    its own (file, block) group inside the Arrow pass, so the byte-offset
+    math degenerates to exactly the source's seq while the dovecot
+    ``_dove_ts`` backfill still runs."""
+    if {"file", "seq"} <= set(lines.columns):
+        df = lines.select(
+            F.col(line_col).alias("value"),
+            F.col("file").alias("_file"),
+            F.col("seq").cast("long").alias("_block"),
+        )
+    else:
+        df = lines.select(
+            F.col(line_col).alias("value"),
+            F.input_file_name().alias("_file"),
+            F.expr("input_file_block_start()").alias("_block"),
+        )
     return df.mapInPandas(_prepare_partition, _PREP_SCHEMA)
 
 

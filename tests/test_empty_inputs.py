@@ -69,6 +69,7 @@ _FIXTURE_INPUT = {
     "q124_pysource_events",  # golden fixture through the maillog source
     "q153_pysink_roundtrip",  # fixture through the maillog writer+reader
     "q161_pystream_source",  # fixture through the maillog STREAM reader
+    "q162_pystream_sessions",  # fixture stream through the full fold
 }
 
 
