@@ -235,7 +235,8 @@ def q161_pystream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase-commit write): the rotated-log fixture directory is
     consumed through ``MailLogStreamReader``, ONE file per micro-batch
     (genuine cross-batch offset progression, replayable exactly-once via
-    readBetweenOffsets), parsed with the Catalyst parser, and reduced to
+    partitions(start, end) — since r9 partition-based, so file bytes are
+    read in executor tasks), parsed with the Catalyst parser, reduced to
     per-kind admitted-line counts under complete-mode aggregation.
 
     The oracle is the independent Python parse twin (``_parse_row``)

@@ -49,11 +49,17 @@ files for the reader to replay).
 Since r8 the source is also STREAM-READABLE: ``MailLogStreamReader``
 (``spark.readStream.format("maillog").load(dir)``) consumes a rotated
 directory one file per micro-batch with a consumed-file-list offset —
-exactly-once via deterministic ``readBetweenOffsets`` replay (q161).
-The sessionize streaming pipeline itself stays on ``readStream.text``
-+ ``prepare_stream`` (its watermark wants Spark's native file-stream
-bookkeeping), so the maillog stream is the connector surface, not the
-fold's ingest path.
+exactly-once via deterministic offset-range replay (q161).  Since r9
+it is the PARTITION-BASED ``DataSourceStreamReader``: the driver only
+plans offsets (``latestOffset``/``partitions``); each file's bytes are
+read inside an executor task (``read(partition)``), so streaming
+ingest parallelism and memory scale with executors — multi-GB rotation
+files never materialize on the driver (the r8
+``SimpleDataSourceStreamReader`` shape did exactly that, one whole
+file as a Python list per micro-batch).  The sessionize streaming
+pipeline itself stays on ``readStream.text`` + ``prepare_stream`` (its
+watermark wants Spark's native file-stream bookkeeping), so the
+maillog stream is the connector surface, not the fold's ingest path.
 """
 
 from __future__ import annotations
@@ -66,7 +72,6 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -119,21 +124,53 @@ class MailLogReader(DataSourceReader):
                 yield (partition.path, base + i, line.rstrip("\n"))
 
 
-class MailLogStreamReader(SimpleDataSourceStreamReader):
-    """Streaming twin of ``MailLogReader`` for ROTATED logs: each
-    micro-batch ingests exactly ONE not-yet-consumed file (name order —
-    rotation order), so multi-file directories exercise genuine
-    cross-batch offset progression, like q150's maxFilesPerTrigger=1.
+class _StreamFilePartition(InputPartition):
+    """One not-yet-consumed rotated file; index = position in the END
+    offset's consumed list (drives the sparse seq base)."""
 
-    Offset contract (exactly-once): the offset is the sorted list of
-    consumed file names.  ``read(start)`` picks the first new file and
-    returns its rows plus the advanced offset; ``readBetweenOffsets``
-    replays the delta deterministically (rotated files are immutable —
-    the same contract every file-based streaming source relies on), so
-    a failed batch re-reads identically.  Rows carry the same
+    def __init__(self, index: int, path: str):
+        self.index = index
+        self.path = path
+
+
+class MailLogStreamReader(DataSourceStreamReader):
+    """Streaming twin of ``MailLogReader`` for ROTATED logs — the
+    partition-based ``DataSourceStreamReader``: offsets are planned on
+    the driver but every file's BYTES are read inside an executor task
+    (``read(partition)`` ships as one ``InputPartition`` per new file,
+    mirroring the batch reader), so ingest parallelism and memory scale
+    with executors, not the driver.  Each micro-batch ingests exactly
+    ONE not-yet-consumed file (name order — rotation order), so
+    multi-file directories exercise genuine cross-batch offset
+    progression, like q150's maxFilesPerTrigger=1.
+
+    Offset contract (exactly-once): the offset is the ordered list of
+    consumed file names.  ``latestOffset`` claims the first new file
+    (name-sorted listing minus already-claimed); ``partitions(start,
+    end)`` plans one partition per name in ``end`` beyond ``start`` —
+    rotated files are immutable, so replaying the same offset range
+    after a failure reads identical rows (the contract every
+    file-based streaming source relies on).  Rows carry the same
     ``(file, seq, value)`` schema and ``(file_index << 40) | line``
-    sparse seq as the batch reader, with the file index taken from the
-    offset-list position so seq is stable across restarts."""
+    sparse seq as the batch reader.
+
+    seq-order caveat (vs the batch reader): the file index is the
+    OFFSET-LIST POSITION — consumption order — not the global
+    name-sort position.  The two agree whenever files arrive in
+    name-sorted order (normal log rotation); a late-arriving file whose
+    name sorts before an already-consumed one gets a HIGHER seq base
+    here, where a batch re-read of the same directory would sort it
+    earlier.  Consumption order is the only order a stream can honor
+    (the earlier files are already emitted), and it is stable across
+    restarts because replay uses the checkpointed offset list verbatim.
+
+    Restart reconciliation: after a restart Spark replans from its
+    CHECKPOINTED offsets while this (fresh) reader's claim list starts
+    empty; ``partitions``/``commit`` adopt any longer checkpointed list
+    as the authoritative claim prefix, so a post-restart
+    ``latestOffset`` can momentarily trail the checkpoint (yielding one
+    empty batch: end-minus-start of a stale end is empty — no row is
+    ever re-emitted) and then resumes claiming strictly new files."""
 
     def __init__(self, options: dict):
         path = options.get("path")
@@ -142,6 +179,7 @@ class MailLogStreamReader(SimpleDataSourceStreamReader):
         if not os.path.isdir(path):
             raise ValueError("maillog stream reads a ROTATED-LOG directory")
         self.path = path
+        self._claimed: list[str] = []  # names, in consumption order
 
     def initialOffset(self) -> dict:
         return {"consumed": []}
@@ -153,41 +191,54 @@ class MailLogStreamReader(SimpleDataSourceStreamReader):
             and not n.startswith(("_", "."))
         )
 
-    def _rows_of(self, name: str, index: int):
-        base = index << _SEQ_BITS
-        full = os.path.join(self.path, name)
-        with open(full, "r", errors="replace") as fh:
+    def _adopt(self, offset: dict) -> None:
+        # a checkpointed list longer than ours is authoritative (restart)
+        names = list(offset.get("consumed", []))
+        if len(names) > len(self._claimed):
+            self._claimed = names
+
+    def latestOffset(self) -> dict:
+        claimed = set(self._claimed)
+        for name in self._listing():
+            if name not in claimed:
+                self._claimed = self._claimed + [name]
+                break  # one file per micro-batch
+        return {"consumed": list(self._claimed)}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        self._adopt(start)
+        self._adopt(end)
+        done = set(start.get("consumed", []))
+        return [
+            _StreamFilePartition(index, os.path.join(self.path, name))
+            for index, name in enumerate(end.get("consumed", []))
+            if name not in done
+        ]
+
+    def read(self, partition: _StreamFilePartition):
+        # Runs INSIDE an executor task (unlike SimpleDataSourceStreamReader,
+        # whose read(start) materializes rows on the driver).  The assert is
+        # the runtime guarantee of that: TaskContext exists only in tasks.
+        from pyspark import TaskContext
+
+        assert TaskContext.get() is not None, (
+            "maillog stream read() must run in an executor task"
+        )
+        base = partition.index << _SEQ_BITS
+        with open(partition.path, "r", errors="replace") as fh:
             for i, line in enumerate(fh):
                 if i >= _MAX_LINES:
                     raise ValueError(
-                        f"maillog: {full} exceeds {_MAX_LINES} lines; "
-                        "seq encoding would collide with the next file"
+                        f"maillog: {partition.path} exceeds {_MAX_LINES} "
+                        "lines; seq encoding would collide with the next file"
                     )
-                yield (full, base + i, line.rstrip("\n"))
-
-    def read(self, start: dict):
-        # rows return as iter(list): the prefetch cache both next()s
-        # the iterator AND copy.copy()s it for replay — a list_iterator
-        # supports both, a bare generator or list supports neither
-        consumed = list(start.get("consumed", []))
-        new = [n for n in self._listing() if n not in consumed]
-        if not new:
-            return iter([]), start
-        name = new[0]
-        end = {"consumed": consumed + [name]}
-        return iter(list(self._rows_of(name, len(consumed)))), end
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        consumed = list(start.get("consumed", []))
-        rows = []
-        for index, name in enumerate(end.get("consumed", [])):
-            if index < len(consumed):
-                continue  # already in start
-            rows.extend(self._rows_of(name, index))
-        return iter(rows)
+                yield (partition.path, base + i, line.rstrip("\n"))
 
     def commit(self, end: dict) -> None:
-        pass  # rotated files are immutable; nothing to clean up
+        self._adopt(end)  # rotated files are immutable; nothing to clean up
+
+    def stop(self) -> None:
+        pass
 
 
 class _WroteFile(WriterCommitMessage):
@@ -219,6 +270,16 @@ class MailLogWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("maillog writer requires a path (save(dir))")
         self.overwrite = overwrite
+        # per-job tag: the writer instance is built once on the driver and
+        # pickled to every task, so this uuid identifies exactly this job's
+        # staged files — commit()/abort() sweep ONLY this tag, never a
+        # concurrently staging job's in-flight files
+        import uuid
+
+        self.job_tag = uuid.uuid4().hex
+
+    def _staged_prefix(self) -> str:
+        return f".staged-{self.job_tag}-"
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -227,7 +288,8 @@ class MailLogWriter(DataSourceWriter):
         pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
         staged = os.path.join(
-            self.path, f".staged-part-{pid:05d}-{ctx.taskAttemptId()}.log"
+            self.path,
+            f"{self._staged_prefix()}part-{pid:05d}-{ctx.taskAttemptId()}.log",
         )
         n = 0
         with open(staged, "w") as fh:
@@ -248,6 +310,12 @@ class MailLogWriter(DataSourceWriter):
         stale = self._existing_parts()
         if stale:
             if not self.overwrite:
+                # sweep this job's staged files HERE: whether Spark calls
+                # abort() after a commit-phase failure is its business, the
+                # directory must not depend on it
+                for n in os.listdir(self.path):
+                    if n.startswith(self._staged_prefix()):
+                        os.remove(os.path.join(self.path, n))
                 raise ValueError(
                     f"maillog: destination {self.path} already holds "
                     f"{len(stale)} part file(s); append would interleave "
@@ -265,9 +333,11 @@ class MailLogWriter(DataSourceWriter):
                 continue
             os.replace(m.staged, os.path.join(self.path, m.final_name))
             total += m.n_lines
-        # losing speculative attempts staged files too — sweep them
+        # losing speculative attempts of THIS job staged files too — sweep
+        # exactly this job's tag (a concurrent job's in-flight staged files
+        # carry a different uuid and are left alone)
         for n in os.listdir(self.path):
-            if n.startswith(".staged-part-"):
+            if n.startswith(self._staged_prefix()):
                 os.remove(os.path.join(self.path, n))
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write(f"{total}\n")
@@ -276,7 +346,7 @@ class MailLogWriter(DataSourceWriter):
         if not os.path.isdir(self.path):
             return
         for n in os.listdir(self.path):
-            if n.startswith(".staged-part-"):
+            if n.startswith(self._staged_prefix()):
                 os.remove(os.path.join(self.path, n))
 
 
@@ -298,7 +368,7 @@ class MailLogDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return MailLogWriter(self.options, overwrite)
 
-    def simpleStreamReader(self, schema: StructType) -> DataSourceStreamReader:
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return MailLogStreamReader(self.options)
 
 

@@ -85,7 +85,7 @@ def test_maillog_writer_roundtrip_and_manifest(spark, tmp_path):
     )
     assert [r.value for r in back] == lines
     # commit() swept all staged temp files
-    assert not [n for n in names if n.startswith(".staged-part-")]
+    assert not [n for n in names if n.startswith(".staged-")]
 
 
 def _write_maillog(df, out, mode):
@@ -137,10 +137,11 @@ def test_maillog_append_into_nonempty_raises(spark, tmp_path):
     before = sorted(os.listdir(out))
     with pytest.raises(Exception, match="rotation orders|overwrite"):
         _write_maillog(df, out, "append")
-    # staged leftovers from the failed job are swept by abort()
-    assert sorted(
-        n for n in os.listdir(out) if not n.startswith(".staged-part-")
-    ) == before
+    # the failed job's staged files are swept (commit sweeps its own tag
+    # before raising — not dependent on Spark invoking abort afterwards)
+    after = sorted(os.listdir(out))
+    assert not [n for n in after if n.startswith(".staged-")]
+    assert after == before
     back = [r.value for r in spark.read.format("maillog").load(out).collect()]
     assert back == ["one"]
 
@@ -177,9 +178,24 @@ def test_maillog_stream_one_file_per_batch(spark, tmp_path):
     assert [r.seq for r in rows] == [0, 1, 1 << 40, 2 << 40, (2 << 40) + 1, (2 << 40) + 2]
 
 
+def _read_partitions_in_tasks(spark, reader, parts):
+    """Run reader.read(partition) INSIDE Spark tasks (one per partition)
+    and return the row tuples in (partition, line) order — the executor
+    path the partition-based API contracts."""
+    if not parts:
+        return []
+    rdd = spark.sparkContext.parallelize(parts, len(parts))
+    return (
+        rdd.flatMap(lambda p: list(reader.read(p)))
+        .sortBy(lambda t: t[1])
+        .collect()
+    )
+
+
 def test_maillog_stream_replay_is_deterministic(spark, tmp_path):
-    """readBetweenOffsets must reproduce exactly the rows of the delta
-    between two offsets — the exactly-once replay contract."""
+    """partitions(start, end) + read(partition) must reproduce exactly
+    the rows of the delta between two offsets — the exactly-once replay
+    contract of the partition-based stream reader."""
     from postfix_log_parser_spark.sources.maillog import MailLogStreamReader
 
     d = tmp_path / "rot2"
@@ -188,14 +204,67 @@ def test_maillog_stream_replay_is_deterministic(spark, tmp_path):
     (d / "y.log").write_text("y0\ny1\n")
     r = MailLogStreamReader({"path": str(d)})
     o0 = r.initialOffset()
-    rows1, o1 = r.read(o0)
-    rows2, o2 = r.read(o1)
-    assert [t[2] for t in rows1] == ["x0"]
-    assert [t[2] for t in rows2] == ["y0", "y1"]
-    # replay each delta and the combined range
-    assert [t[2] for t in r.readBetweenOffsets(o0, o1)] == ["x0"]
-    assert [t[2] for t in r.readBetweenOffsets(o1, o2)] == ["y0", "y1"]
-    assert [t[2] for t in r.readBetweenOffsets(o0, o2)] == ["x0", "y0", "y1"]
-    # idle source: offset unchanged, no rows
-    rows3, o3 = r.read(o2)
-    assert list(rows3) == [] and o3 == o2
+    o1 = r.latestOffset()
+    o2 = r.latestOffset()
+    assert o1 == {"consumed": ["x.log"]}
+    assert o2 == {"consumed": ["x.log", "y.log"]}
+    # idle source: offset unchanged once everything is claimed
+    assert r.latestOffset() == o2
+
+    def values(start, end):
+        return [t[2] for t in
+                _read_partitions_in_tasks(spark, r, r.partitions(start, end))]
+
+    # replay each delta and the combined range — and replay them AGAIN
+    assert values(o0, o1) == ["x0"]
+    assert values(o1, o2) == ["y0", "y1"]
+    assert values(o0, o2) == ["x0", "y0", "y1"]
+    assert values(o0, o2) == ["x0", "y0", "y1"]
+    assert r.partitions(o2, o2) == []
+
+
+def test_maillog_stream_read_runs_in_executor_tasks(spark, tmp_path):
+    """The runtime guarantee the partition-based upgrade exists for:
+    read(partition) refuses to run outside a Spark task (driver-side),
+    and succeeds inside one — file bytes never materialize on the
+    driver."""
+    from postfix_log_parser_spark.sources.maillog import MailLogStreamReader
+
+    d = tmp_path / "rot3"
+    d.mkdir()
+    (d / "z.log").write_text("z0\nz1\n")
+    r = MailLogStreamReader({"path": str(d)})
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    assert len(parts) == 1
+    with pytest.raises(AssertionError, match="executor task"):
+        list(r.read(parts[0]))  # driver-side call is refused
+    rows = _read_partitions_in_tasks(spark, r, parts)
+    assert [t[2] for t in rows] == ["z0", "z1"]
+
+
+def test_maillog_stream_restart_reconciliation(spark, tmp_path):
+    """A fresh reader (post-restart) must adopt the checkpointed offset
+    list as the authoritative claim prefix: replaying the checkpointed
+    range emits the same rows, and the next latestOffset claims only
+    genuinely new files — no row is ever re-emitted."""
+    from postfix_log_parser_spark.sources.maillog import MailLogStreamReader
+
+    d = tmp_path / "rot4"
+    d.mkdir()
+    (d / "r.log.00").write_text("r0\n")
+    (d / "r.log.01").write_text("s0\n")
+    r1 = MailLogStreamReader({"path": str(d)})
+    o0 = r1.initialOffset()
+    o1 = r1.latestOffset()
+    o2 = r1.latestOffset()
+    # "restart": new reader instance, empty claim list, checkpointed o1/o2
+    r2 = MailLogStreamReader({"path": str(d)})
+    replay = _read_partitions_in_tasks(spark, r2, r2.partitions(o1, o2))
+    assert [t[2] for t in replay] == ["s0"]
+    assert [t[1] for t in replay] == [1 << 40]  # seq base = offset position
+    # post-adoption, latestOffset never re-claims checkpointed files
+    (d / "r.log.02").write_text("t0\n")
+    o3 = r2.latestOffset()
+    assert o3 == {"consumed": ["r.log.00", "r.log.01", "r.log.02"]}
+    fresh = _read_partitions_in_tasks(spark, r2, r2.partitions(o2, o3))
+    assert [t[2] for t in fresh] == ["t0"]
