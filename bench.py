@@ -357,6 +357,13 @@ def main() -> None:
     line = json.dumps(with_q)
     print(line if len(line) <= 1800 else json.dumps(compact))
 
+    # release every staged checkpoint frame (LSH pairs, components,
+    # IVF-PQ index) before the session goes away — the stage-lifecycle
+    # teardown contract (ext/staging.py)
+    from postfix_log_parser_spark.ext.staging import clear_stages
+
+    clear_stages()
+
 
 if __name__ == "__main__":
     main()

@@ -31,6 +31,8 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
+from postfix_log_parser_spark.ext.staging import StageCache
+
 N_MINHASH = 8          # minhash permutations
 N_BANDS = 4            # LSH bands (2 rows per band)
 ROWS_PER_BAND = N_MINHASH // N_BANDS
@@ -327,14 +329,16 @@ def _jaccard_verified(cand: DataFrame, with_sh: DataFrame, threshold: float) -> 
 # localCheckpoint frames are the local-mode twin of that.  The staged
 # frames are eagerly materialized and tiny (output-proportional: only
 # near-dup pairs/members), so holding them for the session is cheap.
-_PAIR_STAGE: dict[tuple[int, str], DataFrame] = {}
-_COMP_STAGE: dict[tuple[int, str], DataFrame] = {}
+# Lifecycle (r9, ext/staging.py): applicationId+fingerprint keys, LRU
+# bound, clear_stages() teardown.
+_PAIR_STAGE = StageCache(inputs=("documents.parquet",))
+_COMP_STAGE = StageCache(inputs=("documents.parquet",))
 # test hook: how many times each stage actually computed (not cache-hit)
 STAGE_COMPUTES = {"pairs": 0, "components": 0}
 
 
-def _stage_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
-    return (id(spark.sparkContext), sf_dir)
+def _stage_key(spark: SparkSession, sf_dir: str) -> tuple:
+    return _PAIR_STAGE.key(spark, sf_dir)
 
 
 def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,8 +373,7 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the checkpoint holds the materialized pairs — the shingle cache
     # (corpus-proportional, unlike the pairs) can go immediately
     with_sh.unpersist()
-    _PAIR_STAGE[key] = pairs
-    return pairs
+    return _PAIR_STAGE.put(key, pairs)
 
 
 def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,8 +762,7 @@ def q36_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = result.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
     )
-    _COMP_STAGE[key] = out
-    return out
+    return _COMP_STAGE.put(key, out)
 
 
 def _q36_sql() -> str:

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from postfix_log_parser_spark.ext.similarity import _dot, _emb, _with_norm
+from postfix_log_parser_spark.ext.staging import StageCache
 
 M = 8  # subspaces
 SUB = 8  # dims per subspace
@@ -429,7 +430,7 @@ NEW_BATCH_RESIDUE = 50  # disjoint from q68's query set (vec_id % 100 == 0)
 # daily mode never rebuilds the index for a new ingest batch, it probes
 # the one already written.  The staged frame holds ONLY (vec_id, cell,
 # codes) — the 8-byte-code working set, ~64× smaller than the vectors.
-_IVF_STAGE: dict[tuple[int, str], DataFrame] = {}
+_IVF_STAGE = StageCache(inputs=("embeddings.parquet",))
 IVF_STAGE_COMPUTES = {"n": 0}
 
 
@@ -445,13 +446,16 @@ def ivfpq_index(spark: SparkSession, sf_dir: str):
     Returns None when the corpus has no codebook rows (empty input)."""
     from postfix_log_parser_spark.ext.similarity import _cell_scores
 
-    key = (id(spark.sparkContext), sf_dir)
-    if key in _IVF_STAGE:
-        return _IVF_STAGE[key]
+    key = _IVF_STAGE.key(spark, sf_dir)
+    staged = _IVF_STAGE.get(key)
+    if staged is not None:
+        return staged
     emb = _with_norm(_emb(spark, sf_dir))
     cb = _codebook(emb)
     if not cb[0]:
-        _IVF_STAGE[key] = None
+        # never cache the miss: a corpus that is empty at first touch may
+        # gain data later (the fingerprint key would change too, but a
+        # same-mtime edge shouldn't pin q157 to typed-empty for a session)
         return None
     IVF_STAGE_COMPUTES["n"] += 1
     cb_lit = _cb_lit(cb)
@@ -464,8 +468,7 @@ def ivfpq_index(spark: SparkSession, sf_dir: str):
         cell.alias("cell"),
         _codes_expr(F.col("v"), cb_lit).alias("codes"),
     ).localCheckpoint(eager=True)
-    _IVF_STAGE[key] = index
-    return index
+    return _IVF_STAGE.put(key, index)
 
 
 def q157_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -225,6 +225,9 @@ def main() -> int:
     print(f"\n{n_run - len(failures)}/{n_run} green")
     if failures:
         print("failures:", ", ".join(failures))
+    from postfix_log_parser_spark.ext.staging import clear_stages
+
+    clear_stages()  # release staged checkpoint frames (lifecycle contract)
     if json_out:
         import json as _json
         with open(json_out, "w") as fh:
