@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "q138_topk_per_key",
     "q139_embedding_outliers",
     "q140_video_scene_cuts",
+    "q163_jpeg_roundtrip",
     "q141_filter_cascade",
     "q142_random_projection",
     "q143_unicode_normalize",

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -217,16 +218,24 @@ def _decode_png(content: bytes) -> "np.ndarray":
 def decode_image(content: bytes) -> "np.ndarray":
     """Decode an image payload into an (h, w, 3) uint8 pixel array.
 
-    REAL decoders for two formats: binary PPM (P6 — netpbm header
+    REAL decoders for three formats: binary PPM (P6 — netpbm header
     tokenizer: whitespace-separated tokens, ``#`` comments to
-    end-of-line, per the spec — followed by the raw RGB raster) and PNG
+    end-of-line, per the spec — followed by the raw RGB raster), PNG
     (stdlib zlib inflate + per-scanline unfilter + CRC verification, see
-    ``_decode_png``).  Formats needing a codec library (JPEG/WebP/...)
-    raise NotImplementedError — swap this seam for PIL/torchvision in a
-    real deployment; the Spark plumbing around it is format-agnostic.
+    ``_decode_png``), and baseline-sequential JPEG (Huffman entropy
+    decode + dequant + IDCT + 4:2:0 upsampling, see ``ext.jpeg``; the
+    non-baseline JPEG modes — progressive, arithmetic, 12-bit — raise
+    NotImplementedError naming the mode).  Formats needing a codec
+    library (WebP/AVIF/...) raise NotImplementedError — swap this seam
+    for PIL/torchvision in a real deployment; the Spark plumbing around
+    it is format-agnostic.
     """
     if content[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from postfix_log_parser_spark.ext.jpeg import decode_baseline_jpeg
+
+        return decode_baseline_jpeg(content)
     if content[:2] == b"P6":
         pos = 2
         tokens: list[int] = []
@@ -250,8 +259,8 @@ def decode_image(content: bytes) -> "np.ndarray":
             raise ValueError(f"P6 raster truncated: {len(raster)} != {w * h * 3}")
         return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
     raise NotImplementedError(
-        "only binary PPM (P6) and PNG decode without an imaging library; "
-        "see ext.multimodal docstring"
+        "only binary PPM (P6), PNG and baseline JPEG decode without an "
+        "imaging library; see ext.multimodal docstring"
     )
 
 
@@ -887,12 +896,123 @@ FROM dist GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q163 — baseline JPEG roundtrip QA (real lossy codec, ext/jpeg.py)
+# ---------------------------------------------------------------------------
+
+JPEG_QA_SCHEMA = (
+    "doc_id long, jpeg_w int, jpeg_h int, img_key string, "
+    "jfif_ok boolean, dims_ok boolean, err_ok boolean, mean_ok boolean"
+)
+JPEG_ERR_TOL = 32  # measured worst 19 over all 768 image identities
+JPEG_MEAN_TOL = 2.0  # measured worst drift 0.59
+
+
+def jpeg_roundtrip_qa(docs: DataFrame) -> DataFrame:
+    """Encode every document's deterministic raster to REAL baseline
+    JFIF bytes and decode them back with the stdlib codec, inside one
+    mapInPandas stage.  JPEG is LOSSY, so the oracle contract is the
+    q15 self-verifying style: closed-form columns (dims, image-identity
+    key) plus within-bound BOOLEANS (JFIF framing, decoded shape,
+    max-abs roundtrip error ≤ 32, mean-luminance drift ≤ 2) hashed
+    against literal TRUE — a garbage decode (wrong coefficients, broken
+    Huffman state, bad upsampling) blows the bounds immediately."""
+    import numpy as np
+
+    from postfix_log_parser_spark.ext.jpeg import (
+        JPEG_W,
+        decode_baseline_jpeg,  # noqa: F401 — dispatched via decode_image
+        synth_jpeg,
+        synth_raster,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "jpeg_w", "jpeg_h", "img_key", "jfif_ok", "dims_ok",
+                "err_ok", "mean_ok",
+            )}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                orig = synth_raster(doc_id, n_chars)
+                payload = synth_jpeg(doc_id, n_chars)
+                decoded = decode_image(payload)
+                err = np.abs(decoded.astype(np.int64) - orig.astype(np.int64))
+                h, w = orig.shape[:2]
+                rows["jpeg_w"].append(w)
+                rows["jpeg_h"].append(h)
+                rows["img_key"].append(f"{(doc_id * 31) % 256}:{h}")
+                rows["jfif_ok"].append(
+                    payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+                )
+                rows["dims_ok"].append(decoded.shape == orig.shape)
+                rows["err_ok"].append(int(err.max()) <= JPEG_ERR_TOL)
+                rows["mean_ok"].append(
+                    abs(float(decoded.mean()) - float(orig.mean()))
+                    <= JPEG_MEAN_TOL
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), **{
+                    k: pd.array(v) for k, v in rows.items()
+                }}
+            )
+
+    return docs.mapInPandas(batches, JPEG_QA_SCHEMA)
+
+
+def q163_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG roundtrip QA + identical-image cluster sizes: the
+    second COMPRESSED image format decoded end-to-end in an oracle-green
+    query (PNG was r8's).  The cluster count keys on the closed-form
+    image identity ((doc_id*31) mod 256, height) — documents with the
+    same identity share payload bytes and therefore decoded pixels, the
+    exact-dedup property q111 checks via phash, provable here without
+    expressing the lossy transform in SQL.
+
+    Scale: the codec runs Arrow-batched per partition (no shuffle); the
+    only exchange is the small img_key window for cluster sizes — at
+    100 TB that is q20's exact-dedup hash shuffle on a 10-byte key."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars")
+        )
+    )
+    qa = jpeg_roundtrip_qa(docs)
+    win = Window.partitionBy("img_key")
+    return qa.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(win).cast("long")
+    )
+
+
+_Q163_SQL = """
+WITH img AS (
+  SELECT doc_id,
+         (doc_id * 31) % 256 AS a,
+         16 + 8 * (coalesce(n_chars, 0) % 3) AS jh
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       24 AS jpeg_w,
+       jh AS jpeg_h,
+       CAST(a AS VARCHAR) || ':' || CAST(jh AS VARCHAR) AS img_key,
+       TRUE AS jfif_ok,
+       TRUE AS dims_ok,
+       TRUE AS err_ok,
+       TRUE AS mean_ok,
+       CAST(count(*) OVER (PARTITION BY a, jh) AS BIGINT) AS cluster_size
+FROM img
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q31_multimodal_features": q31_multimodal_features,
     "q34_frame_sample": q34_frame_sample,
     "q111_phash_dedup": q111_phash_dedup,
     "q116_audio_features": q116_audio_features,
     "q140_video_scene_cuts": q140_video_scene_cuts,
+    "q163_jpeg_roundtrip": q163_jpeg_roundtrip,
 }
 MULTIMODAL_ORACLES = {
     "q31_multimodal_features": _Q31_SQL,
@@ -900,4 +1020,5 @@ MULTIMODAL_ORACLES = {
     "q111_phash_dedup": _Q111_SQL,
     "q116_audio_features": _Q116_SQL,
     "q140_video_scene_cuts": _Q140_SQL,
+    "q163_jpeg_roundtrip": _Q163_SQL,
 }

@@ -139,6 +139,8 @@ FUZZED = [
     "q139_embedding_outliers",
     # zero/short texts give 2-frame videos and minimum-width hashes
     "q140_video_scene_cuts",
+    # r9: lossy JPEG roundtrip bounds must hold on random doc_id/n_chars
+    "q163_jpeg_roundtrip",
     # r7 batch 3: empty texts hit q141's NULL-metric guards (r1 owns the
     # drop), the 13-word fuzz vocabulary is SMALLER than q144's top-V so
     # OOV must be exactly zero, q143's markers ride on random doc_ids,

@@ -941,6 +941,22 @@ def test_q140_scene_cuts_need_no_window_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_q163_jpeg_qa_single_scan_one_cluster_exchange(spark):
+    """JPEG roundtrip QA: the whole codec (encode + entropy decode +
+    IDCT) runs inside ONE Arrow stage over a scan pruned to
+    (doc_id, n_chars); the only exchange is the img_key window for
+    cluster sizes — the q20 exact-dedup shuffle shape."""
+    from postfix_log_parser_spark.ext.multimodal import q163_jpeg_roundtrip
+
+    plan = _plan(q163_jpeg_roundtrip(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "IsNotNull(text)" in plan  # null-gate pushed to the scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(img_key" in plan
+
+
 def test_q141_cascade_single_scan_pruned_to_text(spark):
     """Filter cascade: all metrics live inside the scan projection, so
     the corpus scan must read ONLY text, with one corpus-side exchange
