@@ -259,7 +259,12 @@ def q161_pystream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, txt in enumerate(parts):
         with open(f"{in_dir}/mail.log.{i:02d}", "w") as fh:
             fh.write(txt + "\n")
-    raw = spark.readStream.format("maillog").load(in_dir).select("value", "seq")
+    raw = (
+        spark.readStream.format("maillog")
+        .option("maxFilesPerBatch", "1")  # one rotation file per batch
+        .load(in_dir)
+        .select("value", "seq")
+    )
     parsed = parse_lines(raw)
     counts = (
         parsed.filter(F.col("admitted"))
@@ -344,7 +349,11 @@ def q162_pystream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, txt in enumerate(parts):
         with open(f"{in_dir}/mail.log.{i:02d}", "w") as fh:
             fh.write(txt + "\n")
-    raw = spark.readStream.format("maillog").load(in_dir)
+    raw = (
+        spark.readStream.format("maillog")
+        .option("maxFilesPerBatch", "1")  # cross-batch sessions are the point
+        .load(in_dir)
+    )
     folded = sessionize_stream(raw)
     qname = f"q162_sink_{uuid.uuid4().hex[:8]}"
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -139,14 +139,18 @@ class MailLogStreamReader(DataSourceStreamReader):
     the driver but every file's BYTES are read inside an executor task
     (``read(partition)`` ships as one ``InputPartition`` per new file,
     mirroring the batch reader), so ingest parallelism and memory scale
-    with executors, not the driver.  Each micro-batch ingests exactly
-    ONE not-yet-consumed file (name order — rotation order), so
-    multi-file directories exercise genuine cross-batch offset
-    progression, like q150's maxFilesPerTrigger=1.
+    with executors, not the driver.  By default a micro-batch ingests
+    EVERY not-yet-consumed file (name order — rotation order; one
+    InputPartition each, full scan parallelism — and the semantics
+    ``availableNow`` triggers require, since they capture latestOffset
+    once).  ``option("maxFilesPerBatch", "1")`` caps the claim per
+    micro-batch so multi-file directories exercise genuine cross-batch
+    offset progression (q161/q162), like q150's maxFilesPerTrigger=1.
 
     Offset contract (exactly-once): the offset is the ordered list of
-    consumed file names.  ``latestOffset`` claims the first new file
-    (name-sorted listing minus already-claimed); ``partitions(start,
+    consumed file names.  ``latestOffset`` claims the new files
+    (name-sorted listing minus already-claimed, capped by
+    maxFilesPerBatch); ``partitions(start,
     end)`` plans one partition per name in ``end`` beyond ``start`` —
     rotated files are immutable, so replaying the same offset range
     after a failure reads identical rows (the contract every
@@ -179,6 +183,11 @@ class MailLogStreamReader(DataSourceStreamReader):
         if not os.path.isdir(path):
             raise ValueError("maillog stream reads a ROTATED-LOG directory")
         self.path = path
+        # DataSource options arrive case-insensitively lowercased
+        raw = options.get("maxfilesperbatch") or options.get(
+            "maxFilesPerBatch"
+        )
+        self.max_files = int(raw) if raw else 0  # 0 = all new files
         self._claimed: list[str] = []  # names, in consumption order
 
     def initialOffset(self) -> dict:
@@ -199,10 +208,10 @@ class MailLogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         claimed = set(self._claimed)
-        for name in self._listing():
-            if name not in claimed:
-                self._claimed = self._claimed + [name]
-                break  # one file per micro-batch
+        new = [n for n in self._listing() if n not in claimed]
+        if self.max_files:
+            new = new[: self.max_files]
+        self._claimed = self._claimed + new
         return {"consumed": list(self._claimed)}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:

@@ -160,7 +160,9 @@ def test_maillog_stream_one_file_per_batch(spark, tmp_path):
     (d / "m.log.02").write_text("c0\nc1\nc2\n")
     qname = f"mls_{uuid.uuid4().hex[:8]}"
     q = (
-        spark.readStream.format("maillog").load(str(d))
+        spark.readStream.format("maillog")
+        .option("maxFilesPerBatch", "1")
+        .load(str(d))
         .writeStream.format("memory").queryName(qname)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(processingTime="0 seconds")
@@ -202,7 +204,7 @@ def test_maillog_stream_replay_is_deterministic(spark, tmp_path):
     d.mkdir()
     (d / "x.log").write_text("x0\n")
     (d / "y.log").write_text("y0\ny1\n")
-    r = MailLogStreamReader({"path": str(d)})
+    r = MailLogStreamReader({"path": str(d), "maxfilesperbatch": "1"})
     o0 = r.initialOffset()
     o1 = r.latestOffset()
     o2 = r.latestOffset()
@@ -242,6 +244,46 @@ def test_maillog_stream_read_runs_in_executor_tasks(spark, tmp_path):
     assert [t[2] for t in rows] == ["z0", "z1"]
 
 
+def test_maillog_stream_restart_through_checkpoint(spark, tmp_path):
+    """Full engine-level restart: a SECOND streaming query on the same
+    checkpoint (fresh MailLogStreamReader instance) resumes from the
+    committed offsets — already-consumed files are not re-emitted, a
+    newly arrived file is, and seq bases continue from the checkpointed
+    offset positions."""
+    import uuid
+
+    register_maillog(spark)
+    d = tmp_path / "rot_ck"
+    d.mkdir()
+    (d / "a.log").write_text("a0\n")
+    (d / "b.log").write_text("b0\nb1\n")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("maillog").load(str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out)
+
+    first = run_once()
+    assert sorted(r.value for r in first.collect()) == ["a0", "b0", "b1"]
+    # restart with no new data: nothing re-emitted
+    again = run_once()
+    assert again.count() == 3
+    # restart after a new rotation file arrives: only the delta appears
+    (d / "c.log").write_text("c0\n")
+    third = run_once().orderBy("seq").collect()
+    assert [r.value for r in third] == ["a0", "b0", "b1", "c0"]
+    assert [r.seq for r in third] == [0, 1 << 40, (1 << 40) + 1, 2 << 40]
+
+
 def test_maillog_stream_restart_reconciliation(spark, tmp_path):
     """A fresh reader (post-restart) must adopt the checkpointed offset
     list as the authoritative claim prefix: replaying the checkpointed
@@ -253,12 +295,12 @@ def test_maillog_stream_restart_reconciliation(spark, tmp_path):
     d.mkdir()
     (d / "r.log.00").write_text("r0\n")
     (d / "r.log.01").write_text("s0\n")
-    r1 = MailLogStreamReader({"path": str(d)})
+    r1 = MailLogStreamReader({"path": str(d), "maxfilesperbatch": "1"})
     o0 = r1.initialOffset()
     o1 = r1.latestOffset()
     o2 = r1.latestOffset()
     # "restart": new reader instance, empty claim list, checkpointed o1/o2
-    r2 = MailLogStreamReader({"path": str(d)})
+    r2 = MailLogStreamReader({"path": str(d), "maxfilesperbatch": "1"})
     replay = _read_partitions_in_tasks(spark, r2, r2.partitions(o1, o2))
     assert [t[2] for t in replay] == ["s0"]
     assert [t[1] for t in replay] == [1 << 40]  # seq base = offset position
