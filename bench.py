@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q22_dedup_minhash_lsh",
     "q107_dedup_prefix_join",
     "q23_dedup_simhash",
+    "q164_simhash_banded_neardup",
     "q24_embed_neardup",
     "q36_dedup_components",
     "q69_incremental_dedup",

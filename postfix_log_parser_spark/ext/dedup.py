@@ -499,16 +499,9 @@ def _q69_sql() -> str:
 # q23 — SimHash fingerprints + Hamming-distance histogram
 # ---------------------------------------------------------------------------
 
-def q23_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document; output = histogram of pairwise Hamming
-    distances among doc_id < 200 (near-dups cluster at low distance).
-
-    The per-doc fingerprint is one shuffle (explode distinct words →
-    groupBy doc with 60 conditional sums).  The pairwise stage here is a
-    bounded all-pairs for the histogram; at scale, pairs come from
-    band-prefix buckets (split the 60 bits into 4 × 15-bit keys — any pair
-    within Hamming distance 3 shares at least one key)."""
-    docs = _load_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+def _simhash_fp(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): the 60-bit SimHash fingerprint — one shuffle
+    (explode distinct words → groupBy doc with 60 conditional sums)."""
     w = docs.select(
         "doc_id", F.explode(F.array_distinct(words_of(F.col("text")))).alias("w")
     ).withColumn("x", md5_long(F.col("w")))
@@ -526,7 +519,18 @@ def q23_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
         ).otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
-    fp = bit_sums.select("doc_id", simhash.alias("simhash"))
+    return bit_sums.select("doc_id", simhash.alias("simhash"))
+
+
+def q23_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document; output = histogram of pairwise Hamming
+    distances among doc_id < 200 (near-dups cluster at low distance).
+
+    The per-doc fingerprint is one shuffle (``_simhash_fp``).  The
+    pairwise stage here is a bounded all-pairs for the histogram; the
+    SCALE path — band-prefix buckets, any pair within Hamming distance
+    B-1 shares one of B band keys — is q164's banded-Hamming join."""
+    fp = _simhash_fp(_load_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
     a = fp.alias("a")
     b = fp.alias("b")
     return (
@@ -561,6 +565,95 @@ SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
        count(*) AS n_pairs
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q164 — banded-Hamming SimHash near-dup JOIN (q23's scale path, realized)
+# ---------------------------------------------------------------------------
+
+HAMMING_BANDS = 4  # 4 bands × 15 bits = SIMHASH_BITS
+HAMMING_BAND_BITS = SIMHASH_BITS // HAMMING_BANDS
+HAMMING_K = HAMMING_BANDS - 1  # pigeonhole: dist ≤ B-1 shares ≥ 1 band
+
+
+def q164_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within SimHash Hamming distance ≤ 3 — found by
+    the BANDED equi-join, never all-pairs: the 60-bit fingerprint splits
+    into 4 × 15-bit band keys, and by pigeonhole any pair with ≤ 3
+    differing bits agrees exactly on at least one band, so the
+    (band_idx, band_key) self-join has zero false negatives at the
+    threshold.  Candidates carry both fingerprints through the join (a
+    60-bit long rides free, unlike q22's shingle sets which need a
+    verify re-join) and one ``bit_count(xor)`` settles each pair.
+
+    The DuckDB oracle computes the brute-force all-pairs answer, so the
+    typed comparison PROVES the recall guarantee on every corpus it
+    runs on (the q107 differential pattern).
+
+    Scale: candidates are output-proportional — identical-fingerprint
+    clusters dominate both, random 15-bit band collisions add
+    ~B·N²/2^15 cheap verifications; at 100 TB you widen bands (e.g.
+    8 × 16 of a 128-bit fingerprint) to hold that ratio, exactly the
+    LSH banding dial q22 uses.  Runs on the augmented corpus (planted
+    near-copies land at small distances; the sf0.01 corpus plants one
+    pair at exactly the threshold)."""
+    fp = _simhash_fp(_augmented(spark, sf_dir))
+    mask = (1 << HAMMING_BAND_BITS) - 1
+    band_arr = F.array(*[
+        F.shiftright(F.col("simhash"), HAMMING_BAND_BITS * j)
+        .bitwiseAND(F.lit(mask))
+        for j in range(HAMMING_BANDS)
+    ])
+    banded = fp.select(
+        "doc_id", "simhash",
+        F.posexplode(band_arr).alias("band_idx", "band_key"),
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_K)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _q164_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(((x >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH all_docs AS ({_AUG_SQL}),
+w AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_WORDS})) AS w FROM all_docs
+),
+hashed AS (SELECT doc_id, {_duck_md5_long('w')} AS x FROM w),
+bit_sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, {assemble} AS simhash FROM bit_sums)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_K}
 """
 
 
@@ -1367,6 +1460,7 @@ DEDUP_QUERIES = {
     "q120_cluster_survivors": q120_cluster_survivors,
     "q132_lsh_recall": q132_lsh_recall,
     "q134_containment_dedup": q134_containment_dedup,
+    "q164_simhash_banded_neardup": q164_simhash_banded_neardup,
 }
 
 DEDUP_ORACLES = {
@@ -1383,4 +1477,5 @@ DEDUP_ORACLES = {
     "q120_cluster_survivors": _q120_sql(),
     "q132_lsh_recall": _q132_sql(),
     "q134_containment_dedup": _Q134_SQL,
+    "q164_simhash_banded_neardup": _q164_sql(),
 }

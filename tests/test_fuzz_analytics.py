@@ -141,6 +141,9 @@ FUZZED = [
     "q140_video_scene_cuts",
     # r9: lossy JPEG roundtrip bounds must hold on random doc_id/n_chars
     "q163_jpeg_roundtrip",
+    # r9: banded-Hamming recall guarantee must hold on random corpora
+    # (the oracle is brute-force all-pairs — any missed pair goes red)
+    "q164_simhash_banded_neardup",
     # r7 batch 3: empty texts hit q141's NULL-metric guards (r1 owns the
     # drop), the 13-word fuzz vocabulary is SMALLER than q144's top-V so
     # OOV must be exactly zero, q143's markers ride on random doc_ids,

@@ -957,6 +957,23 @@ def test_q163_jpeg_qa_single_scan_one_cluster_exchange(spark):
     assert "hashpartitioning(img_key" in plan
 
 
+def test_q164_banded_hamming_never_plans_all_pairs(spark):
+    """Banded-Hamming near-dup: candidates come from the (band_idx,
+    band_key) equi-join — an all-pairs plan would be a cartesian or a
+    non-equi BNLJ.  The fingerprint aggregate must be partial (map-side
+    combine under the one doc-keyed exchange)."""
+    from postfix_log_parser_spark.ext.dedup import q164_simhash_banded_neardup
+
+    plan = _plan(q164_simhash_banded_neardup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_idx" in plan and "band_key" in plan
+    # map-side combined bit sums (toString truncates the 60-fn list)
+    assert "partial_sum" in plan
+    # Catalyst fuses the hamming verify INTO the band equi-join condition
+    assert "bit_count" in plan
+
+
 def test_q141_cascade_single_scan_pruned_to_text(spark):
     """Filter cascade: all metrics live inside the scan projection, so
     the corpus scan must read ONLY text, with one corpus-side exchange
