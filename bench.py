@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q93_lateral_topn",
     "q71_heavy_hitters_cms",
     "q94_hll_sketch_table",
+    "q165_bloom_decontamination",
     "q72_bloom_semijoin",
     "q73_pagerank_transitions",
     "q106_triangle_counts",

@@ -367,14 +367,187 @@ JOIN sizes sb ON sb.source = p.src_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q165 — Bloom-filter decontamination (q47's probabilistic 100 TB twin)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 16384  # filter bits
+BLOOM_K = 3  # hash probes per gram
+_BLOOM_WORD_BITS = 62  # keep shifts off the sign bit: both engines agree
+
+
+def q165_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47's decontamination with the eval gram set compressed into a
+    BLOOM FILTER: K=3 md5-derived probes over an M=16384-bit array
+    stored as ≤265 (word, mask) rows of 62 bits each.  q47 broadcasts
+    the raw eval gram SET — fine while eval is small, but a 100 TB
+    decontamination sweep against a large benchmark suite broadcasts
+    gigabytes of strings; the Bloom table is fixed-size (2 KB here,
+    a few MB at any scale) regardless of gram count, at the price of a
+    measured false-positive rate.
+
+    Output per training doc: ``n_flagged`` (grams the filter accuses —
+    the superset), ``n_shared`` (exact ground truth, same join as q47),
+    and ``no_false_negatives`` — the Bloom guarantee, TRUE by
+    construction and recomputed by the oracle, so a broken hash or mask
+    goes red on every corpus.  n_flagged − n_shared is the measured FP
+    mass; tune M/K against it, exactly the q132/q159 audit discipline.
+
+    Scale shape: the eval side collapses to the tiny bloom table before
+    any join; the training side is ONE exploded-gram pass probed via a
+    broadcast hash join on the word index — no shuffle of the corpus.
+    """
+    from postfix_log_parser_spark.ext.textstats import _docs, grams5_udf
+
+    g = _docs(spark, sf_dir).select(
+        "doc_id", grams5_udf(F.col("text")).alias("grams")
+    )
+    ev = (
+        g.filter(F.col("doc_id") % 53 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    tr = g.filter(F.col("doc_id") % 53 != 0).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+
+    def pos(i: int) -> F.Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("gram"))), 1, 15),
+            16, 10,
+        ).cast("long")
+        return h % BLOOM_M
+
+    probe_arr = F.array(*[pos(i) for i in range(BLOOM_K)])
+    bloom = (
+        ev.select(F.explode(probe_arr).alias("pos"))
+        .select(
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word"),
+            (F.col("pos") % _BLOOM_WORD_BITS).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            # F.shiftleft takes a literal count — expr for a column count
+            F.bit_or(F.expr("shiftleft(cast(1 as bigint), bit)")).alias("mask")
+        )
+        # materialize the <=265-row filter ONCE: it feeds K broadcast
+        # joins, and without this each join replans the whole eval
+        # subtree (scan + gram UDF + distinct) — 3 extra corpus scans
+        .localCheckpoint(eager=True)
+    )
+    # K probes as COLUMNS (not an explode): K broadcast hash joins on the
+    # word index, so the training gram stream is never shuffled — the only
+    # exchange in the whole query is the final doc_id aggregate
+    trp = tr
+    for i in range(BLOOM_K):
+        trp = trp.withColumn(f"_p{i}", pos(i))
+        trp = trp.withColumn(
+            f"_w{i}", (F.col(f"_p{i}") / _BLOOM_WORD_BITS).cast("long")
+        ).withColumn(
+            f"_b{i}", (F.col(f"_p{i}") % _BLOOM_WORD_BITS).cast("int")
+        )
+    for i in range(BLOOM_K):
+        trp = trp.join(
+            F.broadcast(
+                bloom.select(
+                    F.col("word").alias(f"_w{i}"),
+                    F.col("mask").alias(f"_m{i}"),
+                )
+            ),
+            f"_w{i}", "left",
+        )
+    hits = [
+        F.coalesce(
+            F.col(f"_m{i}").bitwiseAND(
+                F.expr(f"shiftleft(cast(1 as bigint), _b{i})")
+            ) != 0,
+            F.lit(False),
+        )
+        for i in range(BLOOM_K)
+    ]
+    flagged = hits[0]
+    for h in hits[1:]:
+        flagged = flagged & h
+    per_gram = (
+        trp.withColumn("flagged", flagged)
+        .join(
+            F.broadcast(ev.withColumn("is_exact", F.lit(True))),
+            "gram", "left",
+        )
+        .withColumn("is_exact", F.coalesce(F.col("is_exact"), F.lit(False)))
+    )
+    return (
+        per_gram.filter(F.col("flagged") | F.col("is_exact"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+            .cast("long").alias("n_flagged"),
+            F.sum(F.when(F.col("is_exact"), 1).otherwise(0))
+            .cast("long").alias("n_shared"),
+            F.bool_and(F.col("flagged") | ~F.col("is_exact"))
+            .alias("no_false_negatives"),
+        )
+    )
+
+
+def _q165_sql() -> str:
+    from postfix_log_parser_spark.ext.dedup import _DUCK_WORDS, _duck_md5_long
+
+    probes = " UNION ALL ".join(
+        f"SELECT doc_id, gram, "
+        f"{_duck_md5_long(f'''CAST({i} AS VARCHAR) || '|' || gram''')} "
+        f"% {BLOOM_M} AS pos FROM {{side}}"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(words) - 3),
+                           i -> array_to_string(words[i:i+4], ' '))) AS grams
+      FROM d WHERE len(words) >= 5),
+ev AS (SELECT DISTINCT unnest(grams) AS gram, CAST(0 AS BIGINT) AS doc_id
+       FROM g WHERE doc_id % 53 = 0),
+tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 53 <> 0),
+evp AS ({probes.format(side='ev')}),
+bloom AS (
+  SELECT pos // {_BLOOM_WORD_BITS} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD_BITS} AS INTEGER)) AS mask
+  FROM evp GROUP BY 1
+),
+trp AS ({probes.format(side='tr')}),
+hits AS (
+  SELECT t.doc_id, t.gram,
+         sum(CASE WHEN (b.mask & (CAST(1 AS BIGINT)
+                 << CAST(t.pos % {_BLOOM_WORD_BITS} AS INTEGER))) <> 0
+             THEN 1 ELSE 0 END) AS nh
+  FROM trp t LEFT JOIN bloom b ON t.pos // {_BLOOM_WORD_BITS} = b.word
+  GROUP BY 1, 2
+),
+per_gram AS (
+  SELECT h.doc_id, h.gram, h.nh = {BLOOM_K} AS flagged,
+         (e.gram IS NOT NULL) AS is_exact
+  FROM hits h LEFT JOIN (SELECT DISTINCT gram FROM ev) e ON h.gram = e.gram
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       bool_and(flagged OR NOT is_exact) AS no_false_negatives
+FROM per_gram
+WHERE flagged OR is_exact
+GROUP BY doc_id
+"""
+
+
 SKETCHES_QUERIES = {
     "q71_heavy_hitters_cms": q71_heavy_hitters_cms,
     "q94_hll_sketch_table": q94_hll_sketch_table,
     "q136_kmv_overlap": q136_kmv_overlap,
+    "q165_bloom_decontamination": q165_bloom_decontamination,
 }
 
 SKETCHES_ORACLES = {
     "q71_heavy_hitters_cms": _Q71_SQL,
     "q94_hll_sketch_table": _Q94_SQL,
     "q136_kmv_overlap": _q136_sql(),
+    "q165_bloom_decontamination": _q165_sql(),
 }

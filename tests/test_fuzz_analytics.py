@@ -144,6 +144,9 @@ FUZZED = [
     # r9: banded-Hamming recall guarantee must hold on random corpora
     # (the oracle is brute-force all-pairs — any missed pair goes red)
     "q164_simhash_banded_neardup",
+    # r9: bloom no-false-negative guarantee on random corpora (exact
+    # ground truth recomputed in the same query)
+    "q165_bloom_decontamination",
     # r7 batch 3: empty texts hit q141's NULL-metric guards (r1 owns the
     # drop), the 13-word fuzz vocabulary is SMALLER than q144's top-V so
     # OOV must be exactly zero, q143's markers ride on random doc_ids,

@@ -974,6 +974,21 @@ def test_q164_banded_hamming_never_plans_all_pairs(spark):
     assert "bit_count" in plan
 
 
+def test_q165_bloom_probes_never_shuffle_the_corpus(spark):
+    """Bloom decontamination: K probes ride BROADCAST joins against the
+    materialized (ExistingRDD) filter table — the training gram stream
+    must never hit a hash exchange except the final per-doc aggregate."""
+    from postfix_log_parser_spark.ext.sketches import q165_bloom_decontamination
+
+    plan = _plan(q165_bloom_decontamination(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 4  # 3 probes + is_exact
+    assert "Scan ExistingRDD" in plan  # the checkpointed bloom table
+    # the only hash exchanges: final doc_id agg (partial + final)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "hashpartitioning(doc_id" in plan
+
+
 def test_q141_cascade_single_scan_pruned_to_text(spark):
     """Filter cascade: all metrics live inside the scan projection, so
     the corpus scan must read ONLY text, with one corpus-side exchange
