@@ -112,7 +112,20 @@
   maillog Python Data Source WRITER roundtrip — two-phase commit,
   write→read→parse→sessionize equals the q40 golden oracle (q153);
   q113 (Spark 4 transformWithStateInPandas
-  running stats) registers only where the protobuf TWS runtime exists,
+  running stats) registers only where the protobuf TWS runtime exists;
+  r8: dedup-aware split leakage audit (q154), AQE runtime skew-join
+  split (q155), greedy token-budget mixture allocation (q156),
+  incremental ANN against the persisted IVF-PQ index stage (q157),
+  mod-hash "stride-S" substring dedup — ~1/S of the gram stream with
+  exact re-verify (q158), IVF-PQ recall@k audit vs exact ground truth
+  (q159), dedup-aware split REPAIR by component-id hashing (q160),
+  maillog STREAM reader (q161) and the full sessionize pipeline
+  composed over it across micro-batches (q162);
+  r9: baseline-JPEG roundtrip QA through the dependency-free codec —
+  lossy, so closed-form dims/cluster sizes + within-bound booleans
+  (q163), banded-Hamming SimHash near-dup join with the brute-force
+  recall proof (q164), Bloom-filter decontamination with measured FP
+  mass and oracle-recomputed no-false-negatives (q165),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests
