@@ -126,6 +126,10 @@
   (q163), banded-Hamming SimHash near-dup join with the brute-force
   recall proof (q164), Bloom-filter decontamination with measured FP
   mass and oracle-recomputed no-false-negatives (q165),
+  maillog STREAM writer — exactly-once rotated-log relay sink with a
+  per-batch two-phase commit and idempotent batch replay, composed as
+  stream read → stream write → batch read → sessionize against the
+  q40 golden oracle (q166),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -381,6 +381,73 @@ def q162_pystream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events_projection(spark.table(qname))
 
 
+def q166_pystream_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector matrix closed: maillog STREAM read → maillog STREAM
+    write (exactly-once relay) → maillog BATCH read → full sessionize,
+    byte-identical to q40.
+
+    The golden fixtures are written as three rotated input files; a
+    streaming query consumes them one file per micro-batch through
+    ``MailLogStreamReader`` and relays each batch through
+    ``MailLogStreamWriter`` into a second directory, whose per-batch
+    two-phase commit names files ``part-<batch:05d>-<pid:05d>.log`` —
+    name-sort = (batch order, partition order) = the input's rotation
+    order, so a batch read of the RELAYED directory reproduces the
+    original global line order and parse+sessionize must reproduce
+    q40's events exactly (identical VALUES oracle).
+
+    This is the log-shipping shape: at scale the relay is a fleet of
+    executors tailing rotated logs into an object store with manifest-
+    gated exactly-once batches; locally the idempotent-replay and
+    half-commit-healing seams are pinned by test_maillog_source."""
+    import uuid
+
+    from postfix_log_parser_spark.sources.maillog import register_maillog
+
+    register_maillog(spark)
+    work = _work_dir("q166_pystream_relay_")
+    in_dir, out_dir = f"{work}/in", f"{work}/out"
+    os.makedirs(in_dir)
+    parts = [
+        "\n".join([BASIC, MIXED]),
+        "\n".join([SUBJECT, ASCII_SUBJECT]),
+        "\n".join([DOVECOT, MULTIPLE_TO]),
+    ]
+    for i, txt in enumerate(parts):
+        with open(f"{in_dir}/mail.log.{i:02d}", "w") as fh:
+            fh.write(txt + "\n")
+    relay = (
+        spark.readStream.format("maillog")
+        .option("maxFilesPerBatch", "1")  # batch i = rotation file i
+        .load(in_dir)
+        .select("value")
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key, "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set(nodata_key, "false")
+    try:
+        query = (
+            relay.writeStream.format("maillog")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .queryName(f"q166_relay_{uuid.uuid4().hex[:8]}")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(nodata_key, old_nodata)
+    raw = spark.read.format("maillog").load(out_dir).select("value", "seq")
+    events, _faults, _state = sessionize(parse_lines_arrow(raw), raw_lines=raw)
+    return _events_projection(events)
+
+
 def q45_fused_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fixtures and projection as q40, through the FUSED engine
     (``sessionize_raw``: one raw-line shuffle, parse+fold+J1 in a single
@@ -1253,6 +1320,7 @@ LOG_QUERIES = {
     "q153_pysink_roundtrip": q153_pysink_roundtrip,
     "q161_pystream_source": q161_pystream_source,
     "q162_pystream_sessions": q162_pystream_sessions,
+    "q166_pystream_relay": q166_pystream_relay,
     "q48_pii_mask": q48_pii_mask,
     "q49_stream_hourly": q49_stream_hourly,
     "q50_stream_enrich": q50_stream_enrich,
@@ -1294,6 +1362,7 @@ LOG_ORACLES = {
     "q124_pysource_events": _Q40_SQL,
     "q161_pystream_source": _q161_sql(),
     "q153_pysink_roundtrip": _Q40_SQL,
+    "q166_pystream_relay": _Q40_SQL,
     "q48_pii_mask": _Q48_SQL.format(q40=_Q40_SQL),
     "q49_stream_hourly": _Q49_SQL,
     "q50_stream_enrich": _Q50_SQL,

@@ -60,6 +60,13 @@ file as a Python list per micro-batch).  The sessionize streaming
 pipeline itself stays on ``readStream.text`` + ``prepare_stream`` (its
 watermark wants Spark's native file-stream bookkeeping), so the
 maillog stream is the connector surface, not the fold's ingest path.
+
+Since r9 (this session) the source is also STREAM-WRITABLE:
+``MailLogStreamWriter`` (``df.writeStream.format("maillog")``)
+completes the connector matrix — an exactly-once rotated-log relay
+sink whose per-batch two-phase commit and ``_committed_batches``
+manifest make batch replays idempotent (q166 composes stream read →
+stream write → batch read → sessionize, byte-identical to q40).
 """
 
 from __future__ import annotations
@@ -70,6 +77,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -359,6 +367,120 @@ class MailLogWriter(DataSourceWriter):
                 os.remove(os.path.join(self.path, n))
 
 
+class MailLogStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of ``MailLogWriter`` — the fourth quadrant of the
+    connector matrix (batch read, batch write, stream read, STREAM
+    write): an exactly-once rotated-log relay sink for
+    ``df.writeStream.format("maillog")``.
+
+    Per micro-batch, tasks stage dot-prefixed temp files on executors
+    (invisible to the reader) and ``commit(messages, batchId)`` on the
+    driver renames winners to ``part-<batchId:05d>-<pid:05d>.log`` —
+    name-sort order is (batch order, partition order), so a downstream
+    batch ``maillog`` read replays the stream's global row order
+    exactly (the log-shipping contract: relay a rotated directory and
+    the copy is byte- and order-identical).
+
+    Exactly-once across restarts: committed batch ids are recorded in a
+    ``_committed_batches`` manifest (underscore-prefixed — the reader
+    skips it).  When Spark REPLAYS a batch after a failure (same
+    batchId, re-run tasks), commit finds the id already in the manifest,
+    discards the replay's staged files, and leaves the original finals
+    untouched — no duplicate rotation files.  A half-committed batch
+    (crash after some renames, before the manifest append) is healed on
+    replay: its finals are removed and rewritten before the manifest
+    records the id, so readers only ever observe manifest-recorded
+    batches plus at most one in-flight batch's files, and every
+    recorded batch's files are complete.
+
+    Scale notes: staging and line IO are per-task on executors; the
+    driver's commit does O(#partitions) renames and one manifest append
+    per batch — the same O(file-count) metadata work every file-based
+    streaming sink's commit protocol (e.g. a manifest-tracked object
+    store sink) performs.  Only ``append`` output semantics exist —
+    rotated logs are append-only; ``complete``/truncate is refused."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("maillog stream writer requires a path")
+        if overwrite:
+            raise ValueError(
+                "maillog stream sink is append-only (rotated logs); "
+                "complete/truncate output modes are not supported"
+            )
+        import uuid
+
+        # built once on the driver, pickled to every task: identifies
+        # exactly this query's staged files (see MailLogWriter.job_tag)
+        self.job_tag = uuid.uuid4().hex
+
+    def _staged_prefix(self) -> str:
+        return f".staged-{self.job_tag}-"
+
+    def _manifest(self) -> str:
+        return os.path.join(self.path, "_committed_batches")
+
+    def _committed_ids(self) -> set:
+        try:
+            with open(self._manifest()) as fh:
+                return {int(ln) for ln in fh if ln.strip()}
+        except FileNotFoundError:
+            return set()
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(
+            self.path,
+            f"{self._staged_prefix()}part-{pid:05d}-{ctx.taskAttemptId()}.log",
+        )
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(f"{row[-1]}\n")
+                n += 1
+        return _WroteFile(staged, f"part-{pid:05d}.log", n)
+
+    def _sweep_staged(self) -> None:
+        if not os.path.isdir(self.path):
+            return
+        for n in os.listdir(self.path):
+            if n.startswith(self._staged_prefix()):
+                os.remove(os.path.join(self.path, n))
+
+    def commit(self, messages, batchId: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        if batchId in self._committed_ids():
+            # replay of an already-committed batch: the original finals
+            # are authoritative — drop the replay's staged files
+            self._sweep_staged()
+            return
+        # heal a half-committed previous attempt of THIS batch id
+        # (crashed after renaming some finals, before the manifest append)
+        prefix = f"part-{batchId:05d}-"
+        for n in os.listdir(self.path):
+            if n.startswith(prefix) and n.endswith(".log"):
+                os.remove(os.path.join(self.path, n))
+        for m in messages:
+            if m is None:
+                continue
+            final = f"part-{batchId:05d}-{m.final_name.removeprefix('part-')}"
+            os.replace(m.staged, os.path.join(self.path, final))
+        self._sweep_staged()  # losing speculative attempts' leftovers
+        # manifest append LAST: a batch is committed iff its id is here
+        with open(self._manifest(), "a") as fh:
+            fh.write(f"{batchId}\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def abort(self, messages, batchId: int) -> None:
+        self._sweep_staged()
+
+
 class MailLogDataSource(DataSource):
     """``spark.dataSource.register(MailLogDataSource)`` then
     ``spark.read.format("maillog").load(dir)`` /
@@ -379,6 +501,9 @@ class MailLogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return MailLogStreamReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return MailLogStreamWriter(self.options, overwrite)
 
 
 _REGISTERED = set()

@@ -310,3 +310,138 @@ def test_maillog_stream_restart_reconciliation(spark, tmp_path):
     assert o3 == {"consumed": ["r.log.00", "r.log.01", "r.log.02"]}
     fresh = _read_partitions_in_tasks(spark, r2, r2.partitions(o2, o3))
     assert [t[2] for t in fresh] == ["t0"]
+
+
+# ---------------------------------------------------------------------------
+# stream WRITER — exactly-once relay sink
+# ---------------------------------------------------------------------------
+
+
+def _stream_relay(spark, in_dir, out_dir, ckpt):
+    """Run a maillog→maillog relay to completion (one file per batch)."""
+    register_maillog(spark)
+    q = (
+        spark.readStream.format("maillog")
+        .option("maxFilesPerBatch", "1")
+        .load(in_dir)
+        .select("value")
+        .writeStream.format("maillog")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_maillog_stream_writer_relay_preserves_order(spark, tmp_path):
+    """Relayed directory replays the input's global line order: output
+    names are (batchId, partitionId)-sorted, batches follow rotation
+    order, and a batch read of the relay equals a batch read of the
+    source."""
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    src.mkdir()
+    (src / "m.log.00").write_text("a0\na1\n")
+    (src / "m.log.01").write_text("b0\n")
+    (src / "m.log.02").write_text("c0\nc1\nc2\n")
+    _stream_relay(spark, str(src), str(dst), str(tmp_path / "ckpt"))
+    names = sorted(os.listdir(dst))
+    assert "_committed_batches" in names
+    parts = [n for n in names if n.startswith("part-")]
+    assert parts == [
+        "part-00000-00000.log",
+        "part-00001-00000.log",
+        "part-00002-00000.log",
+    ]
+    assert not [n for n in names if n.startswith(".staged-")]
+    got = [
+        r.value
+        for r in spark.read.format("maillog").load(str(dst)).orderBy("seq").collect()
+    ]
+    assert got == ["a0", "a1", "b0", "c0", "c1", "c2"]
+    # manifest records each committed batch id exactly once
+    ids = (dst / "_committed_batches").read_text().split()
+    assert ids == ["0", "1", "2"]
+
+
+def test_maillog_stream_writer_replayed_batch_is_idempotent(spark, tmp_path):
+    """commit() for an already-manifested batchId must discard the
+    replay's staged files and keep the original finals byte-identical —
+    the restart-replay path of exactly-once."""
+    from postfix_log_parser_spark.sources.maillog import MailLogStreamWriter
+
+    out = tmp_path / "out"
+    w = MailLogStreamWriter({"path": str(out)}, overwrite=False)
+    out.mkdir()
+    # first attempt of batch 7
+    staged1 = out / f".staged-{w.job_tag}-part-00000-1.log"
+    staged1.write_text("x0\nx1\n")
+
+    class Msg:
+        def __init__(self, staged):
+            self.staged = str(staged)
+            self.final_name = "part-00000.log"
+            self.n_lines = 2
+
+    w.commit([Msg(staged1)], 7)
+    final = out / "part-00007-00000.log"
+    assert final.read_text() == "x0\nx1\n"
+    # replay of batch 7 (e.g. after a driver restart): staged again
+    staged2 = out / f".staged-{w.job_tag}-part-00000-2.log"
+    staged2.write_text("REPLAY-DIVERGED\n")
+    w.commit([Msg(staged2)], 7)
+    assert final.read_text() == "x0\nx1\n"  # original stands
+    assert not staged2.exists()  # replay's staging swept
+    ids = (out / "_committed_batches").read_text().split()
+    assert ids == ["7"]  # no duplicate manifest entry
+
+
+def test_maillog_stream_writer_heals_half_committed_batch(spark, tmp_path):
+    """A crash AFTER renaming some finals but BEFORE the manifest append
+    leaves orphan part-<batch>-* files; the replayed commit removes them
+    before renaming its own, so a recorded batch's files are exactly the
+    recorded attempt's."""
+    from postfix_log_parser_spark.sources.maillog import MailLogStreamWriter
+
+    out = tmp_path / "out"
+    out.mkdir()
+    w = MailLogStreamWriter({"path": str(out)}, overwrite=False)
+    # orphan from a crashed first attempt (no manifest entry for 3)
+    (out / "part-00003-00001.log").write_text("ORPHAN\n")
+    staged_path = out / f".staged-{w.job_tag}-part-00000-9.log"
+    staged_path.write_text("good\n")
+
+    class Msg:
+        staged = str(staged_path)
+        final_name = "part-00000.log"
+        n_lines = 1
+
+    w.commit([Msg()], 3)
+    names = sorted(n for n in os.listdir(out) if n.startswith("part-"))
+    assert names == ["part-00003-00000.log"]  # orphan healed away
+    assert (out / "part-00003-00000.log").read_text() == "good\n"
+
+
+def test_maillog_stream_writer_abort_sweeps_only_own_tag(spark, tmp_path):
+    from postfix_log_parser_spark.sources.maillog import MailLogStreamWriter
+
+    out = tmp_path / "out"
+    out.mkdir()
+    w = MailLogStreamWriter({"path": str(out)}, overwrite=False)
+    mine = out / f".staged-{w.job_tag}-part-00000-1.log"
+    mine.write_text("m\n")
+    other = out / ".staged-otherjobtag-part-00000-1.log"
+    other.write_text("o\n")
+    w.abort([None], 5)
+    assert not mine.exists()
+    assert other.exists()  # a concurrent job's staging is untouched
+
+
+def test_maillog_stream_writer_refuses_truncate_modes(spark, tmp_path):
+    from postfix_log_parser_spark.sources.maillog import MailLogStreamWriter
+
+    with pytest.raises(ValueError, match="append-only"):
+        MailLogStreamWriter({"path": str(tmp_path)}, overwrite=True)
