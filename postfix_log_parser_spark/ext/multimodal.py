@@ -660,12 +660,14 @@ def decode_audio(content: bytes) -> "np.ndarray":
     if fmt_chunk is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, channels, _rate, _brate, _align, bits = fmt_chunk
-    if audio_format != 1 or bits != 16 or channels != 1:
-        raise NotImplementedError(
-            f"only PCM16 mono supported (format={audio_format}, "
-            f"bits={bits}, channels={channels})"
-        )
-    return np.frombuffer(data, dtype="<i2")
+    if audio_format == 1 and bits == 16 and channels == 1:
+        return np.frombuffer(data, dtype="<i2")
+    if audio_format == 17 and bits == 4 and channels == 1:
+        return _decode_ima_adpcm(data)  # q167: real compressed codec
+    raise NotImplementedError(
+        f"only PCM16 / IMA-ADPCM mono supported (format={audio_format}, "
+        f"bits={bits}, channels={channels})"
+    )
 
 
 AUDIO_SCHEMA = T.StructType(
@@ -774,6 +776,205 @@ SELECT source, count(*) AS n_items,
        CAST(max(max_win_ssq) AS BIGINT) AS max_win_ssq,
        CAST(sum(zero_crossings) AS BIGINT) AS zero_crossings
 FROM per_doc GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q167 — IMA ADPCM: a real COMPRESSED audio codec decoded end-to-end
+# ---------------------------------------------------------------------------
+#
+# IMA/DVI ADPCM (4 bits/sample, 4:1 vs PCM16) is the classic WAV
+# compressed-audio format (wFormatTag 0x11): a per-block state machine —
+# 89-entry step-size table, per-nibble index adjustment, clamped 16-bit
+# predictor.  The decoder below is the REAL state machine, exercised by
+# q167 against a DuckDB oracle that replays the same machine via a
+# recursive CTE — an independent second implementation, the same
+# differential discipline as the parse twins.  This shrinks the audio
+# refusal seam to perceptual codecs (MP3/AAC), which genuinely need an
+# audio library.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _decode_ima_adpcm(data: bytes) -> "np.ndarray":
+    """Decode one IMA ADPCM block: 4-byte header (initial predictor
+    int16 LE = sample 0, initial step index uint8, reserved), then one
+    4-bit code per sample, two per byte, LOW nibble first."""
+    import struct
+
+    pred, idx = struct.unpack("<hB", data[:3])
+    out = [pred]
+    for b in data[4:]:
+        for nib in (b & 0xF, b >> 4):
+            step = _IMA_STEPS[idx]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+            out.append(pred)
+    return np.asarray(out, dtype=np.int16)
+
+
+def synth_adpcm_wav(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic IMA-ADPCM WAV: one block, initial predictor
+    ((doc_id*7) mod 2048) - 1024, initial index doc_id mod 16, nibble i
+    = (doc_id*3 + 5*i) mod 16, n_nib = 64 + 2*(n_chars mod 32) (even,
+    so every data nibble is a real sample) — closed-form, so the DuckDB
+    oracle replays the decode state machine without a decoder."""
+    import struct
+
+    n_nib = 64 + 2 * (n_chars % 32)
+    pred0 = ((doc_id * 7) % 2048) - 1024
+    idx0 = doc_id % 16
+    block = bytearray(struct.pack("<hBB", pred0, idx0, 0))
+    for i in range(0, n_nib, 2):
+        lo = (doc_id * 3 + 5 * i) % 16
+        hi = (doc_id * 3 + 5 * (i + 1)) % 16
+        block.append(lo | (hi << 4))
+    block_align = 4 + n_nib // 2
+    n_samples = n_nib + 1
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 1, 8000, 8000 * block_align // n_samples,
+        block_align, 4, 2, n_samples,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n_samples)
+    body += b"data" + struct.pack("<I", len(block)) + bytes(block)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+ADPCM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sum_samples", T.LongType(), False),
+        T.StructField("sum_ssq", T.LongType(), False),
+        T.StructField("final_pred", T.LongType(), False),
+    ]
+)
+
+
+def adpcm_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched: each item's synthetic ADPCM WAV goes through the
+    REAL chunk-walking parser + IMA state machine (``decode_audio``
+    dispatches on wFormatTag); features are integer functions of the
+    DECODED samples only (never internal codec state), so the oracle
+    check is an honest end-to-end decoder test."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ns, ss, sq, fp = [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                s = decode_audio(
+                    synth_adpcm_wav(int(doc_id), int(n_chars))
+                ).astype(np.int64)
+                ns.append(len(s))
+                ss.append(int(s.sum()))
+                sq.append(int((s * s).sum()))
+                fp.append(int(s[-1]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "n_samples": pd.array(ns, dtype="int64"),
+                    "sum_samples": pd.array(ss, dtype="int64"),
+                    "sum_ssq": pd.array(sq, dtype="int64"),
+                    "final_pred": pd.array(fp, dtype="int64"),
+                }
+            )
+
+    return media.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("meta.n_chars"), F.lit(0)).alias("n_chars"),
+    ).mapInPandas(batches, ADPCM_SCHEMA)
+
+
+def q167_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup over genuinely DECODED IMA-ADPCM audio — the
+    second compressed AUDIO format decoded end-to-end in an oracle-green
+    query (PCM16 WAV was q116; PNG/JPEG are the image twins q111/q163).
+
+    Scale: the codec is an Arrow-batched per-partition stage (text
+    never shuffles, ~127 samples/doc of integer state machine); the
+    only exchange is the tiny per-source partial-agg rollup.  Real
+    compressed audio swaps ``synth_adpcm_wav`` for the stored payload
+    and the same seam decodes it — MP3/AAC refuse with a documented
+    NotImplementedError until a real audio library backs the seam."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = adpcm_features(to_media_table(docs))
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_samples").alias("n_samples"),
+        F.sum("sum_samples").alias("sum_samples"),
+        F.sum("sum_ssq").alias("sum_ssq"),
+        F.max("final_pred").alias("max_final_pred"),
+    )
+
+
+_Q167_SQL = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, source,
+         CAST(((doc_id * 7) % 2048) - 1024 AS BIGINT) AS pred0,
+         CAST(doc_id % 16 AS BIGINT) AS idx0,
+         CAST(64 + 2 * (coalesce(n_chars, 0) % 32) AS BIGINT) AS n_nib
+  FROM documents WHERE text IS NOT NULL
+),
+dec AS (
+  SELECT doc_id, source, n_nib, CAST(0 AS BIGINT) AS i,
+         pred0 AS pred, idx0 AS idx,
+         pred0 AS acc_sum, pred0 * pred0 AS acc_ssq
+  FROM docs
+  UNION ALL
+  SELECT doc_id, source, n_nib, i, np AS pred, ni AS idx,
+         acc_sum + np AS acc_sum, acc_ssq + np * np AS acc_ssq
+  FROM (
+    SELECT doc_id, source, n_nib, i + 1 AS i, acc_sum, acc_ssq,
+           greatest(-32768, least(32767,
+             pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)) AS np,
+           greatest(0, least(88, idx + CASE nib % 8
+             WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+             ELSE -1 END)) AS ni
+    FROM (
+      SELECT *,
+             step // 8
+             + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+             + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+             + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END AS diff
+      FROM (
+        SELECT *, (doc_id * 3 + 5 * i) % 16 AS nib,
+               list_value({", ".join(map(str, _IMA_STEPS))})
+                 [CAST(idx AS INTEGER) + 1] AS step
+        FROM dec WHERE i < n_nib
+      )
+    )
+  )
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(n_nib + 1) AS BIGINT) AS n_samples,
+       CAST(sum(acc_sum) AS BIGINT) AS sum_samples,
+       CAST(sum(acc_ssq) AS BIGINT) AS sum_ssq,
+       CAST(max(pred) AS BIGINT) AS max_final_pred
+FROM dec WHERE i = n_nib
+GROUP BY source
 """
 
 
@@ -1013,6 +1214,7 @@ MULTIMODAL_QUERIES = {
     "q116_audio_features": q116_audio_features,
     "q140_video_scene_cuts": q140_video_scene_cuts,
     "q163_jpeg_roundtrip": q163_jpeg_roundtrip,
+    "q167_adpcm_features": q167_adpcm_features,
 }
 MULTIMODAL_ORACLES = {
     "q31_multimodal_features": _Q31_SQL,
@@ -1021,4 +1223,5 @@ MULTIMODAL_ORACLES = {
     "q116_audio_features": _Q116_SQL,
     "q140_video_scene_cuts": _Q140_SQL,
     "q163_jpeg_roundtrip": _Q163_SQL,
+    "q167_adpcm_features": _Q167_SQL,
 }

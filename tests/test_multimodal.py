@@ -187,3 +187,49 @@ def test_sample_frames(media):
     # doc3: 65 bytes -> 2 frames, sampled j=0 -> 64
     assert rows == [(1, 0, 64), (1, 4, 44), (2, 0, 64), (3, 0, 64)]
     assert FRAME_BYTES == 64 and FRAME_EVERY == 4
+
+
+def test_decode_ima_adpcm_state_machine():
+    """The IMA ADPCM decoder is the real state machine: hand-stepped
+    reference values, clamping, and the 4:1 compressed WAV container."""
+    import struct
+
+    import numpy as np
+
+    from postfix_log_parser_spark.ext.multimodal import (
+        _IMA_STEPS,
+        decode_audio,
+        synth_adpcm_wav,
+    )
+
+    # hand-stepped: pred0=0, idx0=0 (step 7), nibbles [2, 9]
+    #   nib=2: diff = 7>>3 + 7>>1 = 0+3 = 3 -> pred 3, idx 0-1 -> clamp 0
+    #   nib=9: diff = 7>>3 + 7>>2 = 0+1 = 1, sign -> pred 2, idx -> 0
+    block = struct.pack("<hBB", 0, 0, 0) + bytes([2 | (9 << 4)])
+    from postfix_log_parser_spark.ext.multimodal import _decode_ima_adpcm
+
+    assert _decode_ima_adpcm(block).tolist() == [0, 3, 2]
+
+    # clamping: start at max predictor with the largest step, additive nibble
+    block = struct.pack("<hBB", 32767, 88, 0) + bytes([7 | (15 << 4)])
+    out = _decode_ima_adpcm(block)
+    assert out[0] == 32767 and out[1] == 32767  # clamped high
+    assert out[2] >= -32768  # subtractive nibble stays in range
+    assert _IMA_STEPS[88] == 32767
+
+    # container round trip: length, header sample, determinism
+    s = decode_audio(synth_adpcm_wav(5, 17))
+    assert len(s) == 1 + 64 + 2 * (17 % 32)
+    assert s[0] == (5 * 7) % 2048 - 1024
+    assert (decode_audio(synth_adpcm_wav(5, 17)) == s).all()
+    assert s.dtype == np.int16
+
+    # refusal: stereo ADPCM is not supported (mono state machine only)
+    fmt = struct.pack("<HHIIHHHH", 17, 2, 8000, 8000, 256, 4, 2, 505)
+    wav = (
+        b"RIFF" + struct.pack("<I", 30) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 20) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_audio(wav)
