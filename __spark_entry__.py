@@ -129,7 +129,11 @@
   maillog STREAM writer — exactly-once rotated-log relay sink with a
   per-batch two-phase commit and idempotent batch replay, composed as
   stream read → stream write → batch read → sessionize against the
-  q40 golden oracle (q166),
+  q40 golden oracle (q166), IMA-ADPCM compressed-audio decode — the
+  real 4-bit codec state machine, oracle = recursive-CTE replay of the
+  same machine (q167), HDR log-linear mergeable quantile sketch —
+  integer-exact buckets, 1/64 relative-error guarantee audited against
+  exact same-rank percentiles (q168),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -538,11 +538,199 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q168 — HDR log-linear quantile sketch (mergeable, integer-exact buckets)
+# ---------------------------------------------------------------------------
+#
+# The missing member of the sketch family next to CMS (frequency), HLL
+# (cardinality), and KMV (overlap): a MERGEABLE quantile sketch.  The
+# design is HdrHistogram's log-linear bucketing (public design, Gene
+# Tene's HdrHistogram; same family as DDSketch's log buckets, Masson et
+# al. VLDB'19) with M=5 mantissa bits, done in pure INTEGER arithmetic
+# so both engines agree bit-for-bit — no log()/pow() whose libm last-ulp
+# differences would flip boundary buckets (the r8 round-tie lesson):
+#
+#   v < 32        -> idx = v                     (exact region)
+#   v >= 32       -> b = floor(log2 v) = length(bin(v)) - 1
+#                    idx = (b-4)*32 + (v >> (b-5)) - 32
+#
+# Bucket width is 2^(b-5), so the midpoint representative is within
+# 1/64 of any value in the bucket — a guaranteed relative error of
+# 1.5625%, checked per key against the EXACT same-rank percentile
+# (64*|est-exact| <= exact, integers only).
+#
+# Scale (100 TB): the sketch is the (key, idx, cnt) table — at most a
+# few hundred buckets per key regardless of input rows, so map-side
+# partial aggregation collapses every partition before the one
+# exchange; counters travel, values don't.  Buckets merge by adding
+# counts (test_sketches pins merge-equals-rebuild).  The exact-rank
+# audit column deliberately pays one value-sorted window — the same
+# measured-not-assumed pattern as q132/q159.
+
+_HDR_IDX = (
+    "CASE WHEN {v} < 32 THEN {v} "
+    "ELSE (length(bin({v})) - 5) * 32 "
+    "     + shiftright({v}, length(bin({v})) - 6) - 32 END"
+)
+# idx -> integer midpoint of the bucket: lo + (width-1) div 2.
+# The shiftleft bases MUST be BIGINT: Spark's shiftleft on an INT base
+# wraps at 32 bits (v >= 2^36 would corrupt silently).
+_HDR_REP = (
+    "CASE WHEN {i} < 32 THEN CAST({i} AS BIGINT) "
+    "ELSE shiftleft(CAST(32 + {i} % 32 AS BIGINT), {i} div 32 - 1) "
+    "     + (shiftleft(CAST(1 AS BIGINT), {i} div 32 - 1) - 1) div 2 END"
+)
+
+
+def hdr_sketch(values: DataFrame, key: str, v: str) -> DataFrame:
+    """(key, idx, cnt): the mergeable sketch table — merge = sum(cnt)."""
+    return (
+        values.withColumn("idx", F.expr(_HDR_IDX.format(v=v)))
+        .groupBy(key, "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_quantiles(sketch: DataFrame, key: str, qs: list) -> DataFrame:
+    """Per-key quantile estimates from a sketch table: rank r=ceil(n*q)
+    selected with the integer predicate 100*cum >= n*q_pct."""
+    wk = Window.partitionBy(key)
+    wo = (
+        Window.partitionBy(key)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = sketch.withColumn("n", F.sum("cnt").over(wk)).withColumn(
+        "cum", F.sum("cnt").over(wo)
+    )
+    aggs = [F.first("n").alias("n")]
+    for q in qs:
+        i = F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * q, F.col("idx"))
+        )
+        aggs.append(i.alias(f"i{q}"))
+    est = s.groupBy(key).agg(*aggs)
+    for q in qs:
+        est = est.withColumn(
+            f"est_p{q}", F.expr(_HDR_REP.format(i=f"i{q}")).cast("long")
+        ).drop(f"i{q}")
+    return est
+
+
+def q168_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order-value p50/p95/p99 from the mergeable HDR
+    sketch, each estimate audited against the exact same-rank percentile
+    with the integer 1/64 relative-error guarantee."""
+    orders = load(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.col("o_orderpriority").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    qs = [50, 95, 99]
+    est = hdr_quantiles(hdr_sketch(raw, "key", "v"), "key", qs)
+    # exact rank-r audit: r = ceil(n*q/100) <=> 100r >= nq AND 100r < nq+100
+    wk = Window.partitionBy("key")
+    wv = Window.partitionBy("key").orderBy("v")
+    ranked = raw.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "nn", F.count(F.lit(1)).over(wk)
+    )
+    exact_aggs = []
+    for q in qs:
+        cond = (F.col("rn") * 100 >= F.col("nn") * q) & (
+            F.col("rn") * 100 < F.col("nn") * q + 100
+        )
+        exact_aggs.append(F.max(F.when(cond, F.col("v"))).alias(f"exact_p{q}"))
+    exact = ranked.groupBy("key").agg(*exact_aggs)
+    out = est.join(exact, "key")
+    for q in qs:
+        out = out.withColumn(
+            f"ok{q}",
+            F.abs(F.col(f"est_p{q}") - F.col(f"exact_p{q}")) * 64
+            <= F.col(f"exact_p{q}"),
+        )
+    return out.select(
+        "key", "n",
+        *[c for q in qs for c in (f"est_p{q}", f"exact_p{q}", f"ok{q}")],
+    )
+
+
+def _q168_sql() -> str:
+    idx = _HDR_IDX.format(v="v").replace("div", "//").replace(
+        "shiftright(v, length(bin(v)) - 6)", "(v >> (length(bin(v)) - 6))"
+    )
+    rep = (
+        "CASE WHEN {i} < 32 THEN CAST({i} AS BIGINT) "
+        "ELSE (CAST(32 + {i} % 32 AS BIGINT) << ({i} // 32 - 1)) "
+        "     + ((1::BIGINT << ({i} // 32 - 1)) - 1) // 2 END"
+    )
+    qs = [50, 95, 99]
+    est_cols = ", ".join(
+        f"CAST({rep.format(i=f'i{q}')} AS BIGINT) AS est_p{q}" for q in qs
+    )
+    i_cols = ", ".join(
+        f"min(CASE WHEN cum * 100 >= n * {q} THEN idx END) AS i{q}"
+        for q in qs
+    )
+    exact_cols = ", ".join(
+        f"max(CASE WHEN rn * 100 >= nn * {q} AND rn * 100 < nn * {q} + 100 "
+        f"THEN v END) AS exact_p{q}"
+        for q in qs
+    )
+    ok_cols = ", ".join(
+        f"abs(est_p{q} - exact_p{q}) * 64 <= exact_p{q} AS ok{q}" for q in qs
+    )
+    out_cols = ", ".join(
+        f"est_p{q}, exact_p{q}, ok{q}" for q in qs
+    )
+    return f"""
+WITH raw AS (
+  SELECT o_orderpriority AS key,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+sketch AS (
+  SELECT key, {idx} AS idx, count(*) AS cnt
+  FROM raw GROUP BY key, 2
+),
+cums AS (
+  SELECT key, idx, cnt,
+         sum(cnt) OVER (PARTITION BY key) AS n,
+         sum(cnt) OVER (PARTITION BY key ORDER BY idx
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sketch
+),
+est0 AS (
+  SELECT key, CAST(max(n) AS BIGINT) AS n, {i_cols}
+  FROM cums GROUP BY key
+),
+est AS (
+  SELECT key, n, {est_cols} FROM est0
+),
+ranked AS (
+  SELECT key, v,
+         row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY key) AS nn
+  FROM raw
+),
+exact AS (
+  SELECT key, {exact_cols} FROM ranked GROUP BY key
+),
+joined AS (
+  SELECT est.key AS key, n,
+         {", ".join(f"est_p{q}, exact_p{q}" for q in qs)}
+  FROM est JOIN exact ON est.key = exact.key
+)
+SELECT key, n, {out_cols}
+FROM (SELECT *, {ok_cols} FROM joined)
+"""
+
+
 SKETCHES_QUERIES = {
     "q71_heavy_hitters_cms": q71_heavy_hitters_cms,
     "q94_hll_sketch_table": q94_hll_sketch_table,
     "q136_kmv_overlap": q136_kmv_overlap,
     "q165_bloom_decontamination": q165_bloom_decontamination,
+    "q168_hdr_quantiles": q168_hdr_quantiles,
 }
 
 SKETCHES_ORACLES = {
@@ -550,4 +738,5 @@ SKETCHES_ORACLES = {
     "q94_hll_sketch_table": _Q94_SQL,
     "q136_kmv_overlap": _q136_sql(),
     "q165_bloom_decontamination": _q165_sql(),
+    "q168_hdr_quantiles": _q168_sql(),
 }
