@@ -445,3 +445,33 @@ def test_maillog_stream_writer_refuses_truncate_modes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="append-only"):
         MailLogStreamWriter({"path": str(tmp_path)}, overwrite=True)
+
+
+def test_maillog_stream_relay_restart_resumes_exactly_once(spark, tmp_path):
+    """Stop the relay, add files, restart from the SAME checkpoint: the
+    second query incarnation (fresh reader claim list, fresh writer
+    job_tag) must continue the batch sequence without re-emitting or
+    re-writing batch 0 — the end-to-end exactly-once contract across a
+    restart, not just within one run."""
+    src, dst, ckpt = tmp_path / "src", tmp_path / "dst", tmp_path / "ckpt"
+    src.mkdir()
+    (src / "m.log.00").write_text("a0\na1\n")
+    _stream_relay(spark, str(src), str(dst), str(ckpt))
+    first = (dst / "part-00000-00000.log").read_text()
+    assert first == "a0\na1\n"
+    mtime0 = os.path.getmtime(dst / "part-00000-00000.log")
+    # new rotated files arrive while the relay is DOWN
+    (src / "m.log.01").write_text("b0\n")
+    (src / "m.log.02").write_text("c0\nc1\n")
+    _stream_relay(spark, str(src), str(dst), str(ckpt))
+    parts = sorted(n for n in os.listdir(dst) if n.startswith("part-"))
+    got = [
+        r.value
+        for r in spark.read.format("maillog").load(str(dst)).orderBy("seq").collect()
+    ]
+    assert got == ["a0", "a1", "b0", "c0", "c1"]
+    # batch 0's file was not rewritten by the restart
+    assert os.path.getmtime(dst / "part-00000-00000.log") == mtime0
+    ids = (dst / "_committed_batches").read_text().split()
+    assert sorted(set(ids)) == ids, "manifest must not duplicate batch ids"
+    assert len(parts) == len(ids)
