@@ -18,12 +18,13 @@ Scale notes:
 
 * planning lists the directory once on the driver — O(#files), the same
   cost every file-based Spark source pays in ``FileIndex``;
-* one ``InputPartition`` per file: parallelism = #files, which matches
-  how log rotation shards real mail logs (many bounded files).  A
-  single giant unsplit file would serialize — the fix at that shape is
-  byte-range partitions with next-newline handshake (what Hadoop's
-  TextInputFormat does); per-file keeps the seq contract trivially
-  exact and is the right trade for rotated logs;
+* one ``InputPartition`` per file by default: parallelism = #files,
+  which matches how log rotation shards real mail logs (many bounded
+  files).  For a single giant UNROTATED file, ``option("splitBytes",
+  N)`` switches to byte-range partitions with the next-newline
+  handshake (what Hadoop's TextInputFormat does) — parallelism =
+  ⌈size/N⌉ per file, seq = (file_idx << 40) | line-start byte offset,
+  still totally ordered by (file, position);
 * the reader streams line-by-line (no whole-file materialization) and
   yields plain tuples — Spark batches them to Arrow internally.
 
@@ -102,7 +103,31 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+class _ByteRangePartition(InputPartition):
+    """One byte range of one file (``splitBytes`` mode): owns every line
+    whose START offset falls in [start, end)."""
+
+    def __init__(self, index: int, path: str, start: int, end: int):
+        self.index = index
+        self.path = path
+        self.start = start
+        self.end = end
+
+
 class MailLogReader(DataSourceReader):
+    """Batch reader.  Default: one partition per file, ``seq = (file_idx
+    << 40) | line_number`` (dense per file).  With
+    ``option("splitBytes", N)`` each file additionally splits into
+    ⌈size/N⌉ BYTE-RANGE partitions with the Hadoop next-newline
+    handshake (a split owns exactly the lines that START inside it, so
+    no line is lost or duplicated across boundaries), and ``seq``
+    becomes ``(file_idx << 40) | line_start_byte_offset`` — still
+    totally ordered by (file order, in-file position), just sparser;
+    the downstream fold orders by seq and never assumes density, so
+    both encodings satisfy the same contract.  This is the scale path
+    for a single giant unrotated file: without it parallelism = #files
+    and one 100 GB file would serialize through one task."""
+
     def __init__(self, options: dict):
         path = options.get("path")
         if not path:
@@ -116,11 +141,34 @@ class MailLogReader(DataSourceReader):
             self._files = [os.path.join(path, n) for n in names]
         else:
             self._files = [path]
+        raw = options.get("splitbytes") or options.get("splitBytes")
+        self.split_bytes = int(raw) if raw else 0  # 0 = per-file partitions
+        if raw and self.split_bytes <= 0:
+            raise ValueError("maillog: splitBytes must be a positive byte count")
 
     def partitions(self) -> list[InputPartition]:
-        return [_FilePartition(i, p) for i, p in enumerate(self._files)]
+        if not self.split_bytes:
+            return [_FilePartition(i, p) for i, p in enumerate(self._files)]
+        parts: list[InputPartition] = []
+        for i, p in enumerate(self._files):
+            size = os.path.getsize(p)
+            if size >= _MAX_LINES:  # byte offsets share the 40-bit seq field
+                raise ValueError(
+                    f"maillog: {p} is {size} bytes; splitBytes seq encoding "
+                    f"supports files under {_MAX_LINES} bytes"
+                )
+            for start in range(0, max(size, 1), self.split_bytes):
+                parts.append(
+                    _ByteRangePartition(
+                        i, p, start, min(start + self.split_bytes, size)
+                    )
+                )
+        return parts
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
+        if isinstance(partition, _ByteRangePartition):
+            yield from self._read_range(partition)
+            return
         base = partition.index << _SEQ_BITS
         with open(partition.path, "r", errors="replace") as fh:
             for i, line in enumerate(fh):
@@ -130,6 +178,30 @@ class MailLogReader(DataSourceReader):
                         "seq encoding would collide with the next file"
                     )
                 yield (partition.path, base + i, line.rstrip("\n"))
+
+    @staticmethod
+    def _read_range(p: _ByteRangePartition):
+        """Next-newline handshake: a line starting exactly at ``start``
+        is ours (byte start-1 is the previous line's newline — the
+        1-byte back-seek consumes just that); a line straddling
+        ``start`` belongs to the previous split, which reads past its
+        own ``end`` to finish it."""
+        base = p.index << _SEQ_BITS
+        with open(p.path, "rb") as fh:
+            if p.start > 0:
+                fh.seek(p.start - 1)
+                fh.readline()  # finish the previous split's line
+            pos = fh.tell()
+            while pos < p.end:
+                line = fh.readline()
+                if not line:
+                    break
+                yield (
+                    p.path,
+                    base + pos,
+                    line.rstrip(b"\n").decode("utf-8", errors="replace"),
+                )
+                pos = fh.tell()
 
 
 class _StreamFilePartition(InputPartition):

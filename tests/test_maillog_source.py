@@ -475,3 +475,110 @@ def test_maillog_stream_relay_restart_resumes_exactly_once(spark, tmp_path):
     ids = (dst / "_committed_batches").read_text().split()
     assert sorted(set(ids)) == ids, "manifest must not duplicate batch ids"
     assert len(parts) == len(ids)
+
+
+# ---------------------------------------------------------------------------
+# splitBytes — byte-range partitions for giant unrotated files
+# ---------------------------------------------------------------------------
+
+
+def test_maillog_splitbytes_differential_no_loss_no_dup(spark, tmp_path):
+    """For every split size, the byte-range read yields exactly the
+    unsplit read's lines in the same seq order — the Hadoop
+    next-newline-handshake property (no line lost or duplicated at any
+    boundary), including empty lines, multi-byte UTF-8, and a final
+    line without a trailing newline."""
+    register_maillog(spark)
+    p = tmp_path / "big.log"
+    content = "first\n\nsecond line is longer\nüñïçødé ✓ line\nx\ny\nlast-no-nl"
+    p.write_bytes(content.encode("utf-8"))
+    expected = content.split("\n")
+    baseline = [
+        r.value
+        for r in spark.read.format("maillog").load(str(p)).orderBy("seq").collect()
+    ]
+    assert baseline == expected
+    n_bytes = len(content.encode("utf-8"))
+    for split in (1, 2, 3, 5, 7, 16, 64, n_bytes, n_bytes * 2):
+        df = (
+            spark.read.format("maillog")
+            .option("splitBytes", str(split))
+            .load(str(p))
+        )
+        got = [(r.seq, r.value) for r in df.orderBy("seq").collect()]
+        assert [v for _, v in got] == expected, f"split={split}"
+        seqs = [s for s, _ in got]
+        assert seqs == sorted(set(seqs)), f"split={split}: seq not strict"
+        # seq IS the line-start byte offset in split mode
+        offs, acc = [], 0
+        for line in expected:
+            offs.append(acc)
+            acc += len(line.encode("utf-8")) + 1
+        assert seqs == offs, f"split={split}"
+
+
+def test_maillog_splitbytes_boundary_exactly_at_newline(spark, tmp_path):
+    """A line starting exactly at a split boundary belongs to the new
+    split (the 1-byte back-seek consumes only the previous newline)."""
+    register_maillog(spark)
+    p = tmp_path / "b.log"
+    p.write_bytes(b"abc\ndef\n")  # split=4 puts 'def' start exactly at 4
+    df = (
+        spark.read.format("maillog")
+        .option("splitBytes", "4").load(str(p))
+    )
+    assert df.rdd.getNumPartitions() == 2
+    got = [(r.seq, r.value) for r in df.orderBy("seq").collect()]
+    assert got == [(0, "abc"), (4, "def")]
+
+
+def test_maillog_splitbytes_parallelism_and_multifile_order(spark, tmp_path):
+    """Partition count = ceil(size/split) per file; global order is
+    still (file name order, in-file position) across split files."""
+    register_maillog(spark)
+    (tmp_path / "a.log").write_text("a0\na1\na2\n")  # 9 bytes
+    (tmp_path / "b.log").write_text("b0\n")  # 3 bytes
+    df = (
+        spark.read.format("maillog")
+        .option("splitBytes", "4").load(str(tmp_path))
+    )
+    assert df.rdd.getNumPartitions() == 3 + 1  # ceil(9/4)=3, ceil(3/4)=1
+    vals = [r.value for r in df.orderBy("seq").collect()]
+    assert vals == ["a0", "a1", "a2", "b0"]
+
+
+def test_maillog_splitbytes_rejects_bad_option(spark, tmp_path):
+    from postfix_log_parser_spark.sources.maillog import MailLogReader
+
+    with pytest.raises(ValueError, match="positive"):
+        MailLogReader({"path": str(tmp_path), "splitbytes": "0"})
+
+
+def test_maillog_splitbytes_composes_with_sessionize(spark, tmp_path):
+    """The full parse+sessionize contract holds over a byte-range-split
+    read: the fold orders by seq (byte offsets here) and must produce
+    the same events as the per-file (dense line-number) read — proof it
+    never assumes seq density."""
+    from postfix_log_parser_spark.logquery import ALL_EVENTS_FIXTURE
+    from postfix_log_parser_spark.operators.parse import parse_lines_arrow
+    from postfix_log_parser_spark.operators.sessionize import sessionize
+
+    register_maillog(spark)
+    p = tmp_path / "mail.log"
+    p.write_text(ALL_EVENTS_FIXTURE + "\n")
+
+    def run(reader_df):
+        raw = reader_df.select("value", "seq")
+        events, _f, _s = sessionize(parse_lines_arrow(raw), raw_lines=raw)
+        return sorted(
+            (r.queue_id, str(r.timestamp), r.status, r.message_to)
+            for r in events.collect()
+        )
+
+    dense = run(spark.read.format("maillog").load(str(p)))
+    split = run(
+        spark.read.format("maillog")
+        .option("splitBytes", "700")
+        .load(str(p))
+    )
+    assert dense == split and len(dense) == 7
