@@ -133,7 +133,9 @@
   real 4-bit codec state machine, oracle = recursive-CTE replay of the
   same machine (q167), HDR log-linear mergeable quantile sketch —
   integer-exact buckets, 1/64 relative-error guarantee audited against
-  exact same-rank percentiles (q168),
+  exact same-rank percentiles (q168), the same sketch accumulated as
+  STREAMING aggregation state across micro-batches, held to the
+  identical audit (q169),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -617,18 +617,10 @@ def hdr_quantiles(sketch: DataFrame, key: str, qs: list) -> DataFrame:
     return est
 
 
-def q168_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-priority order-value p50/p95/p99 from the mergeable HDR
-    sketch, each estimate audited against the exact same-rank percentile
-    with the integer 1/64 relative-error guarantee."""
-    orders = load(spark, sf_dir, "orders")
-    raw = orders.select(
-        F.col("o_orderpriority").alias("key"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
-    )
-    qs = [50, 95, 99]
-    est = hdr_quantiles(hdr_sketch(raw, "key", "v"), "key", qs)
-    # exact rank-r audit: r = ceil(n*q/100) <=> 100r >= nq AND 100r < nq+100
+def hdr_audit_report(est: DataFrame, raw: DataFrame, qs: list) -> DataFrame:
+    """Join sketch estimates with the exact same-rank percentiles from
+    the raw (key, v) values and flag the integer 1/64 error guarantee:
+    r = ceil(n*q/100) <=> 100r >= nq AND 100r < nq+100."""
     wk = Window.partitionBy("key")
     wv = Window.partitionBy("key").orderBy("v")
     ranked = raw.withColumn("rn", F.row_number().over(wv)).withColumn(
@@ -654,7 +646,23 @@ def q168_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q168_sql() -> str:
+def q168_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order-value p50/p95/p99 from the mergeable HDR
+    sketch, each estimate audited against the exact same-rank percentile
+    with the integer 1/64 relative-error guarantee."""
+    orders = load(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.col("o_orderpriority").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    qs = [50, 95, 99]
+    est = hdr_quantiles(hdr_sketch(raw, "key", "v"), "key", qs)
+    return hdr_audit_report(est, raw, qs)
+
+
+def hdr_sql(raw_sql: str) -> str:
+    """The full sketch+audit pipeline as ANSI SQL over any ``raw_sql``
+    producing (key, v) — shared by q168 (orders) and q169 (events)."""
     idx = _HDR_IDX.format(v="v").replace("div", "//").replace(
         "shiftright(v, length(bin(v)) - 6)", "(v >> (length(bin(v)) - 6))"
     )
@@ -684,9 +692,7 @@ def _q168_sql() -> str:
     )
     return f"""
 WITH raw AS (
-  SELECT o_orderpriority AS key,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS v
-  FROM orders
+  {raw_sql}
 ),
 sketch AS (
   SELECT key, {idx} AS idx, count(*) AS cnt
@@ -738,5 +744,8 @@ SKETCHES_ORACLES = {
     "q94_hll_sketch_table": _Q94_SQL,
     "q136_kmv_overlap": _q136_sql(),
     "q165_bloom_decontamination": _q165_sql(),
-    "q168_hdr_quantiles": _q168_sql(),
+    "q168_hdr_quantiles": hdr_sql(
+        "SELECT o_orderpriority AS key, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders"
+    ),
 }

@@ -773,6 +773,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q169_stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HDR quantile sketch: q168's integer log-linear bucket
+    counts accumulate across micro-batches as ordinary streaming
+    aggregation state — the sketch is mergeable, so partial aggregation
+    under complete mode IS the cross-batch merge; no custom stateful
+    operator needed.  Quantile extraction (cumsum + rank pick) runs
+    batch-side on the final tiny (key, idx, cnt) table, and the exact
+    same-rank audit runs over the batch table — so the streaming sketch
+    is held to the identical 1/64 relative-error guarantee as the batch
+    build.
+
+    At 100 TB this is the live-telemetry quantile shape: per-key state
+    is bounded by the bucket count (a few hundred entries per key,
+    regardless of event volume), the exact opposite of buffering values
+    for percentile_approx."""
+    from postfix_log_parser_spark.ext.sketches import (
+        _HDR_IDX,
+        hdr_audit_report,
+        hdr_quantiles,
+    )
+
+    src = _events_stream(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    buckets = (
+        src.select(F.col("event_type").alias("key"), cents.alias("v"))
+        .withColumn("idx", F.expr(_HDR_IDX.format(v="v")))
+        .groupBy("key", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sketch = _run_stream_to_memory(spark, buckets, "q169", "complete")
+    est = hdr_quantiles(sketch, "key", [50, 95, 99])
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("key"), cents.alias("v")
+    )
+    return hdr_audit_report(est, raw, [50, 95, 99])
+
+
+def _q169_sql() -> str:
+    from postfix_log_parser_spark.ext.sketches import hdr_sql
+
+    return hdr_sql(
+        "SELECT event_type AS key, "
+        "CAST(round(value * 100) AS BIGINT) AS v FROM events"
+    )
+
+
 def q50_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the events file stream joins the static
     customer dim (broadcast — the static side of a stream-static join
@@ -1323,6 +1369,7 @@ LOG_QUERIES = {
     "q166_pystream_relay": q166_pystream_relay,
     "q48_pii_mask": q48_pii_mask,
     "q49_stream_hourly": q49_stream_hourly,
+    "q169_stream_hdr_quantiles": q169_stream_hdr_quantiles,
     "q50_stream_enrich": q50_stream_enrich,
     "q51_stream_dedup": q51_stream_dedup,
     "q95_stream_dedup_within_watermark": q95_stream_dedup_within_watermark,
@@ -1365,6 +1412,7 @@ LOG_ORACLES = {
     "q166_pystream_relay": _Q40_SQL,
     "q48_pii_mask": _Q48_SQL.format(q40=_Q40_SQL),
     "q49_stream_hourly": _Q49_SQL,
+    "q169_stream_hdr_quantiles": _q169_sql(),
     "q50_stream_enrich": _Q50_SQL,
     "q51_stream_dedup": _Q51_SQL,
     "q95_stream_dedup_within_watermark": _Q95_SQL,
