@@ -182,6 +182,10 @@ BENCH_QUERIES = [
     "q153_pysink_roundtrip",
     "q161_pystream_source",
     "q162_pystream_sessions",
+    "q166_pystream_relay",
+    "q167_adpcm_features",
+    "q168_hdr_quantiles",
+    "q169_stream_hdr_quantiles",
     "q154_split_leakage",
     "q160_component_split",
     "q155_aqe_skew_join",
