@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "q167_adpcm_features",
     "q168_hdr_quantiles",
     "q169_stream_hdr_quantiles",
+    "q170_passjoin_editdist",
+    "q171_dialog_assembly",
     "q154_split_leakage",
     "q160_component_split",
     "q155_aqe_skew_join",

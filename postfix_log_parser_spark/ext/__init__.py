@@ -14,6 +14,11 @@ from postfix_log_parser_spark.ext.cascade import CASCADE_ORACLES, CASCADE_QUERIE
 from postfix_log_parser_spark.ext.cluster import CLUSTER_ORACLES, CLUSTER_QUERIES
 from postfix_log_parser_spark.ext.export import EXPORT_ORACLES, EXPORT_QUERIES
 from postfix_log_parser_spark.ext.dedup import DEDUP_ORACLES, DEDUP_QUERIES
+from postfix_log_parser_spark.ext.dialogs import DIALOGS_ORACLES, DIALOGS_QUERIES
+from postfix_log_parser_spark.ext.editjoin import (
+    EDITJOIN_ORACLES,
+    EDITJOIN_QUERIES,
+)
 from postfix_log_parser_spark.ext.corpus import CORPUS_ORACLES, CORPUS_QUERIES
 from postfix_log_parser_spark.ext.dpp import DPP_ORACLES, DPP_QUERIES
 from postfix_log_parser_spark.ext.embqc import EMBQC_ORACLES, EMBQC_QUERIES
@@ -77,6 +82,8 @@ EXT_QUERIES = {
     **BUDGET_QUERIES,
     **CASCADE_QUERIES,
     **DEDUP_QUERIES,
+    **DIALOGS_QUERIES,
+    **EDITJOIN_QUERIES,
     **SIMILARITY_QUERIES,
     **TEXTSTATS_QUERIES,
     **METASTATS_QUERIES,
@@ -117,6 +124,8 @@ EXT_ORACLES = {
     **BUDGET_ORACLES,
     **CASCADE_ORACLES,
     **DEDUP_ORACLES,
+    **DIALOGS_ORACLES,
+    **EDITJOIN_ORACLES,
     **SIMILARITY_ORACLES,
     **TEXTSTATS_ORACLES,
     **METASTATS_ORACLES,

@@ -70,6 +70,7 @@ _FIXTURE_INPUT = {
     "q153_pysink_roundtrip",  # fixture through the maillog writer+reader
     "q161_pystream_source",  # fixture through the maillog STREAM reader
     "q162_pystream_sessions",  # fixture stream through the full fold
+    "q166_pystream_relay",  # fixture stream relayed through the maillog sink
 }
 
 
