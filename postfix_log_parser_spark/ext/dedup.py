@@ -334,7 +334,7 @@ def _jaccard_verified(cand: DataFrame, with_sh: DataFrame, threshold: float) -> 
 _PAIR_STAGE = StageCache(inputs=("documents.parquet",))
 _COMP_STAGE = StageCache(inputs=("documents.parquet",))
 # test hook: how many times each stage actually computed (not cache-hit)
-STAGE_COMPUTES = {"pairs": 0, "components": 0}
+STAGE_COMPUTES = {"pairs": 0, "components": 0, "incremental_components": 0}
 
 
 def _stage_key(spark: SparkSession, sf_dir: str) -> tuple:
@@ -357,6 +357,12 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", shingles3_udf(F.col("text")).alias("shingles")
     ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
     bands = _minhash_bands(with_sh)
+    # stage the band index as a byproduct while the shingle cache is hot:
+    # incremental ingest (q172) probes it, and materializing it here
+    # costs one cheap re-aggregation instead of a second corpus-wide
+    # shingle+minhash pass later
+    if _BAND_STAGE.get(key) is None:
+        bands = _BAND_STAGE.put(key, bands.localCheckpoint(eager=True))
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -391,7 +397,7 @@ def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_pairs(spark, sf_dir)
 
 
-def _q22_sql() -> str:
+def _q22_sql(aug_sql: str = _AUG_SQL) -> str:
     mins = ",\n         ".join(
         f"min({_duck_md5_long(f'''CAST({i} AS VARCHAR) || '|' || sh''')}) AS h{i}"
         for i in range(N_MINHASH)
@@ -409,7 +415,7 @@ def _q22_sql() -> str:
         for b in range(N_BANDS)
     )
     return f"""
-WITH all_docs AS ({_AUG_SQL}),
+WITH all_docs AS ({aug_sql}),
 tok AS (
   SELECT doc_id, {_DUCK_SHINGLES.replace('words', _DUCK_WORDS)} AS shingles
   FROM all_docs
@@ -1446,6 +1452,244 @@ WHERE round(n_inter::DOUBLE / least(sa.n_sh, sb.n_sh), 3) >= {CONTAIN_T}
 """
 
 
+# ---------------------------------------------------------------------------
+# q172 — INCREMENTAL connected components: merge a new ingest batch into
+# the staged q36 component map without re-running CC on the corpus
+# ---------------------------------------------------------------------------
+
+WAVE2_OFFSET = 700000
+# the merged map is the daily-ingest artifact: computed once per
+# (session, corpus) like q36's base map — production writes it back to
+# the component checkpoint table
+_INC_STAGE = StageCache(inputs=("documents.parquet",))
+# the corpus's LSH band index — at 100 TB a bucketed TABLE keyed by
+# band_key, written once when the corpus is built and read by every
+# incremental ingest; locally the session-staged twin
+_BAND_STAGE = StageCache(inputs=("documents.parquet",))
+
+
+def lsh_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_key) over the existing corpus, staged.
+
+    This is the artifact that makes ingest INCREMENTAL: the existing
+    corpus's signatures are computed exactly once (at corpus build),
+    and each ingest wave pays only its own signatures plus the band
+    equi-join against this index."""
+    key = _stage_key(spark, sf_dir)
+    staged = _BAND_STAGE.get(key)
+    if staged is not None:
+        return staged
+    docs = _augmented(spark, sf_dir)
+    with_sh = docs.select(
+        "doc_id", shingles3_udf(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    bands = _minhash_bands(with_sh).localCheckpoint(eager=True)
+    return _BAND_STAGE.put(key, bands)
+_WAVE2_AUG_SQL = (
+    _AUG_SQL
+    + f"""
+  UNION ALL
+  SELECT doc_id + {WAVE2_OFFSET} AS doc_id,
+         text || ' second wave ingest pad' AS text, source
+  FROM documents WHERE doc_id % 40 = 15
+"""
+)
+
+
+def _wave2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second ingest wave: every 40th-offset-15 doc returns as a
+    near-copy (suffix pad keeps 3-shingle Jaccard ≥ 0.5, the q22
+    threshold).  doc_id 175-style originals satisfy BOTH %25==0 and
+    %40==15, so some wave-2 docs land on existing multi-member
+    components — the component-merge path is exercised, not just
+    attach-to-singleton."""
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text", "source")
+    return docs.filter(F.col("doc_id") % 40 == 15).select(
+        (F.col("doc_id") + WAVE2_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" second wave ingest pad")).alias("text"),
+        "source",
+    )
+
+
+def q172_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC — the operational daily mode for dedup clustering,
+    completing the incremental family (q69 dedup, q157 ANN): a new
+    ingest wave is folded into the STAGED q36 component map by running
+    label propagation only on the DELTA graph, never on the corpus.
+
+    Steps, each new-batch-proportional:
+
+    1. New near-dup pairs: the wave's band keys (computed for the wave
+       ONLY) equi-join the STAGED corpus band index (q69's asymmetric
+       shape, with the index actually persisted); exact Jaccard ≥ 0.5
+       verify touches only candidate endpoints.  Base-base pairs are
+       NOT recomputed — signatures are per-doc, so the old pair set is
+       unchanged.
+    2. Delta graph: each pair endpoint is mapped to its base component
+       id (staged q36 map; a previously-unclustered doc is its own
+       component), new docs stay themselves.  Nodes = touched
+       components + new docs — output-proportional.
+    3. Hash-min CC on the delta graph (the q36 loop, but edges number
+       ~|wave|, not ~|corpus|).  A new doc adjacent to two base
+       components MERGES them — the delta label is the min component
+       id, and a relabel map (old comp → merged comp) broadcasts back
+       over the base map.
+    4. Output = relabeled base map ∪ touched singletons ∪ new docs.
+
+    The DuckDB oracle recomputes CC FROM SCRATCH over the extended
+    corpus (recursive CTE over base+wave pairs), so the typed contract
+    proves incremental == full rebuild on every corpus it runs on.
+
+    At 100 TB: the base map and pair list live as checkpoint tables
+    (the staging twin), the wave's band join reads only matching index
+    buckets, and the delta CC loop touches kilobytes.  A full re-CC
+    would re-shuffle the whole corpus's edges; this never does."""
+    key = _stage_key(spark, sf_dir)
+    staged = _INC_STAGE.get(key)
+    if staged is not None:
+        return staged
+    STAGE_COMPUTES["incremental_components"] += 1
+    base_map = q36_dedup_components(spark, sf_dir)  # staged, component_id = min id
+
+    # the wave pays for ITS OWN signatures only; the existing corpus's
+    # band keys come from the staged index (at 100 TB: the bucketed
+    # band-key table — the wave side broadcasts into its buckets)
+    idx_bands = lsh_band_index(spark, sf_dir)
+    wave_sh = (
+        _wave2(spark, sf_dir)
+        .select("doc_id", shingles3_udf(F.col("text")).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wave_bands = _minhash_bands(wave_sh)
+    all_b = idx_bands.unionAll(wave_bands).alias("y")  # wave-wave pairs too
+    cand = (
+        wave_bands.alias("x").join(
+            all_b,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("id_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    # exact-Jaccard verify needs shingle sets only for the TOUCHED
+    # existing endpoints (candidate-proportional, never the corpus):
+    # wave ids sort above all existing ids, so id_a holds the existing
+    # side of every wave-existing pair
+    touched = cand.select(F.col("id_a").alias("doc_id")).filter(
+        F.col("doc_id") < WAVE2_OFFSET
+    ).distinct()
+    ex_sh = (
+        _augmented(spark, sf_dir)
+        .join(touched, "doc_id")
+        .select("doc_id", shingles3_udf(F.col("text")).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    with_sh = ex_sh.unionAll(wave_sh.select("doc_id", "shingles"))
+    new_pairs = _jaccard_verified(cand, with_sh, 0.5).select("id_a", "id_b")
+
+    # endpoint → delta node: new docs stay themselves; existing docs map
+    # to their base component (their own id when previously unclustered)
+    bm_a = base_map.select(
+        F.col("doc_id").alias("id_a"), F.col("component_id").alias("comp_a")
+    )
+    bm_b = base_map.select(
+        F.col("doc_id").alias("id_b"), F.col("component_id").alias("comp_b")
+    )
+    delta_edges = (
+        new_pairs.join(bm_a, "id_a", "left")
+        .join(bm_b, "id_b", "left")
+        .select(
+            F.when(F.col("id_a") >= WAVE2_OFFSET, F.col("id_a"))
+            .otherwise(F.coalesce("comp_a", "id_a")).alias("a"),
+            F.when(F.col("id_b") >= WAVE2_OFFSET, F.col("id_b"))
+            .otherwise(F.coalesce("comp_b", "id_b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+
+    # hash-min CC on the delta graph (tiny: ~|wave| edges)
+    und = delta_edges.union(
+        delta_edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        und.select(F.col("a").alias("id")).distinct()
+        .withColumn("comp", F.col("id")).persist()
+    )
+    changed = -1
+    for _ in range(20):
+        nbr = (
+            und.join(labels, und["b"] == labels["id"])
+            .groupBy("a").agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                labels["id"],
+                labels["comp"].alias("_prev"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            ).persist()
+        )
+        changed = new_labels.filter(F.col("comp") != F.col("_prev")).count()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    wave_sh.unpersist()
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError("q172 delta CC did not converge in 20 rounds")
+    delta = labels.select("id", "comp").localCheckpoint(eager=True)
+    labels.unpersist()
+
+    # relabel map: base components whose id changed (merges)
+    relabel = delta.filter(
+        (F.col("id") < WAVE2_OFFSET) & (F.col("id") != F.col("comp"))
+    ).select(F.col("id").alias("old_comp"), F.col("comp").alias("new_comp"))
+    relabeled_base = (
+        base_map.join(
+            F.broadcast(relabel),
+            base_map["component_id"] == relabel["old_comp"], "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("new_comp", "component_id").alias("component_id"),
+        )
+    )
+    # touched singletons: delta nodes < OFFSET that were not in the base
+    # map (their node id IS their doc id); new docs: delta nodes ≥ OFFSET
+    extra = delta.join(
+        base_map.select(F.col("component_id").alias("id")).distinct(),
+        "id", "left_anti",
+    ).select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
+    return _INC_STAGE.put(key, relabeled_base.unionAll(extra))
+
+
+def _q172_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_q22_sql(aug_sql=_WAVE2_AUG_SQL)}),
+edges AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION
+  SELECT reach.x, edges.b FROM reach JOIN edges ON reach.y = edges.a
+)
+SELECT x AS doc_id, least(x, min(y)) AS component_id
+FROM reach GROUP BY x
+"""
+
+
 DEDUP_QUERIES = {
     "q20_dedup_exact": q20_dedup_exact,
     "q21_dedup_ngram_jaccard": q21_dedup_ngram_jaccard,
@@ -1461,6 +1705,7 @@ DEDUP_QUERIES = {
     "q132_lsh_recall": q132_lsh_recall,
     "q134_containment_dedup": q134_containment_dedup,
     "q164_simhash_banded_neardup": q164_simhash_banded_neardup,
+    "q172_incremental_components": q172_incremental_components,
 }
 
 DEDUP_ORACLES = {
@@ -1478,4 +1723,5 @@ DEDUP_ORACLES = {
     "q132_lsh_recall": _q132_sql(),
     "q134_containment_dedup": _Q134_SQL,
     "q164_simhash_banded_neardup": _q164_sql(),
+    "q172_incremental_components": _q172_sql(),
 }
