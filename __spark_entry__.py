@@ -135,7 +135,15 @@
   integer-exact buckets, 1/64 relative-error guarantee audited against
   exact same-rank percentiles (q168), the same sketch accumulated as
   STREAMING aggregation state across micro-batches, held to the
-  identical audit (q169),
+  identical audit (q169), PassJoin exact edit-distance similarity join
+  — pigeonhole segment blocking with zero false negatives at ed ≤ 2,
+  proven against the brute-force all-pairs oracle (q170), deterministic
+  SFT dialog-turn assembly over q10's session islands — byte-identical
+  ordered-turn hashes across engines (q171), INCREMENTAL connected
+  components — a new ingest wave probes the staged LSH band index and
+  label-propagates only the delta graph, with component merges via a
+  broadcast relabel map; oracle recomputes CC from scratch, proving
+  incremental == rebuild (q172),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -1143,3 +1143,27 @@ def test_q155_aqe_splits_the_skewed_partition(spark):
     assert "isFinalPlan=true" in plan
     assert "SortMergeJoin(skew=true)" in plan
     assert "skewed" in plan  # AQEShuffleRead ... skewed
+
+
+def test_q172_incremental_cc_touches_no_parquet_after_staging(spark):
+    """Incremental CC's returned plan must be assembled ENTIRELY from
+    staged checkpoints: the base component map and the delta-CC labels
+    are ExistingRDDs, the component relabel is a BROADCAST join (the
+    relabel map is merge-proportional), and no parquet is rescanned —
+    the corpus was paid for when the band index was staged, the wave
+    when the delta was built.  Also pins the stage counters: the heavy
+    work runs once per (session, corpus)."""
+    from postfix_log_parser_spark.ext.dedup import (
+        STAGE_COMPUTES,
+        q172_incremental_components,
+    )
+
+    q172_incremental_components(spark, SF_DIR)  # ensure staged
+    before = dict(STAGE_COMPUTES)
+    plan = _final_plan(q172_incremental_components(spark, SF_DIR))
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    after = dict(STAGE_COMPUTES)
+    assert after == before  # second call = pure stage hit
