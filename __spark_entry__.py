@@ -143,7 +143,10 @@
   components — a new ingest wave probes the staged LSH band index and
   label-propagates only the delta graph, with component merges via a
   broadcast relabel map; oracle recomputes CC from scratch, proving
-  incremental == rebuild (q172),
+  incremental == rebuild (q172), STREAMING component-map maintenance —
+  the same merge core run per micro-batch over persistent band-index /
+  shingle-store / component-map state tables, converging provably to
+  q36's batch answer (q173),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "q170_passjoin_editdist",
     "q171_dialog_assembly",
     "q172_incremental_components",
+    "q173_stream_components",
     "q154_split_leakage",
     "q160_component_split",
     "q155_aqe_skew_join",

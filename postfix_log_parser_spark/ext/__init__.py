@@ -56,6 +56,10 @@ from postfix_log_parser_spark.ext.retrieval import (
 from postfix_log_parser_spark.ext.sampling import SAMPLING_ORACLES, SAMPLING_QUERIES
 from postfix_log_parser_spark.ext.classify import CLASSIFY_ORACLES, CLASSIFY_QUERIES
 from postfix_log_parser_spark.ext.spans import SPANS_ORACLES, SPANS_QUERIES
+from postfix_log_parser_spark.ext.streamcc import (
+    STREAMCC_ORACLES,
+    STREAMCC_QUERIES,
+)
 from postfix_log_parser_spark.ext.skew import SKEW_ORACLES, SKEW_QUERIES
 from postfix_log_parser_spark.ext.sketches import (
     SKETCHES_ORACLES,
@@ -113,6 +117,7 @@ EXT_QUERIES = {
     **VOCAB_QUERIES,
     **RETRIEVAL_QUERIES,
     **SPANS_QUERIES,
+    **STREAMCC_QUERIES,
     **CLASSIFY_QUERIES,
     **TOPK_QUERIES,
     **DPP_QUERIES,
@@ -155,6 +160,7 @@ EXT_ORACLES = {
     **VOCAB_ORACLES,
     **RETRIEVAL_ORACLES,
     **SPANS_ORACLES,
+    **STREAMCC_ORACLES,
     **CLASSIFY_ORACLES,
     **TOPK_ORACLES,
     **DPP_ORACLES,

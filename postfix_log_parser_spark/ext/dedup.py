@@ -1591,9 +1591,23 @@ def q172_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_sh = ex_sh.unionAll(wave_sh.select("doc_id", "shingles"))
     new_pairs = _jaccard_verified(cand, with_sh, 0.5).select("id_a", "id_b")
+    merged = merge_pairs_into_components(base_map, new_pairs)
+    wave_sh.unpersist()
+    return _INC_STAGE.put(key, merged)
 
-    # endpoint → delta node: new docs stay themselves; existing docs map
-    # to their base component (their own id when previously unclustered)
+
+def merge_pairs_into_components(
+    base_map: DataFrame, new_pairs: DataFrame
+) -> DataFrame:
+    """Fold a batch of verified near-dup pairs into an existing
+    (doc_id, component_id) map — label propagation on the DELTA graph
+    only, with component merges applied through a broadcast relabel map.
+
+    Shared by q172 (one ingest wave) and q173 (every micro-batch of the
+    streaming component-map maintenance).  ``base_map`` may be empty
+    (first batch: the delta graph IS the batch's pair graph)."""
+    # endpoint → delta node: docs with a component collapse to it; new
+    # or previously-unclustered docs stay themselves
     bm_a = base_map.select(
         F.col("doc_id").alias("id_a"), F.col("component_id").alias("comp_a")
     )
@@ -1604,15 +1618,13 @@ def q172_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_pairs.join(bm_a, "id_a", "left")
         .join(bm_b, "id_b", "left")
         .select(
-            F.when(F.col("id_a") >= WAVE2_OFFSET, F.col("id_a"))
-            .otherwise(F.coalesce("comp_a", "id_a")).alias("a"),
-            F.when(F.col("id_b") >= WAVE2_OFFSET, F.col("id_b"))
-            .otherwise(F.coalesce("comp_b", "id_b")).alias("b"),
+            F.coalesce("comp_a", "id_a").alias("a"),
+            F.coalesce("comp_b", "id_b").alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
     )
 
-    # hash-min CC on the delta graph (tiny: ~|wave| edges)
+    # hash-min CC on the delta graph (tiny: ~|batch| edges)
     und = delta_edges.union(
         delta_edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
@@ -1642,17 +1654,17 @@ def q172_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     und.unpersist()
-    wave_sh.unpersist()
     if changed != 0:
         labels.unpersist()
-        raise RuntimeError("q172 delta CC did not converge in 20 rounds")
+        raise RuntimeError("delta CC did not converge in 20 rounds")
     delta = labels.select("id", "comp").localCheckpoint(eager=True)
     labels.unpersist()
 
-    # relabel map: base components whose id changed (merges)
-    relabel = delta.filter(
-        (F.col("id") < WAVE2_OFFSET) & (F.col("id") != F.col("comp"))
-    ).select(F.col("id").alias("old_comp"), F.col("comp").alias("new_comp"))
+    # relabel map: base components whose id changed (merges); delta
+    # nodes that are plain doc ids match nothing in the base map
+    relabel = delta.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("old_comp"), F.col("comp").alias("new_comp")
+    )
     relabeled_base = (
         base_map.join(
             F.broadcast(relabel),
@@ -1663,13 +1675,14 @@ def q172_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("new_comp", "component_id").alias("component_id"),
         )
     )
-    # touched singletons: delta nodes < OFFSET that were not in the base
-    # map (their node id IS their doc id); new docs: delta nodes ≥ OFFSET
+    # delta nodes that are NOT base component ids are plain doc ids —
+    # new docs and touched previously-unclustered singletons — and enter
+    # the map with their delta label
     extra = delta.join(
         base_map.select(F.col("component_id").alias("id")).distinct(),
         "id", "left_anti",
     ).select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
-    return _INC_STAGE.put(key, relabeled_base.unionAll(extra))
+    return relabeled_base.unionAll(extra)
 
 
 def _q172_sql() -> str:
