@@ -56,7 +56,11 @@ def media(spark):
 
 
 def test_decode_codec_formats_are_stubbed():
-    with pytest.raises(NotImplementedError):
+    # since r9 a JPEG SOI routes into the REAL baseline decoder
+    # (ext/jpeg.py) — corrupt entropy data is a clear ValueError, not a
+    # not-implemented refusal (those cover progressive/arithmetic/12-bit
+    # modes, pinned in test_jpeg.py)
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
     # a truncated PNG signature is NOT a PNG — generic refusal, not a crash
     with pytest.raises(NotImplementedError):
