@@ -1167,3 +1167,19 @@ def test_q172_incremental_cc_touches_no_parquet_after_staging(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     after = dict(STAGE_COMPUTES)
     assert after == before  # second call = pure stage hit
+
+
+def test_q163_codec_runs_on_identity_table_not_corpus(spark):
+    """q163's Python codec stage must consume the DISTINCT image-identity
+    aggregate (≤768 rows), never the corpus: the MapInPandas sits above
+    the (a, jh) aggregation and its results broadcast-join back onto the
+    doc list — the dedup-before-decode shape."""
+    from postfix_log_parser_spark.ext.multimodal import q163_jpeg_roundtrip
+
+    plan = _final_plan(q163_jpeg_roundtrip(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+    # the codec side of the broadcast join reduces to identities first
+    codec_side = plan.split("MapInPandas")[1]
+    assert "HashAggregate" in codec_side
+    assert "CartesianProduct" not in plan
