@@ -1,0 +1,59 @@
+"""Property test for merge_pairs_into_components (q172/q173's core):
+for ANY edge set split into (already-clustered, newly-arrived), folding
+the new edges into the CC of the old ones must equal CC over the union
+— including multi-component merges, chains of new nodes bridging old
+components, and the empty-batch / empty-base boundaries.
+
+Seeds are fixed, so the graphs are deterministic; the Python reference
+is a union-find with min-id canonical labels (the same component-id
+convention as q36)."""
+
+import random
+
+import pytest
+
+from postfix_log_parser_spark.ext.dedup import merge_pairs_into_components
+
+
+def _cc(edges):
+    """{node: min reachable node} over nodes that appear in any edge."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_incremental_merge_equals_full_cc(spark, seed):
+    rnd = random.Random(seed)
+    n = rnd.randint(4, 14)
+    edges = sorted({
+        tuple(sorted(rnd.sample(range(n), 2)))
+        for _ in range(rnd.randint(2, 14))
+    })
+    cut = rnd.randint(0, len(edges))
+    first, second = edges[:cut], edges[cut:]
+
+    base = _cc(first)
+    base_df = spark.createDataFrame(
+        sorted(base.items()), "doc_id long, component_id long"
+    ) if base else spark.createDataFrame(
+        [], "doc_id long, component_id long"
+    )
+    pairs_df = spark.createDataFrame(
+        second, "id_a long, id_b long"
+    ) if second else spark.createDataFrame([], "id_a long, id_b long")
+
+    merged = merge_pairs_into_components(base_df, pairs_df)
+    got = {r.doc_id: r.component_id for r in merged.collect()}
+    assert got == _cc(edges), (seed, first, second)
