@@ -941,19 +941,21 @@ def test_q140_scene_cuts_need_no_window_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_q163_jpeg_qa_single_scan_one_cluster_exchange(spark):
-    """JPEG roundtrip QA: the whole codec (encode + entropy decode +
-    IDCT) runs inside ONE Arrow stage over a scan pruned to
-    (doc_id, n_chars); the only exchange is the img_key window for
-    cluster sizes — the q20 exact-dedup shuffle shape."""
+def test_q163_jpeg_qa_scans_pruned_and_clusters_on_img_key(spark):
+    """JPEG roundtrip QA, dedup-before-decode revision (r9): the codec
+    Arrow stage consumes the DISTINCT identity aggregate (see the
+    companion pin test_q163_codec_runs_on_identity_table_not_corpus),
+    both scans stay pruned to (doc_id, n_chars) with the null-gate
+    pushed down, and the cluster-size window still shuffles on img_key
+    — the q20 exact-dedup shape."""
     from postfix_log_parser_spark.ext.multimodal import q163_jpeg_roundtrip
 
     plan = _plan(q163_jpeg_roundtrip(spark, SF_DIR))
     assert plan.count("MapInPandas") == 1
-    assert plan.count("FileScan parquet") == 1
+    # per-doc identity side + identity-aggregate side, both pruned
+    assert plan.count("FileScan parquet") == 2
     assert "IsNotNull(text)" in plan  # null-gate pushed to the scan
     assert "ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>" in plan
-    assert plan.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(img_key" in plan
 
 
