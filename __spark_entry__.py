@@ -146,7 +146,12 @@
   incremental == rebuild (q172), STREAMING component-map maintenance —
   the same merge core run per micro-batch over persistent band-index /
   shingle-store / component-map state tables, converging provably to
-  q36's batch answer (q173),
+  q36's batch answer (q173), DECREMENTAL connected components — a
+  takedown batch is removed from the maintained map by recomputing CC
+  only on the affected components' residual subgraph (splits,
+  min-member relabels, and whole-component dissolutions all
+  incremental); oracle rebuilds from scratch over the surviving
+  pairs (q174),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

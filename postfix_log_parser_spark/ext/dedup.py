@@ -333,6 +333,19 @@ def _jaccard_verified(cand: DataFrame, with_sh: DataFrame, threshold: float) -> 
 # bound, clear_stages() teardown.
 _PAIR_STAGE = StageCache(inputs=("documents.parquet",))
 _COMP_STAGE = StageCache(inputs=("documents.parquet",))
+# the corpus's LSH band index — at 100 TB a bucketed TABLE keyed by
+# band_key, written once when the corpus is built and read by every
+# incremental ingest; locally the session-staged twin.  Staged eagerly
+# as a byproduct of ``lsh_verified_pairs`` (a deliberate amortization:
+# the shingle cache is hot there, and the index is the ONE
+# corpus-proportional staged artifact — its production form is a table,
+# not a session cache).  Declared here with its siblings so the
+# byproduct ``put`` below resolves lexically, not via call-time lookup.
+_BAND_STAGE = StageCache(inputs=("documents.parquet",))
+# q172's wave pair list (wave-existing + wave-wave verified pairs) —
+# shared by q172 (merge) and q174 (the takedown pass needs the full
+# maintained pair list to find residual edges)
+_INC_PAIRS_STAGE = StageCache(inputs=("documents.parquet",))
 # test hook: how many times each stage actually computed (not cache-hit)
 STAGE_COMPUTES = {"pairs": 0, "components": 0, "incremental_components": 0}
 
@@ -789,6 +802,74 @@ WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]
 # q36 — near-dup connected components (pair list → dedup clusters)
 # ---------------------------------------------------------------------------
 
+def _hash_min_cc(edges: DataFrame) -> DataFrame:
+    """Hash-min label-propagation connected components over an ``(a, b)``
+    edge list — the standard large-graph CC loop, shared by q36 (corpus
+    pair graph), the q172/q173 merge core (delta graph), and the q174
+    deletion core (residual subgraphs).  Returns an eagerly-checkpointed
+    ``(id, comp)`` frame with ``comp`` = min id reachable.
+
+    Each round is one (edges ⋈ labels) shuffle + a min-aggregate; the
+    pre-update label rides in the same frame so the convergence check is
+    a cache-local filter+count, not another join.  Rounds needed = graph
+    diameter; the loop runs UNTIL CONVERGED with a node-count-
+    proportional backstop — min-propagation must converge within |V|
+    rounds, so exceeding |V|+1 is a true runaway (a lineage/logic bug),
+    never a legitimately deep graph.  The |V| count is only computed if
+    the cheap 20-round fast path is exhausted, so the common case pays
+    zero extra jobs.  At 100 TB swap the per-round persist for a
+    reliable checkpoint to truncate lineage."""
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        und.select(F.col("a").alias("id")).distinct()
+        .withColumn("comp", F.col("id")).persist()
+    )
+    rounds = 0
+    cap = 20  # near-dup graphs converge in 1-2 rounds
+    n_nodes = None
+    while True:
+        nbr = (
+            und.join(labels, und["b"] == labels["id"])
+            .groupBy("a").agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                labels["id"],
+                labels["comp"].alias("_prev"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            ).persist()
+        )
+        changed = new_labels.filter(F.col("comp") != F.col("_prev")).count()
+        labels.unpersist()
+        labels = new_labels
+        rounds += 1
+        if changed == 0:
+            break
+        if rounds >= cap:
+            if n_nodes is None:  # deep graph: extend the cap to |V|+1 once
+                n_nodes = labels.count()
+                cap = max(cap, n_nodes + 1)
+            if rounds >= cap:
+                labels.unpersist()
+                und.unpersist()
+                raise RuntimeError(
+                    f"hash-min CC did not converge in {rounds} rounds over "
+                    f"{n_nodes} nodes — propagation is broken, not deep"
+                )
+    und.unpersist()
+    # checkpoint truncates the per-round join lineage and frees the
+    # loop's cache: callers read checkpointed blocks, not the persisted
+    # labels (which would otherwise leak for the session)
+    out = labels.select("id", "comp").localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
+
+
 def q36_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pairs (q22):
     a pair list does not dedup a corpus — clusters with one canonical id
@@ -812,53 +893,11 @@ def q36_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     if staged is not None:
         return staged
     STAGE_COMPUTES["components"] += 1
-    edges = lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b")
-    und = edges.union(
-        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).persist()
-    labels = (
-        und.select(F.col("id_a").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).persist()
-    changed = -1
-    for _ in range(20):  # backstop; near-dup graphs converge in 1-2 rounds
-        nbr = (
-            und.join(labels, und["id_b"] == labels["id"])
-            .groupBy("id_a")
-            .agg(F.min("comp").alias("nbr_min"))
-        )
-        # carry the pre-update label in the same frame so the convergence
-        # check is a cache-local filter+count, not another join — one
-        # action per round materializes the persist AND decides the loop
-        new_labels = (
-            labels.join(nbr, labels["id"] == nbr["id_a"], "left")
-            .select(
-                labels["id"],
-                labels["comp"].alias("_prev"),
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .persist()
-        )
-        changed = new_labels.filter(F.col("comp") != F.col("_prev")).count()
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    und.unpersist()
-    if changed != 0:
-        labels.unpersist()
-        raise RuntimeError(
-            "q36 label propagation did not converge in 20 rounds "
-            f"({changed} labels still changing) — the near-dup graph has "
-            "diameter >20; raise the round cap or checkpoint per round"
-        )
-    # localCheckpoint truncates the 20-round join lineage and frees the
-    # loop's cache: the returned frame reads checkpointed blocks, not the
-    # persisted labels (which would otherwise leak for the session).
-    result = labels.localCheckpoint(eager=True)
-    labels.unpersist()
-    out = result.select(
+    edges = lsh_verified_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    labels = _hash_min_cc(edges)
+    out = labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
     )
     return _COMP_STAGE.put(key, out)
@@ -1462,10 +1501,9 @@ WAVE2_OFFSET = 700000
 # (session, corpus) like q36's base map — production writes it back to
 # the component checkpoint table
 _INC_STAGE = StageCache(inputs=("documents.parquet",))
-# the corpus's LSH band index — at 100 TB a bucketed TABLE keyed by
-# band_key, written once when the corpus is built and read by every
-# incremental ingest; locally the session-staged twin
-_BAND_STAGE = StageCache(inputs=("documents.parquet",))
+# the post-takedown map (q174) — the third lifecycle stage: base CC →
+# +ingest wave (q172) → −deletions (q174)
+_DEC_STAGE = StageCache(inputs=("documents.parquet",))
 
 
 def lsh_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,6 +1549,74 @@ def _wave2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wave2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs contributed by the ingest wave — the
+    wave-existing pairs (probed against the STAGED corpus band index)
+    plus within-wave pairs (the wave's band self-join rides the same
+    union).  Wave-proportional throughout:
+
+    * the wave pays for ITS OWN signatures only; the existing corpus's
+      band keys come from the staged index (at 100 TB: the bucketed
+      band-key table — q173's state layout is the operational form);
+    * exact-Jaccard verify loads shingle sets only for the TOUCHED
+      EXISTING endpoints (candidate-proportional, never the corpus).
+      Existing = "not in the wave" via an anti-join against the (tiny)
+      wave id set, NOT an id-range test — doc-id ranges are a property
+      of this synthetic wave, not of ingest in general (a corpus whose
+      ids grew past the wave offset would silently misclassify
+      endpoints and drop existing-side shingles).
+
+    STAGED per (session, corpus): q172 merges these pairs; q174's
+    takedown pass re-reads them as part of the maintained pair list."""
+    key = _stage_key(spark, sf_dir)
+    staged = _INC_PAIRS_STAGE.get(key)
+    if staged is not None:
+        return staged
+    idx_bands = lsh_band_index(spark, sf_dir)
+    wave_sh = (
+        _wave2(spark, sf_dir)
+        .select("doc_id", shingles3_udf(F.col("text")).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wave_bands = _minhash_bands(wave_sh)
+    all_b = idx_bands.unionAll(wave_bands).alias("y")  # wave-wave pairs too
+    cand = (
+        wave_bands.alias("x").join(
+            all_b,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("id_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    wave_ids = wave_sh.select("doc_id")
+    endpoints = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    touched = endpoints.join(F.broadcast(wave_ids), "doc_id", "left_anti")
+    ex_sh = (
+        _augmented(spark, sf_dir)
+        .join(touched, "doc_id")
+        .select("doc_id", shingles3_udf(F.col("text")).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    with_sh = ex_sh.unionAll(wave_sh.select("doc_id", "shingles"))
+    pairs = (
+        _jaccard_verified(cand, with_sh, 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    wave_sh.unpersist()
+    return _INC_PAIRS_STAGE.put(key, pairs)
+
+
 def q172_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CC — the operational daily mode for dedup clustering,
     completing the incremental family (q69 dedup, q157 ANN): a new
@@ -1549,63 +1655,30 @@ def q172_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     if staged is not None:
         return staged
     STAGE_COMPUTES["incremental_components"] += 1
-    base_map = q36_dedup_components(spark, sf_dir)  # staged, component_id = min id
-
-    # the wave pays for ITS OWN signatures only; the existing corpus's
-    # band keys come from the staged index (at 100 TB: the bucketed
-    # band-key table — the wave side broadcasts into its buckets)
-    idx_bands = lsh_band_index(spark, sf_dir)
-    wave_sh = (
-        _wave2(spark, sf_dir)
-        .select("doc_id", shingles3_udf(F.col("text")).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    wave_bands = _minhash_bands(wave_sh)
-    all_b = idx_bands.unionAll(wave_bands).alias("y")  # wave-wave pairs too
-    cand = (
-        wave_bands.alias("x").join(
-            all_b,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") != F.col("y.doc_id")),
-        )
-        .select(
-            F.least("x.doc_id", "y.doc_id").alias("id_a"),
-            F.greatest("x.doc_id", "y.doc_id").alias("id_b"),
-        )
-        .distinct()
-    )
-    # exact-Jaccard verify needs shingle sets only for the TOUCHED
-    # existing endpoints (candidate-proportional, never the corpus):
-    # wave ids sort above all existing ids, so id_a holds the existing
-    # side of every wave-existing pair
-    touched = cand.select(F.col("id_a").alias("doc_id")).filter(
-        F.col("doc_id") < WAVE2_OFFSET
-    ).distinct()
-    ex_sh = (
-        _augmented(spark, sf_dir)
-        .join(touched, "doc_id")
-        .select("doc_id", shingles3_udf(F.col("text")).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-    )
-    with_sh = ex_sh.unionAll(wave_sh.select("doc_id", "shingles"))
-    new_pairs = _jaccard_verified(cand, with_sh, 0.5).select("id_a", "id_b")
+    base_map = q36_dedup_components(spark, sf_dir)  # staged, comp = min id
+    new_pairs = wave2_pairs(spark, sf_dir)
     merged = merge_pairs_into_components(base_map, new_pairs)
-    wave_sh.unpersist()
     return _INC_STAGE.put(key, merged)
 
 
-def merge_pairs_into_components(
+def merge_delta(
     base_map: DataFrame, new_pairs: DataFrame
-) -> DataFrame:
-    """Fold a batch of verified near-dup pairs into an existing
-    (doc_id, component_id) map — label propagation on the DELTA graph
-    only, with component merges applied through a broadcast relabel map.
+) -> "tuple[DataFrame, DataFrame]":
+    """The DELTA form of the merge core: fold a batch of verified
+    near-dup pairs into an existing (doc_id, component_id) map and
+    return exactly what changed —
 
-    Shared by q172 (one ingest wave) and q173 (every micro-batch of the
-    streaming component-map maintenance).  ``base_map`` may be empty
-    (first batch: the delta graph IS the batch's pair graph)."""
+    * ``relabel`` — ``(old_comp, new_comp)`` for base components merged
+      into a lower id (broadcast-applied over the base map);
+    * ``extra``   — ``(doc_id, component_id)`` rows to ADD (new docs and
+      touched previously-unclustered singletons).
+
+    Both frames are wave-proportional and eagerly materialized (the
+    delta CC labels are checkpointed).  q172 composes them into the full
+    merged map (``merge_pairs_into_components``); q173 uses them
+    directly to rewrite ONLY the component-map partitions that changed.
+    ``base_map`` may be empty (first batch: the delta graph IS the
+    batch's pair graph)."""
     # endpoint → delta node: docs with a component collapse to it; new
     # or previously-unclustered docs stay themselves
     bm_a = base_map.select(
@@ -1623,48 +1696,31 @@ def merge_pairs_into_components(
         )
         .filter(F.col("a") != F.col("b"))
     )
-
     # hash-min CC on the delta graph (tiny: ~|batch| edges)
-    und = delta_edges.union(
-        delta_edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
-    labels = (
-        und.select(F.col("a").alias("id")).distinct()
-        .withColumn("comp", F.col("id")).persist()
-    )
-    changed = -1
-    for _ in range(20):
-        nbr = (
-            und.join(labels, und["b"] == labels["id"])
-            .groupBy("a").agg(F.min("comp").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, labels["id"] == nbr["a"], "left")
-            .select(
-                labels["id"],
-                labels["comp"].alias("_prev"),
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-                ).alias("comp"),
-            ).persist()
-        )
-        changed = new_labels.filter(F.col("comp") != F.col("_prev")).count()
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    und.unpersist()
-    if changed != 0:
-        labels.unpersist()
-        raise RuntimeError("delta CC did not converge in 20 rounds")
-    delta = labels.select("id", "comp").localCheckpoint(eager=True)
-    labels.unpersist()
+    delta = _hash_min_cc(delta_edges)
 
     # relabel map: base components whose id changed (merges); delta
     # nodes that are plain doc ids match nothing in the base map
     relabel = delta.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias("old_comp"), F.col("comp").alias("new_comp")
     )
+    # delta nodes that are NOT base component ids are plain doc ids —
+    # new docs and touched previously-unclustered singletons — and enter
+    # the map with their delta label
+    extra = delta.join(
+        base_map.select(F.col("component_id").alias("id")).distinct(),
+        "id", "left_anti",
+    ).select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
+    return relabel, extra
+
+
+def merge_pairs_into_components(
+    base_map: DataFrame, new_pairs: DataFrame
+) -> DataFrame:
+    """Full-map form of the merge core (q172): apply ``merge_delta``'s
+    relabel over the whole base map (broadcast join — the relabel side
+    is wave-proportional) and union the added rows."""
+    relabel, extra = merge_delta(base_map, new_pairs)
     relabeled_base = (
         base_map.join(
             F.broadcast(relabel),
@@ -1675,13 +1731,6 @@ def merge_pairs_into_components(
             F.coalesce("new_comp", "component_id").alias("component_id"),
         )
     )
-    # delta nodes that are NOT base component ids are plain doc ids —
-    # new docs and touched previously-unclustered singletons — and enter
-    # the map with their delta label
-    extra = delta.join(
-        base_map.select(F.col("component_id").alias("id")).distinct(),
-        "id", "left_anti",
-    ).select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
     return relabeled_base.unionAll(extra)
 
 
@@ -1692,6 +1741,130 @@ edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION
+  SELECT reach.x, edges.b FROM reach JOIN edges ON reach.y = edges.a
+)
+SELECT x AS doc_id, least(x, min(y)) AS component_id
+FROM reach GROUP BY x
+"""
+
+
+# ---------------------------------------------------------------------------
+# q174 — DECREMENTAL connected components: remove a takedown batch from
+# the maintained component map without re-running CC on the corpus
+# ---------------------------------------------------------------------------
+
+
+def _deleted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown batch: every original doc with doc_id % 4 == 3.
+    Over the q172-merged corpus this hits pair components (whole
+    component dissolves: the survivor has no residual edge and drops
+    out), triple components (survivors relabel to the min SURVIVING id
+    through residual edges), and a mass of unclustered docs (no-ops) —
+    all three deletion paths."""
+    return _load_docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") % 4 == 3
+    )
+
+
+def delete_docs_from_components(
+    base_map: DataFrame, pairs: DataFrame, deleted: DataFrame
+) -> DataFrame:
+    """Remove a batch of docs from a maintained (doc_id, component_id)
+    map WITHOUT rebuilding CC over the corpus — the takedown/tombstone
+    primitive that completes the maintained-dedup lifecycle (q36 build →
+    q172 ingest merge → q173 streaming maintenance → THIS).
+
+    Deletion can SPLIT a component (the removed doc may be the only
+    bridge), so unlike the merge core it cannot be a relabel map alone —
+    but it never needs the corpus either.  Every step is
+    affected-component-proportional:
+
+    1. ``affected`` = components containing a deleted doc (map ⋈
+       deleted batch — batch-proportional output).
+    2. Rows of unaffected components pass through untouched (broadcast
+       anti-join on component_id).
+    3. The residual subgraph = maintained pairs whose endpoints lie in
+       an affected component (a verified pair's endpoints share a
+       component, so classifying id_a suffices) minus pairs touching a
+       deleted doc.  Hash-min CC on it relabels survivors to the min
+       SURVIVING reachable id.
+    4. Result = untouched rows ∪ residual CC labels.  A survivor with
+       no residual edge drops out of the map entirely (the map holds
+       only clustered docs), exactly as a from-scratch rebuild would.
+
+    The DuckDB oracle rebuilds CC from scratch over the surviving pair
+    graph, so the typed contract proves incremental deletion == full
+    rebuild on every corpus it runs on.  At 100 TB the pair list is the
+    maintained checkpoint table (q173's state), ``affected`` is a
+    broadcast, and the residual CC loop touches kilobytes."""
+    aff = base_map.join(deleted, "doc_id").select("component_id").distinct()
+    # the USING-join moves component_id to the first column — reselect
+    # the canonical order before the union below
+    untouched = base_map.join(
+        F.broadcast(aff), "component_id", "left_anti"
+    ).select("doc_id", "component_id")
+    in_aff = (
+        pairs.join(
+            base_map.select(
+                F.col("doc_id").alias("id_a"), "component_id"
+            ),
+            "id_a",
+        )
+        .join(F.broadcast(aff), "component_id")
+        .select("id_a", "id_b")
+    )
+    resid = in_aff.join(
+        deleted.select(F.col("doc_id").alias("id_a")), "id_a", "left_anti"
+    ).join(
+        deleted.select(F.col("doc_id").alias("id_b")), "id_b", "left_anti"
+    )
+    labels = _hash_min_cc(
+        resid.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    recomputed = labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+    return untouched.unionByName(recomputed)
+
+
+def q174_components_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full maintained-map lifecycle: base CC (q36) + ingest wave
+    (q172's merge) − takedown batch, all incremental.  Output is the
+    post-deletion component map; the oracle recomputes CC from scratch
+    over the surviving pairs of the merged corpus."""
+    key = _stage_key(spark, sf_dir)
+    staged = _DEC_STAGE.get(key)
+    if staged is not None:
+        return staged
+    base = q172_incremental_components(spark, sf_dir)
+    pairs = lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b").unionAll(
+        wave2_pairs(spark, sf_dir).select("id_a", "id_b")
+    )
+    out = delete_docs_from_components(
+        base, pairs, _deleted_docs(spark, sf_dir)
+    )
+    return _DEC_STAGE.put(key, out)
+
+
+def _q174_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_q22_sql(aug_sql=_WAVE2_AUG_SQL)}),
+del AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+sp AS MATERIALIZED (
+  SELECT id_a, id_b FROM pairs
+  WHERE id_a NOT IN (SELECT doc_id FROM del)
+    AND id_b NOT IN (SELECT doc_id FROM del)
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM sp
+  UNION
+  SELECT id_b, id_a FROM sp
 ),
 reach AS (
   SELECT a AS x, b AS y FROM edges
@@ -1719,6 +1892,7 @@ DEDUP_QUERIES = {
     "q134_containment_dedup": q134_containment_dedup,
     "q164_simhash_banded_neardup": q164_simhash_banded_neardup,
     "q172_incremental_components": q172_incremental_components,
+    "q174_components_with_deletes": q174_components_with_deletes,
 }
 
 DEDUP_ORACLES = {
@@ -1737,4 +1911,5 @@ DEDUP_ORACLES = {
     "q134_containment_dedup": _Q134_SQL,
     "q164_simhash_banded_neardup": _q164_sql(),
     "q172_incremental_components": _q172_sql(),
+    "q174_components_with_deletes": _q174_sql(),
 }

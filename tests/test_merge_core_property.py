@@ -57,3 +57,41 @@ def test_incremental_merge_equals_full_cc(spark, seed):
     merged = merge_pairs_into_components(base_df, pairs_df)
     got = {r.doc_id: r.component_id for r in merged.collect()}
     assert got == _cc(edges), (seed, first, second)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_incremental_delete_equals_full_cc(spark, seed):
+    """q174's core: deleting ANY doc subset from CC(edges) via
+    delete_docs_from_components must equal CC over the surviving edges —
+    including component splits (the deleted doc was the only bridge),
+    whole-component dissolutions, deletion of the min-id member
+    (relabel), and deletions of unclustered ids (no-ops)."""
+    from postfix_log_parser_spark.ext.dedup import delete_docs_from_components
+
+    rnd = random.Random(1000 + seed)
+    n = rnd.randint(4, 14)
+    edges = sorted({
+        tuple(sorted(rnd.sample(range(n), 2)))
+        for _ in range(rnd.randint(2, 16))
+    })
+    # deletion set: biased toward clustered nodes (so splits/relabels
+    # actually happen) plus ids outside the graph (no-op path)
+    nodes = sorted({x for e in edges for x in e})
+    deleted = sorted(
+        set(rnd.sample(nodes, rnd.randint(0, max(1, len(nodes) // 2))))
+        | {n + 5}
+    )
+
+    base = _cc(edges)
+    base_df = spark.createDataFrame(
+        sorted(base.items()), "doc_id long, component_id long"
+    )
+    pairs_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    del_df = spark.createDataFrame([(d,) for d in deleted], "doc_id long")
+
+    got_df = delete_docs_from_components(base_df, pairs_df, del_df)
+    got = {r.doc_id: r.component_id for r in got_df.collect()}
+    surviving = [
+        (a, b) for a, b in edges if a not in deleted and b not in deleted
+    ]
+    assert got == _cc(surviving), (seed, edges, deleted)
