@@ -1,5 +1,6 @@
 """Streaming near-dup component maintenance — the materialized-view
-form of dedup clustering.
+form of dedup clustering, with state tables LAID OUT for their own
+access pattern.
 
 q36 computes components in one batch job; q172 folds ONE ingest wave
 into them; this module runs the full operational loop: a STREAM of
@@ -7,16 +8,41 @@ ingest waves maintains the component map continuously, each micro-batch
 paying only wave-proportional work against three persistent state
 tables —
 
-* ``bands/``      the LSH band index (appended per batch),
-* ``shingles/``   the shingle store for exact-Jaccard verification
-                  (appended per batch),
-* ``components/`` the component map (atomically swapped per batch via
-                  the q172 merge: delta-graph label propagation +
-                  broadcast relabel for merges).
+* ``bands/``      the LSH band index, hash-BUCKETED by ``band_key``
+                  (``bucket = pmod(xxhash64(band_key), N)`` as a
+                  partition directory).  The per-batch probe reads ONLY
+                  the buckets the wave's band keys hash to (partition
+                  pruning) and joins with the wave side BROADCAST — the
+                  index side of the probe carries ZERO exchange and is
+                  never shuffled, at any corpus size.
+* ``shingles/``   the shingle store for exact-Jaccard verification,
+                  hash-bucketed by ``doc_id`` the same way; the verify
+                  step reads only the buckets holding candidate
+                  EXISTING endpoints (wave shingles are already in
+                  memory).
+* ``components/`` the component map, hash-PARTITIONED by
+                  ``component_id``; each batch rewrites ONLY the
+                  partitions containing changed rows (dynamic partition
+                  overwrite of the touched buckets — a wave that grows
+                  one component rewrites one bucket, not the map).
 
 These are exactly the checkpoint tables the q172 docstring names for
 the 100 TB deployment; here they are parquet directories written from
 ``foreachBatch``, the idempotent-sink pattern q57's incremental MV uses.
+
+Per-batch I/O accounting (the r9 weakness this layout closes):
+signatures are computed for the wave only; the band probe reads
+min(N, |wave band keys|) of N index buckets and shuffles nothing on the
+index side; the Jaccard verify reads only candidate-endpoint shingle
+buckets; the component update reads and rewrites only the buckets of
+components whose membership changed.  State GROWTH is linear in the
+corpus (the index IS the corpus's signatures — the price of incremental
+dedup everywhere, cf. Lee et al. ACL'22 §5), but per-batch READ and
+WRITE are wave-proportional, matching the merge core's
+delta-proportional compute.  Replay safety: a re-run batch recomputes
+the same pairs; relabels of already-relabeled rows are no-ops and
+re-added rows land in the same buckets, so the foreachBatch replay
+converges to the same state (the idempotent-sink discipline).
 
 Correctness is order-independent: every unordered near-dup pair is
 discovered exactly when its LATER member's wave arrives (the earlier
@@ -27,26 +53,19 @@ which is precisely what the DuckDB oracle recomputes from scratch.
 Convergence to the batch answer is therefore PROVEN per corpus by the
 typed contract, not assumed.
 
-Scale notes (100 TB): per batch, signatures are computed for the wave
-only; the band join probes the index (bucketed by band_key at scale);
-the Jaccard verify joins the shingle store on candidate endpoints only;
-the CC loop runs on the delta graph.  State growth is linear in the
-corpus (the index IS the corpus's signatures — that is the price of
-incremental dedup everywhere, cf. Lee et al. ACL'22 §5), while per-batch
-compute is wave-proportional.
-
 Reference scope: north-star extension; the streaming machinery is the
 same watermark-free availableNow + foreachBatch shape as q57/q150.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postfix_log_parser_spark.ext.dedup import (
@@ -55,17 +74,39 @@ from postfix_log_parser_spark.ext.dedup import (
     _minhash_bands,
     _q36_sql,
     _stage_key,
-    merge_pairs_into_components,
+    merge_delta,
     shingles3_udf,
 )
 from postfix_log_parser_spark.ext.staging import StageCache
 
 N_WAVES = 3
+# state-table bucket count: 16 locally (waves at sf0.001 are a few rows;
+# more buckets would mean empty files), thousands at 100 TB — the probe
+# cost scales with min(buckets touched, N), not with N itself
+N_STATE_BUCKETS = 16
 
 # the maintained view persists across queries — like q36's component map
 # and q172's merged map, the stream runs once per (session, corpus) and
 # readers get the converged state
 _MV_STAGE = StageCache(inputs=("documents.parquet",))
+
+# q173's own work dirs (waves + state + checkpoint) — removed at process
+# exit; the staged result frame is an eager localCheckpoint, so dropping
+# the directory never invalidates an already-returned DataFrame
+_WORK_DIRS: list[str] = []
+
+
+def _sweep_work_dirs() -> None:
+    for d in _WORK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _WORK_DIRS.clear()
+
+
+atexit.register(_sweep_work_dirs)
+
+
+def _bucket_of(col: Column) -> Column:
+    return F.pmod(F.xxhash64(col), F.lit(N_STATE_BUCKETS)).cast("int")
 
 
 def _write_wave_files(spark: SparkSession, sf_dir: str, waves_dir: str) -> None:
@@ -98,11 +139,141 @@ def q173_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     if staged is not None:
         return staged
     work = tempfile.mkdtemp(prefix="q173_stream_components_")
+    _WORK_DIRS.append(work)
     waves_dir = f"{work}/waves"
     os.makedirs(waves_dir)
     _write_wave_files(spark, sf_dir, waves_dir)
     final = run_maintenance(spark, waves_dir, work)
     return _MV_STAGE.put(key, final)
+
+
+def _probe_candidates(
+    spark: SparkSession, bands_dir: str, wave_bands: DataFrame
+) -> DataFrame:
+    """Wave × band-index candidate pairs — the probe whose plan the
+    layout exists for: the index scan is PRUNED to the wave's buckets
+    (partition filter on the collected, ≤N_STATE_BUCKETS bucket list)
+    and the wave side rides a BROADCAST, so the index side has zero
+    exchange and zero sort regardless of corpus size.  (If a wave ever
+    outgrew broadcast size, the co-located fallback is a shuffle of the
+    WAVE into the index's bucket layout — still never of the index.)"""
+    touched = [
+        r.bucket for r in wave_bands.select("bucket").distinct().collect()
+    ]
+    idx = spark.read.parquet(bands_dir).filter(F.col("bucket").isin(touched))
+    return (
+        idx.alias("y")
+        .join(
+            F.broadcast(wave_bands.alias("x")),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("id_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("id_b"),
+        )
+    )
+
+
+def _update_components(
+    spark: SparkSession, comp_dir: str, pairs: DataFrame
+) -> None:
+    """Fold verified pairs into the hash-partitioned component map,
+    rewriting ONLY the buckets whose contents change.
+
+    merge_delta gives the wave-proportional change set: ``relabel``
+    (old_comp → new_comp for merged components) and ``extra`` (rows to
+    add).  Touched buckets = buckets of old ids ∪ new ids ∪ added ids —
+    every changed row's before- and after-location.  The new contents of
+    exactly those buckets are the pruned base read, relabeled, plus the
+    added rows; dynamic partition overwrite replaces just those
+    directories.  A touched bucket whose rows ALL moved elsewhere ends
+    empty — dynamic overwrite writes nothing there, so its stale
+    directory is swept explicitly."""
+    empty_map = spark.createDataFrame([], "doc_id long, component_id long")
+    have_map = os.path.exists(comp_dir)
+    base = (
+        spark.read.parquet(comp_dir).select("doc_id", "component_id")
+        if have_map else empty_map
+    )
+    relabel, extra = merge_delta(base, pairs)
+    # Touched buckets — from relabels that actually HIT base rows (a
+    # relabel whose old id is a plain new-doc id moves nothing) plus the
+    # added rows: every changed row's before- and after-location.  The
+    # hit probe reads only the candidate old-id buckets (a pruned scan,
+    # relabel-proportional superset), and every collect here is bounded
+    # by N_STATE_BUCKETS ints.
+    cand_old = sorted({
+        r.bucket
+        for r in relabel.select(
+            _bucket_of(F.col("old_comp")).alias("bucket")
+        ).distinct().collect()
+    })
+    if have_map and cand_old:
+        hits = (
+            base.filter(_bucket_of(F.col("component_id")).isin(cand_old))
+            .join(
+                F.broadcast(relabel),
+                base["component_id"] == relabel["old_comp"],
+            )
+            .select(
+                _bucket_of(F.col("old_comp")).alias("b_old"),
+                _bucket_of(F.col("new_comp")).alias("b_new"),
+            )
+        )
+        hit_buckets = {
+            b
+            for r in hits.select("b_old", "b_new").distinct().collect()
+            for b in (r.b_old, r.b_new)
+        }
+    else:
+        hit_buckets = set()
+    extra_buckets = {
+        r.bucket
+        for r in extra.select(
+            _bucket_of(F.col("component_id")).alias("bucket")
+        ).distinct().collect()
+    }
+    touched = sorted(hit_buckets | extra_buckets)
+    if not touched:  # no membership change — zero map I/O this batch
+        return
+    changed_src = (
+        base.filter(_bucket_of(F.col("component_id")).isin(touched))
+        if have_map else base
+    )
+    relabeled = (
+        changed_src.join(
+            F.broadcast(relabel),
+            changed_src["component_id"] == relabel["old_comp"], "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("new_comp", "component_id").alias("component_id"),
+        )
+    )
+    # checkpoint before writing: the new rows are computed FROM the
+    # directory being overwritten (a self-overwrite read-under-write
+    # hazard otherwise), and they are wave-proportional — tiny
+    new_rows = (
+        relabeled.unionByName(extra)
+        .withColumn("bucket", _bucket_of(F.col("component_id")))
+        .repartition(N_STATE_BUCKETS, F.col("bucket"))
+        .localCheckpoint(eager=True)
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            new_rows.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(comp_dir)
+        )
+    finally:
+        spark.conf.set(conf_key, old)
+    written = {r.bucket for r in new_rows.select("bucket").distinct().collect()}
+    for b in set(touched) - written:  # bucket fully drained by the move
+        shutil.rmtree(f"{comp_dir}/bucket={b}", ignore_errors=True)
 
 
 def run_maintenance(
@@ -113,7 +284,9 @@ def run_maintenance(
     stream checkpoint live under ``work`` and SURVIVE across calls: a
     later call with the same ``work`` resumes from the checkpoint and
     folds only the waves that arrived since — the restart-recovery
-    contract pinned in test_streamcc.py."""
+    contract pinned in test_streamcc.py.  The returned map is an eager
+    localCheckpoint: it stays valid even if the state directory is
+    later replaced or cleaned up."""
     bands_dir = f"{work}/bands"
     sh_dir = f"{work}/shingles"
     comp_dir = f"{work}/components"
@@ -128,53 +301,83 @@ def run_maintenance(
             .filter(F.size("shingles") > 0)
             .persist()
         )
-        wave_bands = _minhash_bands(wave_sh)
-        have_state = os.path.exists(bands_dir)
-        if have_state:
-            idx = spark.read.parquet(bands_dir)
-            all_b = idx.unionByName(wave_bands)
-        else:
-            all_b = wave_bands
-        cand = (
+        wave_bands = (
+            _minhash_bands(wave_sh)
+            .withColumn("bucket", _bucket_of(F.col("band_key")))
+            .persist()
+        )
+        # within-wave pairs: the wave's band self-join (tiny)
+        ww = (
             wave_bands.alias("x").join(
-                all_b.alias("y"),
+                wave_bands.alias("y"),
                 (F.col("x.band_idx") == F.col("y.band_idx"))
                 & (F.col("x.band_key") == F.col("y.band_key"))
-                & (F.col("x.doc_id") != F.col("y.doc_id")),
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
             )
-            .select(
-                F.least("x.doc_id", "y.doc_id").alias("id_a"),
-                F.greatest("x.doc_id", "y.doc_id").alias("id_b"),
-            )
-            .distinct()
+            .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         )
-        if have_state:
-            with_sh = spark.read.parquet(sh_dir).unionByName(
+        # wave × index pairs: pruned, broadcast probe of the bucketed index.
+        # The candidate set is consumed twice (endpoint-bucket planning and
+        # the verify join) — persist so the probe runs once per batch.
+        if os.path.exists(bands_dir):
+            cand = ww.unionByName(
+                _probe_candidates(spark, bands_dir, wave_bands)
+            ).distinct().persist()
+        else:
+            cand = ww.distinct().persist()
+        # Jaccard verify: wave shingles are in memory; EXISTING endpoint
+        # shingles come from the doc-bucketed store, pruned to the
+        # candidates' buckets (bounded collect: ≤ N_STATE_BUCKETS ints)
+        wave_ids = wave_sh.select("doc_id")
+        endpoints = (
+            cand.select(F.col("id_a").alias("doc_id"))
+            .union(cand.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+            .join(F.broadcast(wave_ids), "doc_id", "left_anti")
+        )
+        if os.path.exists(sh_dir):
+            ep_buckets = [
+                r.bucket
+                for r in endpoints.select(
+                    _bucket_of(F.col("doc_id")).alias("bucket")
+                ).distinct().collect()
+            ]
+            store_sh = (
+                spark.read.parquet(sh_dir)
+                .filter(F.col("bucket").isin(ep_buckets))
+                .join(F.broadcast(endpoints), "doc_id")
+                .select("doc_id", "shingles")
+            )
+            with_sh = store_sh.unionByName(
                 wave_sh.select("doc_id", "shingles")
             )
         else:
             with_sh = wave_sh.select("doc_id", "shingles")
-        pairs = _jaccard_verified(cand, with_sh, 0.5).select("id_a", "id_b")
+        # eager checkpoint: the pair list is wave-proportional and feeds
+        # several traversals in the merge core — materialize the verify
+        # pipeline exactly once and truncate the probe lineage
+        pairs = (
+            _jaccard_verified(cand, with_sh, 0.5)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        cand.unpersist()
 
-        base = (
-            spark.read.parquet(comp_dir)
-            if os.path.exists(comp_dir) else empty_map
-        )
-        merged = merge_pairs_into_components(base, pairs)
-        # atomic state swap: the new map reads the old map's files, so
-        # write beside it and rename (the foreachBatch idempotent-sink
-        # discipline — a replayed batch just recomputes the same swap)
-        tmp = f"{comp_dir}.next-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(comp_dir):
-            shutil.rmtree(comp_dir)
-        os.replace(tmp, comp_dir)
-        # append the wave to the index + shingle store AFTER the map
-        # swap (the next batch's reads see a consistent trio)
-        wave_bands.write.mode("append").parquet(bands_dir)
-        wave_sh.select("doc_id", "shingles").write.mode("append").parquet(
-            sh_dir
-        )
+        # partition-scoped component-map update (reads old buckets, so
+        # it runs BEFORE the index/store appends — batch replay after a
+        # crash recomputes the same idempotent swap)
+        _update_components(spark, comp_dir, pairs)
+        # co-locate each append by bucket before writing (one shuffle of
+        # the WAVE, never of the state): one file per touched bucket per
+        # batch instead of |tasks|×|buckets| fragments
+        wave_bands.select("doc_id", "band_idx", "band_key", "bucket") \
+            .repartition(N_STATE_BUCKETS, F.col("bucket")) \
+            .write.mode("append").partitionBy("bucket").parquet(bands_dir)
+        wave_sh.select(
+            "doc_id", "shingles", _bucket_of(F.col("doc_id")).alias("bucket")
+        ).repartition(N_STATE_BUCKETS, F.col("bucket")) \
+            .write.mode("append").partitionBy("bucket").parquet(sh_dir)
+        wave_bands.unpersist()
         wave_sh.unpersist()
         batch.unpersist()
 
@@ -193,7 +396,11 @@ def run_maintenance(
     query.awaitTermination()
     if not os.path.exists(comp_dir):  # empty corpus: no pairs anywhere
         return empty_map
-    return spark.read.parquet(comp_dir).select("doc_id", "component_id")
+    return (
+        spark.read.parquet(comp_dir)
+        .select("doc_id", "component_id")
+        .localCheckpoint(eager=True)
+    )
 
 
 STREAMCC_QUERIES = {

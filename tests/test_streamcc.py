@@ -12,6 +12,8 @@ query incarnations)."""
 import os
 import shutil
 
+from pyspark.sql import functions as F
+
 from postfix_log_parser_spark.ext.streamcc import (
     _write_wave_files,
     q173_stream_components,
@@ -67,4 +69,145 @@ def test_restart_resumes_from_checkpointed_waves(spark, tmp_path):
         comps.setdefault(c, set()).add(d % 3)
     assert any(len(waves) > 1 for waves in comps.values()), (
         "no component spans waves — cross-batch merging not exercised"
+    )
+
+
+def test_probe_plan_prunes_index_and_broadcasts_wave(spark, tmp_path):
+    """The layout's plan contract (r9 verdict item #1): the band-index
+    side of the per-batch probe must be (a) PRUNED to the wave's
+    buckets — a PartitionFilters entry on the bucket column — and
+    (b) joined via a BROADCAST of the wave side, so the index subtree
+    carries ZERO shuffle exchange and zero sort at any corpus size."""
+    from pyspark.sql import functions as F
+
+    from postfix_log_parser_spark.ext.dedup import _minhash_bands, shingles3_udf
+    from postfix_log_parser_spark.ext.streamcc import (
+        _bucket_of,
+        _probe_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    sh = docs.select(
+        "doc_id", shingles3_udf(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    bands = _minhash_bands(sh).withColumn("bucket", _bucket_of(F.col("band_key")))
+    bands_dir = str(tmp_path / "bands")
+    bands.filter(F.col("doc_id") < 8).write.partitionBy("bucket").parquet(bands_dir)
+
+    wave = bands.filter(F.col("doc_id") >= 8).persist()
+    wave.count()  # materialize, as merge_wave does before probing
+    probe = _probe_candidates(spark, bands_dir, wave)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    wave.unpersist()
+
+    assert "BroadcastHashJoin" in plan
+    # no shuffle anywhere in the probe — the only exchange is the
+    # broadcast of the wave side.  (The InMemoryRelation suffix is the
+    # cached wave's HISTORICAL build lineage, printed but not executed —
+    # the executed probe reads the InMemoryTableScan above it.)
+    executed = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in executed
+    assert "Exchange hashpartitioning" not in executed
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "bands" in ln
+    )
+    assert "PartitionFilters:" in scan
+    pf = scan.split("PartitionFilters:")[1]
+    assert "bucket" in pf and pf.strip()[:3] != "[],"
+
+
+def test_single_component_wave_rewrites_at_most_one_map_bucket(spark, tmp_path):
+    """The component map is hash-partitioned by component_id and updated
+    with partition-scoped dynamic overwrite: a wave that only grows ONE
+    component rewrites at most one bucket directory (r9 verdict item #1's
+    'Done' pin).  The band/shingle stores append, never rewrite."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    work = str(tmp_path / "work")
+    waves_dir = f"{work}/waves"
+    os.makedirs(waves_dir)
+    _write_wave_files(spark, sf, waves_dir)
+    base = {r.doc_id: r.component_id for r in
+            run_maintenance(spark, waves_dir, work).collect()}
+    assert base, "corpus must produce components"
+
+    comp_dir = f"{work}/components"
+
+    def snapshot(d):
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot(comp_dir)
+
+    # the late wave: ONE exact copy of an already-clustered original doc
+    # — identical shingles, identical bands, Jaccard 1.0 — so the only
+    # change is one added row in that component's bucket
+    target = min(d for d in base if d < 100000)
+    text = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("doc_id") == target).select("text").head()[0]
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array([900001], "int64"),
+                  "text": pa.array([text], "string")}),
+        f"{waves_dir}/wave-99.parquet",
+    )
+    after_map = {r.doc_id: r.component_id for r in
+                 run_maintenance(spark, waves_dir, work).collect()}
+    assert after_map[900001] == base[target]  # joined the right component
+    assert {d: c for d, c in after_map.items() if d != 900001} == base
+
+    after = snapshot(comp_dir)
+    changed_buckets = {
+        p.split("bucket=")[1].split("/")[0]
+        for p in (set(before) ^ set(after)
+                  | {p for p in before if p in after and before[p] != after[p]})
+        if "bucket=" in p
+    }
+    assert len(changed_buckets) <= 1, changed_buckets
+
+
+def test_update_components_sweeps_drained_bucket(spark, tmp_path):
+    """A merge can move EVERY row out of a bucket (the old component id
+    relabels to an id hashing elsewhere); dynamic overwrite writes
+    nothing there, so the updater must sweep the stale directory — else
+    the next batch would read resurrected rows."""
+    from pyspark.sql import functions as F
+
+    from postfix_log_parser_spark.ext.streamcc import (
+        N_STATE_BUCKETS,
+        _update_components,
+    )
+
+    def bucket(i):
+        return spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(i).cast("long")), F.lit(N_STATE_BUCKETS))
+        ).head()[0]
+
+    comp_dir = str(tmp_path / "components")
+    # component {50, 60} → comp 50
+    p1 = spark.createDataFrame([(50, 60)], "id_a long, id_b long")
+    _update_components(spark, comp_dir, p1)
+    # pick k < 50 whose bucket differs from bucket(50): the merge moves
+    # every row out of bucket(50)
+    k = next(i for i in range(49, 0, -1) if bucket(i) != bucket(50))
+    p2 = spark.createDataFrame([(k, 50)], "id_a long, id_b long")
+    _update_components(spark, comp_dir, p2)
+
+    got = {(r.doc_id, r.component_id) for r in
+           spark.read.parquet(comp_dir).select("doc_id", "component_id").collect()}
+    assert got == {(50, k), (60, k), (k, k)}
+    assert not os.path.exists(f"{comp_dir}/bucket={bucket(50)}") or not os.listdir(
+        f"{comp_dir}/bucket={bucket(50)}"
     )
