@@ -582,3 +582,86 @@ def test_maillog_splitbytes_composes_with_sessionize(spark, tmp_path):
         .load(str(p))
     )
     assert dense == split and len(dense) == 7
+
+
+def test_maillog_stream_late_file_seq_is_consumption_order(spark, tmp_path):
+    """The documented batch/stream seq divergence (sources/maillog.py
+    stream docstring): a rotation file arriving LATE whose name sorts
+    before an already-consumed name keeps its CONSUMPTION-ORDER seq base
+    — the stream cannot re-emit earlier files, and the checkpointed
+    offset list makes this stable across restarts.  A batch read of the
+    same directory sorts it first (rotation-order contract)."""
+    import uuid
+
+    register_maillog(spark)
+    d = tmp_path / "rot"
+    d.mkdir()
+    (d / "b.log").write_text("b0\n")
+
+    got: dict = {}
+
+    def run(qname):
+        got.clear()
+
+        def sink(batch, _bid):
+            got.update({r.value: r.seq for r in batch.collect()})
+
+        q = (
+            spark.readStream.format("maillog").load(str(d))
+            .writeStream.foreachBatch(sink).queryName(qname)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return dict(got)
+
+    first = run(f"mlate1_{uuid.uuid4().hex[:8]}")
+    assert first == {"b0": 0}
+
+    # a.log arrives late — its name sorts BEFORE the consumed b.log
+    (d / "a.log").write_text("a0\n")
+    second = run(f"mlate2_{uuid.uuid4().hex[:8]}")
+    # stream contract: consumption order — a.log gets the NEXT index
+    assert second == {"a0": 1 << 40}
+
+    # batch contract on the same directory: name-sort order
+    batch = {
+        r.value: r.seq
+        for r in spark.read.format("maillog").load(str(d)).collect()
+    }
+    assert batch == {"a0": 0, "b0": 1 << 40}
+
+
+def test_maillog_concurrent_batch_writers_do_not_clobber(spark, tmp_path):
+    """Two jobs staging into the same directory (r9 verdict item #2):
+    the first commit wins and sweeps ONLY its own job tag — the loser's
+    in-flight staged files survive — and the loser's commit then refuses
+    the append cleanly (single-writer contract), sweeping its own
+    staging and leaving the winner's snapshot intact."""
+    from postfix_log_parser_spark.sources.maillog import (
+        MailLogWriter,
+        _WroteFile,
+    )
+
+    register_maillog(spark)
+    out = str(tmp_path / "dir")
+    a = MailLogWriter({"path": out}, overwrite=False)
+    b = MailLogWriter({"path": out}, overwrite=False)
+    os.makedirs(out, exist_ok=True)
+    # stage by hand (write() itself requires an executor TaskContext)
+    sa = os.path.join(out, f"{a._staged_prefix()}part-00000-1.log")
+    with open(sa, "w") as fh:
+        fh.write("alpha\n")
+    sb = os.path.join(out, f"{b._staged_prefix()}part-00000-7.log")
+    with open(sb, "w") as fh:
+        fh.write("bravo\n")
+
+    a.commit([_WroteFile(sa, "part-00000.log", 1)])
+    assert os.path.exists(sb), "winner's sweep clobbered the other job"
+
+    with pytest.raises(ValueError, match="rotation orders|overwrite"):
+        b.commit([_WroteFile(sb, "part-00000.log", 1)])
+    assert not os.path.exists(sb)  # loser swept its own tag on refusal
+    vals = [r.value for r in spark.read.format("maillog").load(out).collect()]
+    assert vals == ["alpha"]
