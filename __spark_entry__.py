@@ -151,7 +151,11 @@
   only on the affected components' residual subgraph (splits,
   min-member relabels, and whole-component dissolutions all
   incremental); oracle rebuilds from scratch over the surviving
-  pairs (q174),
+  pairs (q174), the STREAMING form of the same takedown — applied as
+  a maintenance op against q173's four persistent state tables
+  (band index, shingle store, pair list, component map), advancing
+  the map in place with partition-scoped overwrite; oracle rebuilds
+  from scratch over the surviving pairs (q175),
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests

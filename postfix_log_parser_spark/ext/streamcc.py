@@ -5,7 +5,7 @@ access pattern.
 q36 computes components in one batch job; q172 folds ONE ingest wave
 into them; this module runs the full operational loop: a STREAM of
 ingest waves maintains the component map continuously, each micro-batch
-paying only wave-proportional work against three persistent state
+paying only wave-proportional work against four persistent state
 tables —
 
 * ``bands/``      the LSH band index, hash-BUCKETED by ``band_key``
@@ -20,6 +20,10 @@ tables —
                   step reads only the buckets holding candidate
                   EXISTING endpoints (wave shingles are already in
                   memory).
+* ``pairs/``      the maintained verified-pair list (appended per
+                  batch, bucketed by ``id_a``) — the edge set takedowns
+                  (``apply_takedown``, q175) recompute residual
+                  subgraphs from.
 * ``components/`` the component map, hash-PARTITIONED by
                   ``component_id``; each batch rewrites ONLY the
                   partitions containing changed rows (dynamic partition
@@ -70,6 +74,7 @@ from pyspark.sql import functions as F
 
 from postfix_log_parser_spark.ext.dedup import (
     _augmented,
+    _hash_min_cc,
     _jaccard_verified,
     _minhash_bands,
     _q36_sql,
@@ -89,6 +94,11 @@ N_STATE_BUCKETS = 16
 # and q172's merged map, the stream runs once per (session, corpus) and
 # readers get the converged state
 _MV_STAGE = StageCache(inputs=("documents.parquet",))
+# q175's post-takedown map, staged the same way
+_TD_STAGE = StageCache(inputs=("documents.parquet",))
+# the live state dir behind each staged q173 map, so q175 can apply the
+# takedown to the SAME maintained state instead of rebuilding it
+_MV_WORK: dict = {}
 
 # q173's own work dirs (waves + state + checkpoint) — removed at process
 # exit; the staged result frame is an eager localCheckpoint, so dropping
@@ -144,6 +154,7 @@ def q173_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(waves_dir)
     _write_wave_files(spark, sf_dir, waves_dir)
     final = run_maintenance(spark, waves_dir, work)
+    _MV_WORK[key] = work
     return _MV_STAGE.put(key, final)
 
 
@@ -290,6 +301,7 @@ def run_maintenance(
     bands_dir = f"{work}/bands"
     sh_dir = f"{work}/shingles"
     comp_dir = f"{work}/components"
+    pairs_dir = f"{work}/pairs"
     empty_map = spark.createDataFrame([], "doc_id long, component_id long")
 
     def merge_wave(batch: DataFrame, batch_id: int) -> None:
@@ -370,6 +382,9 @@ def run_maintenance(
         # co-locate each append by bucket before writing (one shuffle of
         # the WAVE, never of the state): one file per touched bucket per
         # batch instead of |tasks|×|buckets| fragments
+        pairs.withColumn("bucket", _bucket_of(F.col("id_a"))) \
+            .repartition(N_STATE_BUCKETS, F.col("bucket")) \
+            .write.mode("append").partitionBy("bucket").parquet(pairs_dir)
         wave_bands.select("doc_id", "band_idx", "band_key", "bucket") \
             .repartition(N_STATE_BUCKETS, F.col("bucket")) \
             .write.mode("append").partitionBy("bucket").parquet(bands_dir)
@@ -403,11 +418,170 @@ def run_maintenance(
     )
 
 
+def apply_takedown(
+    spark: SparkSession, work: str, deleted: DataFrame
+) -> DataFrame:
+    """Remove a takedown batch from the MAINTAINED state — the streaming
+    twin of q174's deletion core, run as a maintenance op against the
+    four state tables (takedowns arrive as their own feed, not as
+    ingest waves).  Every step is affected-component-proportional:
+
+    1. affected components = map ⋈ deleted (the doc→comp lookup streams
+       the comp-keyed map — the documented second-index trade);
+    2. their member rows come from a read PRUNED to the affected
+       comps' buckets;
+    3. residual edges come from the pair store PRUNED to the members'
+       ``id_a`` buckets, endpoint-filtered to surviving members;
+    4. hash-min CC on the residual subgraph relabels survivors to the
+       min surviving id; edgeless survivors drop out;
+    5. the component map is advanced IN PLACE with the same
+       partition-scoped dynamic overwrite as ingest: touched buckets =
+       affected comps' buckets ∪ recomputed labels' buckets, drained
+       buckets swept.
+
+    Idempotent: re-applying the same takedown finds no deleted doc in
+    the map and returns the map unchanged.  Returns the post-takedown
+    map as an eager localCheckpoint."""
+    comp_dir = f"{work}/components"
+    pairs_dir = f"{work}/pairs"
+    empty_map = spark.createDataFrame([], "doc_id long, component_id long")
+    if not os.path.exists(comp_dir):
+        return empty_map
+
+    def current() -> DataFrame:
+        return (
+            spark.read.parquet(comp_dir)
+            .select("doc_id", "component_id")
+            .localCheckpoint(eager=True)
+        )
+
+    base = spark.read.parquet(comp_dir)  # carries the bucket column
+    aff = (
+        base.join(deleted, "doc_id")
+        .select("component_id").distinct()
+        .localCheckpoint(eager=True)
+    )
+    aff_buckets = sorted({
+        r.bucket
+        for r in aff.select(
+            _bucket_of(F.col("component_id")).alias("bucket")
+        ).distinct().collect()
+    })
+    if not aff_buckets:  # nothing mapped is deleted — no-op
+        return current()
+    members = (
+        base.filter(F.col("bucket").isin(aff_buckets))
+        .join(F.broadcast(aff), "component_id")
+        .select("doc_id", "component_id")
+        .localCheckpoint(eager=True)
+    )
+    survivors = members.join(F.broadcast(deleted), "doc_id", "left_anti")
+    member_buckets = [
+        r.bucket
+        for r in members.select(
+            _bucket_of(F.col("doc_id")).alias("bucket")
+        ).distinct().collect()
+    ]
+    resid = (
+        spark.read.parquet(pairs_dir)
+        .filter(F.col("bucket").isin(member_buckets))
+        .join(F.broadcast(survivors.select(F.col("doc_id").alias("id_a"))), "id_a")
+        .join(F.broadcast(survivors.select(F.col("doc_id").alias("id_b"))), "id_b")
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    ) if os.path.exists(pairs_dir) else spark.createDataFrame(
+        [], "a long, b long"
+    )
+    labels = _hash_min_cc(resid)
+    recomputed = labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+    touched = sorted(
+        set(aff_buckets)
+        | {
+            r.bucket
+            for r in labels.select(
+                _bucket_of(F.col("comp")).alias("bucket")
+            ).distinct().collect()
+        }
+    )
+    new_rows = (
+        base.filter(F.col("bucket").isin(touched))
+        .join(F.broadcast(aff), "component_id", "left_anti")
+        .select("doc_id", "component_id")
+        .unionByName(recomputed)
+        .withColumn("bucket", _bucket_of(F.col("component_id")))
+        .repartition(N_STATE_BUCKETS, F.col("bucket"))
+        .localCheckpoint(eager=True)
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        new_rows.write.mode("overwrite").partitionBy("bucket").parquet(comp_dir)
+    finally:
+        spark.conf.set(conf_key, old)
+    written = {r.bucket for r in new_rows.select("bucket").distinct().collect()}
+    for b in set(touched) - written:  # bucket fully drained by the takedown
+        shutil.rmtree(f"{comp_dir}/bucket={b}", ignore_errors=True)
+    return current()
+
+
+def q175_stream_components_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full streaming lifecycle: q173's maintenance loop builds the
+    map wave by wave, then a takedown batch (q174's deletion set —
+    originals with doc_id % 4 == 3) is applied to the SAME maintained
+    state tables.  The oracle rebuilds CC from scratch over the
+    surviving pairs, so the typed contract proves that streamed ingest
+    followed by incremental takedown equals a full rebuild."""
+    from postfix_log_parser_spark.ext.dedup import _deleted_docs
+
+    key = _stage_key(spark, sf_dir)
+    staged = _TD_STAGE.get(key)
+    if staged is not None:
+        return staged
+    q173_stream_components(spark, sf_dir)  # ensure the maintained state
+    work = _MV_WORK[key]
+    out = apply_takedown(spark, work, _deleted_docs(spark, sf_dir))
+    return _TD_STAGE.put(key, out)
+
+
+def _q175_sql() -> str:
+    from postfix_log_parser_spark.ext.dedup import _q22_sql
+
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_q22_sql()}),
+del AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+sp AS MATERIALIZED (
+  SELECT id_a, id_b FROM pairs
+  WHERE id_a NOT IN (SELECT doc_id FROM del)
+    AND id_b NOT IN (SELECT doc_id FROM del)
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM sp
+  UNION
+  SELECT id_b, id_a FROM sp
+),
+reach AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION
+  SELECT reach.x, edges.b FROM reach JOIN edges ON reach.y = edges.a
+)
+SELECT x AS doc_id, least(x, min(y)) AS component_id
+FROM reach GROUP BY x
+"""
+
+
 STREAMCC_QUERIES = {
     "q173_stream_components": q173_stream_components,
+    "q175_stream_components_with_deletes": q175_stream_components_with_deletes,
 }
 
 STREAMCC_ORACLES = {
     # the converged stream state must equal batch CC from scratch
     "q173_stream_components": _q36_sql(),
+    # streamed ingest + incremental takedown must equal a full rebuild
+    # over the surviving pairs
+    "q175_stream_components_with_deletes": _q175_sql(),
 }

@@ -211,3 +211,34 @@ def test_update_components_sweeps_drained_bucket(spark, tmp_path):
     assert not os.path.exists(f"{comp_dir}/bucket={bucket(50)}") or not os.listdir(
         f"{comp_dir}/bucket={bucket(50)}"
     )
+
+
+def test_apply_takedown_relabels_and_dissolves(spark, tmp_path):
+    """q175's core against the state tables directly: deleting a chain
+    component's min member relabels the survivors to the min SURVIVING
+    id through residual edges; a pair component losing one member
+    dissolves (the edgeless survivor drops out); re-applying the same
+    takedown is a no-op."""
+    from postfix_log_parser_spark.ext.streamcc import (
+        _bucket_of,
+        _update_components,
+        apply_takedown,
+    )
+
+    work = str(tmp_path / "w")
+    os.makedirs(work)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 20)], "id_a long, id_b long"
+    )
+    _update_components(spark, f"{work}/components", pairs)
+    pairs.withColumn("bucket", _bucket_of(F.col("id_a"))) \
+        .write.partitionBy("bucket").parquet(f"{work}/pairs")
+
+    deleted = spark.createDataFrame([(1,), (10,)], "doc_id long")
+    out = {(r.doc_id, r.component_id)
+           for r in apply_takedown(spark, work, deleted).collect()}
+    assert out == {(2, 2), (3, 2)}  # chain relabels; pair dissolves
+
+    again = {(r.doc_id, r.component_id)
+             for r in apply_takedown(spark, work, deleted).collect()}
+    assert again == out  # idempotent
