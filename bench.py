@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "q173_stream_components",
     "q174_components_with_deletes",
     "q175_stream_components_with_deletes",
+    "q176_stream_ann_index",
     "q154_split_leakage",
     "q160_component_split",
     "q155_aqe_skew_join",

@@ -56,6 +56,10 @@ from postfix_log_parser_spark.ext.retrieval import (
 from postfix_log_parser_spark.ext.sampling import SAMPLING_ORACLES, SAMPLING_QUERIES
 from postfix_log_parser_spark.ext.classify import CLASSIFY_ORACLES, CLASSIFY_QUERIES
 from postfix_log_parser_spark.ext.spans import SPANS_ORACLES, SPANS_QUERIES
+from postfix_log_parser_spark.ext.streamann import (
+    STREAMANN_ORACLES,
+    STREAMANN_QUERIES,
+)
 from postfix_log_parser_spark.ext.streamcc import (
     STREAMCC_ORACLES,
     STREAMCC_QUERIES,
@@ -118,6 +122,7 @@ EXT_QUERIES = {
     **RETRIEVAL_QUERIES,
     **SPANS_QUERIES,
     **STREAMCC_QUERIES,
+    **STREAMANN_QUERIES,
     **CLASSIFY_QUERIES,
     **TOPK_QUERIES,
     **DPP_QUERIES,
@@ -161,6 +166,7 @@ EXT_ORACLES = {
     **RETRIEVAL_ORACLES,
     **SPANS_ORACLES,
     **STREAMCC_ORACLES,
+    **STREAMANN_ORACLES,
     **CLASSIFY_ORACLES,
     **TOPK_ORACLES,
     **DPP_ORACLES,

@@ -487,15 +487,20 @@ def q157_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch broadcasts; nothing re-encodes the corpus.  The plan is pinned
     in tests/test_plans.py: index side = checkpoint scan (no re-encode),
     one BroadcastHashJoin on the probe cell."""
-    from postfix_log_parser_spark.ext.similarity import _cell_scores
-
     index = ivfpq_index(spark, sf_dir)
     if index is None:
         return spark.createDataFrame(
             [], "new_id long, rn int, neighbor_id long, adc_dot double, cosine double"
         )
     emb = _with_norm(_emb(spark, sf_dir))
-    cb_lit = _cb_lit(_codebook(emb))
+    return probe_ivfpq(index, emb, _cb_lit(_codebook(emb)))
+
+
+def new_batch_queries(emb: DataFrame, cb_lit: Column) -> DataFrame:
+    """The probe side shared by q157 and the stream-maintained index
+    (q176): each NEW-batch vector computes its own top-2 coarse cells
+    (nprobe=2) and ADC lookup table — all tiny and broadcastable."""
+    from postfix_log_parser_spark.ext.similarity import _cell_scores
 
     newv = emb.filter(_is_new_batch(F.col("vec_id"))).withColumn(
         "cs", _cell_scores(F.col("v"))
@@ -507,7 +512,7 @@ def q157_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x, i: F.when(i == F.col("cell"), F.lit(float("-inf"))).otherwise(x),
     )
     p2 = (F.array_position(masked, F.array_max(masked)) - 1).cast("int")
-    queries = newv.withColumn("p2", p2).select(
+    return newv.withColumn("p2", p2).select(
         F.col("vec_id").alias("new_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -515,6 +520,13 @@ def q157_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(F.col("cell"), F.col("p2"))).alias("probe_cell"),
     )
 
+
+def probe_ivfpq(index: DataFrame, emb: DataFrame, cb_lit: Column) -> DataFrame:
+    """ADC probe of a (vec_id, cell, codes) index by the new-batch query
+    set, exact-cosine rerank on the winners — q157's search, callable
+    against ANY index representation (the staged session frame or
+    q176's stream-maintained cell-partitioned table)."""
+    queries = new_batch_queries(emb, cb_lit)
     w = Window.partitionBy("new_id").orderBy(
         F.col("adc_raw").desc(), F.col("vec_id")
     )

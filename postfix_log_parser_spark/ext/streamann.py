@@ -1,0 +1,195 @@
+"""Streaming ANN index maintenance — the vector-search twin of q173's
+maintained dedup state.
+
+q68 builds the IVF-PQ index in one batch job; q157 probes a PERSISTED
+index without rebuilding it; this module runs the remaining operational
+piece: a STREAM of ingest waves maintains the index itself.  The state
+is one table —
+
+* ``codes/`` — the (vec_id, codes) store hash-PARTITIONED by IVF
+  ``cell`` (a parquet partition directory per coarse cell).  Each
+  micro-batch encodes ONLY its own wave (cell assignment + PQ codes via
+  the broadcast codebook literal — one narrow map over the wave, no
+  shuffle) and appends to the matching cell partitions.  Nothing ever
+  re-encodes or rewrites the corpus: per-batch write I/O is
+  wave-proportional, and the probe reads only ``nprobe`` of the cell
+  partitions (partition pruning on the collected probe-cell list,
+  bounded by the number of coarse cells).
+
+The codebook is trained once at corpus build (the same deterministic
+CW-smallest-vec_ids sample as q59/q68 — production would k-means, q58
+shows that loop) and broadcast as a literal into every batch, exactly
+how a trained model artifact rides a stream.
+
+Correctness: the converged store holds exactly the rows ``ivfpq_index``
+computes in one batch, so probing it with q157's query set must produce
+q157's results — and the DuckDB oracle IS q157's oracle, which
+recomputes the whole index from scratch.  The typed contract therefore
+proves maintained index == built-from-scratch index on every corpus it
+runs on.
+
+Reference scope: north-star extension (continuous ingest composed with
+the ANN family); same availableNow + foreachBatch shape as q173.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postfix_log_parser_spark.ext.quantize import (
+    _cb_lit,
+    _codebook,
+    _codes_expr,
+    _is_new_batch,
+    _q157_sql,
+    new_batch_queries,
+    probe_ivfpq,
+)
+from postfix_log_parser_spark.ext.similarity import _cell_scores, _emb, _with_norm
+from postfix_log_parser_spark.ext.staging import StageCache
+
+N_WAVES = 3
+
+_SA_STAGE = StageCache(inputs=("embeddings.parquet",))
+
+_WORK_DIRS: list[str] = []
+
+
+def _sweep_work_dirs() -> None:
+    for d in _WORK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _WORK_DIRS.clear()
+
+
+atexit.register(_sweep_work_dirs)
+
+
+def _write_wave_files(
+    spark: SparkSession, sf_dir: str, waves_dir: str
+) -> None:
+    """Split the CORPUS side (everything except q157's new batch) into
+    N_WAVES single-file parquet waves (vec_id mod N_WAVES) — the
+    stream's arrival units."""
+    emb = _emb(spark, sf_dir).filter(~_is_new_batch(F.col("vec_id")))
+    for w in range(N_WAVES):
+        stage = f"{waves_dir}.stage{w}"
+        (
+            emb.filter(F.col("vec_id") % N_WAVES == w)
+            .repartition(1)
+            .write.mode("overwrite").parquet(stage)
+        )
+        part = next(
+            n for n in sorted(os.listdir(stage))
+            if n.startswith("part-") and n.endswith(".parquet")
+        )
+        os.replace(f"{stage}/{part}", f"{waves_dir}/wave-{w:02d}.parquet")
+        shutil.rmtree(stage)
+
+
+def run_index_maintenance(
+    spark: SparkSession, waves_dir: str, work: str, cb_lit
+) -> None:
+    """One availableNow pass: every not-yet-consumed wave file is
+    encoded (cell + PQ codes, wave-proportional) and appended to the
+    cell-partitioned code store.  State and the stream checkpoint live
+    under ``work`` and survive across calls — a later call folds only
+    the waves that arrived since (same restart contract as q173)."""
+    codes_dir = f"{work}/codes"
+
+    def encode_wave(batch: DataFrame, batch_id: int) -> None:
+        withc = batch.withColumn("cs", _cell_scores(F.col("v")))
+        cell = (
+            F.array_position(F.col("cs"), F.array_max("cs")) - 1
+        ).cast("int")
+        (
+            withc.select(
+                "vec_id",
+                cell.alias("cell"),
+                _codes_expr(F.col("v"), cb_lit).alias("codes"),
+            )
+            # co-locate by cell before writing: one file per touched
+            # cell per batch (a wave-proportional shuffle, never of the
+            # accumulated store)
+            .repartition(F.col("cell"))
+            .write.mode("append").partitionBy("cell").parquet(codes_dir)
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(waves_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(encode_wave)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .queryName(f"q176_stream_ann_index_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def maintained_index(spark: SparkSession, work: str, probe_cells) -> DataFrame:
+    """Read the maintained code store PRUNED to the probe cells — the
+    partition filter is the plan-level guarantee that a search touches
+    ``nprobe`` cells of state, not the corpus."""
+    codes_dir = f"{work}/codes"
+    return (
+        spark.read.parquet(codes_dir)
+        .filter(F.col("cell").isin(sorted(probe_cells)))
+        .select("vec_id", "cell", "codes")
+    )
+
+
+def q176_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the IVF-PQ index by streaming the corpus in waves, then
+    run q157's probe (the new-batch query set, nprobe=2, ADC scoring,
+    exact-cosine rerank) against the MAINTAINED store.  The oracle is
+    q157's from-scratch SQL rebuild — maintained == rebuilt, proven per
+    corpus."""
+    key = _SA_STAGE.key(spark, sf_dir)
+    staged = _SA_STAGE.get(key)
+    if staged is not None:
+        return staged
+    emb = _with_norm(_emb(spark, sf_dir))
+    cb = _codebook(emb)
+    if not cb[0]:  # empty corpus: typed empty, and nothing to stage
+        return spark.createDataFrame(
+            [],
+            "new_id long, rn int, neighbor_id long, adc_dot double, cosine double",
+        )
+    cb_lit = _cb_lit(cb)
+    work = tempfile.mkdtemp(prefix="q176_stream_ann_index_")
+    _WORK_DIRS.append(work)
+    waves_dir = f"{work}/waves"
+    os.makedirs(waves_dir)
+    _write_wave_files(spark, sf_dir, waves_dir)
+    run_index_maintenance(spark, waves_dir, work, cb_lit)
+    # bounded collect: the query batch's distinct probe cells (≤ #cells)
+    probe_cells = {
+        r.probe_cell
+        for r in new_batch_queries(emb, cb_lit)
+        .select("probe_cell").distinct().collect()
+    }
+    out = probe_ivfpq(
+        maintained_index(spark, work, probe_cells), emb, cb_lit
+    ).localCheckpoint(eager=True)
+    return _SA_STAGE.put(key, out)
+
+
+STREAMANN_QUERIES = {
+    "q176_stream_ann_index": q176_stream_ann_index,
+}
+
+STREAMANN_ORACLES = {
+    # the maintained store must answer exactly like the from-scratch
+    # index — q157's oracle rebuilds everything in SQL
+    "q176_stream_ann_index": _q157_sql(),
+}
