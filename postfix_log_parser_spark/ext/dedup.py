@@ -802,23 +802,47 @@ WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]
 # q36 — near-dup connected components (pair list → dedup clusters)
 # ---------------------------------------------------------------------------
 
-def _hash_min_cc(edges: DataFrame) -> DataFrame:
-    """Hash-min label-propagation connected components over an ``(a, b)``
-    edge list — the standard large-graph CC loop, shared by q36 (corpus
-    pair graph), the q172/q173 merge core (delta graph), and the q174
-    deletion core (residual subgraphs).  Returns an eagerly-checkpointed
-    ``(id, comp)`` frame with ``comp`` = min id reachable.
+def _hash_min_cc(edges: DataFrame, driver_limit: int = 500_000) -> DataFrame:
+    """Hash-min connected components over an ``(a, b)`` edge list —
+    shared by q36 (corpus pair graph), the q172/q173 merge core (delta
+    graph), and the q174/q175 deletion cores (residual subgraphs).
+    Returns ``(id, comp)`` with ``comp`` = min id reachable.
 
-    Each round is one (edges ⋈ labels) shuffle + a min-aggregate; the
-    pre-update label rides in the same frame so the convergence check is
-    a cache-local filter+count, not another join.  Rounds needed = graph
-    diameter; the loop runs UNTIL CONVERGED with a node-count-
-    proportional backstop — min-propagation must converge within |V|
-    rounds, so exceeding |V|+1 is a true runaway (a lineage/logic bug),
-    never a legitimately deep graph.  The |V| count is only computed if
-    the cheap 20-round fast path is exhausted, so the common case pays
-    zero extra jobs.  At 100 TB swap the per-round persist for a
-    reliable checkpoint to truncate lineage."""
+    Bounded-probe hybrid (the dovecot-join discipline): near-dup pair
+    and delta graphs are output-proportional — usually thousands of
+    edges, not billions — so probe ``limit(driver_limit+1)``; when the
+    edge list fits, run union-find on the driver (ONE job instead of ~3
+    per propagation round) and return the labels as a literal frame.
+    An oversized graph falls through to the distributed loop below —
+    never more than ``driver_limit+1`` rows are ever collected.
+
+    Distributed path: each round is one (edges ⋈ labels) shuffle + a
+    min-aggregate; the pre-update label rides in the same frame so the
+    convergence check is a cache-local filter+count, not another join.
+    Rounds needed = graph diameter; the loop runs UNTIL CONVERGED with
+    a node-count-proportional backstop — min-propagation must converge
+    within |V| rounds, so exceeding |V|+1 is a true runaway (a
+    lineage/logic bug), never a legitimately deep graph.  At 100 TB
+    swap the per-round persist for a reliable checkpoint to truncate
+    lineage."""
+    spark = edges.sparkSession
+    probe = edges.limit(driver_limit + 1).collect()
+    if len(probe) <= driver_limit:
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in probe:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min-id canonical root
+        rows = [(int(n), int(find(n))) for n in parent]
+        return spark.createDataFrame(rows, "id long, comp long")
     und = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()

@@ -203,8 +203,13 @@ def _update_components(
     directory is swept explicitly."""
     empty_map = spark.createDataFrame([], "doc_id long, component_id long")
     have_map = os.path.exists(comp_dir)
+    # one listing + scan of the map per batch: the update's 4-5 actions
+    # (delta build, hit probe, added-row anti-join, new-contents read)
+    # all read this cached frame instead of re-listing the partition
+    # directories each time
     base = (
         spark.read.parquet(comp_dir).select("doc_id", "component_id")
+        .persist()
         if have_map else empty_map
     )
     relabel, extra = merge_delta(base, pairs)
@@ -247,6 +252,8 @@ def _update_components(
     }
     touched = sorted(hit_buckets | extra_buckets)
     if not touched:  # no membership change — zero map I/O this batch
+        if have_map:
+            base.unpersist()
         return
     changed_src = (
         base.filter(_bucket_of(F.col("component_id")).isin(touched))
@@ -285,6 +292,8 @@ def _update_components(
     written = {r.bucket for r in new_rows.select("bucket").distinct().collect()}
     for b in set(touched) - written:  # bucket fully drained by the move
         shutil.rmtree(f"{comp_dir}/bucket={b}", ignore_errors=True)
+    if have_map:
+        base.unpersist()
 
 
 def run_maintenance(

@@ -59,6 +59,28 @@ def test_incremental_merge_equals_full_cc(spark, seed):
     assert got == _cc(edges), (seed, first, second)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_distributed_cc_path_equals_driver_path(spark, seed):
+    """_hash_min_cc is a bounded-probe hybrid: graphs within the probe
+    limit run driver-side union-find, oversized ones the distributed
+    hash-min loop.  Force the distributed path (driver_limit=0) and
+    require identical labels — the fallback must never drift from the
+    fast path."""
+    from postfix_log_parser_spark.ext.dedup import _hash_min_cc
+
+    rnd = random.Random(2000 + seed)
+    n = rnd.randint(4, 12)
+    edges = sorted({
+        tuple(sorted(rnd.sample(range(n), 2)))
+        for _ in range(rnd.randint(2, 12))
+    })
+    edges_df = spark.createDataFrame(edges, "a long, b long")
+    fast = {(r.id, r.comp) for r in _hash_min_cc(edges_df).collect()}
+    dist = {(r.id, r.comp)
+            for r in _hash_min_cc(edges_df, driver_limit=0).collect()}
+    assert fast == dist == set(_cc(edges).items())
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_incremental_delete_equals_full_cc(spark, seed):
     """q174's core: deleting ANY doc subset from CC(edges) via
