@@ -548,7 +548,11 @@ def probe_ivfpq(index: DataFrame, emb: DataFrame, cb_lit: Column) -> DataFrame:
     )
 
 
-def _q157_sql() -> str:
+def _q157_sql(index_extra_where: str = "") -> str:
+    """q157's from-scratch IVF-PQ rebuild + probe.  ``index_extra_where``
+    narrows the INDEX side only (candidate cells) — q177 uses it to
+    express a takedown (deleted ids excluded from the store, queries
+    unaffected)."""
     from postfix_log_parser_spark.ext.similarity import CENTROIDS
 
     cents_sql = ", ".join(
@@ -606,7 +610,7 @@ candpairs AS (
   SELECT p.new_id, c.vec_id
   FROM probes p JOIN cells c
     ON c.cell = p.probe_cell
-   AND c.vec_id % {NEW_BATCH_MOD} != {NEW_BATCH_RESIDUE}
+   AND c.vec_id % {NEW_BATCH_MOD} != {NEW_BATCH_RESIDUE}{index_extra_where}
 ),
 adc AS (
   SELECT cp.new_id, cp.vec_id AS neighbor_id,

@@ -58,6 +58,16 @@ from postfix_log_parser_spark.ext.staging import StageCache
 N_WAVES = 3
 
 _SA_STAGE = StageCache(inputs=("embeddings.parquet",))
+# q177's post-takedown probe results, staged the same way
+_SAD_STAGE = StageCache(inputs=("embeddings.parquet",))
+# the live code-store dir behind each staged q176 result, so q177 can
+# apply the takedown to the SAME maintained store
+_SA_WORK: dict = {}
+
+# the takedown batch: every 9th-offset-4 vector is retracted from the
+# INDEX (it stays in the embeddings table — a query for it is still
+# legal; only its store entry goes away)
+DELETE_MOD, DELETE_RES = 9, 4
 
 _WORK_DIRS: list[str] = []
 
@@ -172,6 +182,7 @@ def q176_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(waves_dir)
     _write_wave_files(spark, sf_dir, waves_dir)
     run_index_maintenance(spark, waves_dir, work, cb_lit)
+    _SA_WORK[key] = work
     # bounded collect: the query batch's distinct probe cells (≤ #cells)
     probe_cells = {
         r.probe_cell
@@ -184,12 +195,104 @@ def q176_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SA_STAGE.put(key, out)
 
 
+def apply_index_takedown(
+    spark: SparkSession, work: str, deleted: DataFrame
+) -> None:
+    """Retract a batch of vectors from the maintained code store — the
+    ANN twin of q175's component-map takedown, and every step
+    takedown-batch-proportional:
+
+    1. the deleted vectors' CELLS are recomputed from their embeddings
+       (the same assignment expression ingest uses — batch-sized work);
+    2. only those cell partitions are read (partition pruning) and
+       rewritten without the deleted ids (broadcast anti-join + dynamic
+       partition overwrite);
+    3. a cell drained to zero rows is swept explicitly.
+
+    Idempotent: re-applying finds no deleted id in the touched cells
+    and rewrites them unchanged."""
+    codes_dir = f"{work}/codes"
+    delv = deleted.withColumn("cs", _cell_scores(F.col("v")))
+    cell = (F.array_position(F.col("cs"), F.array_max("cs")) - 1).cast("int")
+    aff_cells = sorted({
+        r.cell for r in delv.select(cell.alias("cell")).distinct().collect()
+    })
+    if not aff_cells:
+        return
+    kept = (
+        spark.read.parquet(codes_dir)
+        .filter(F.col("cell").isin(aff_cells))
+        .join(F.broadcast(deleted.select("vec_id")), "vec_id", "left_anti")
+        .select("vec_id", "cell", "codes")
+        .repartition(F.col("cell"))
+        .localCheckpoint(eager=True)  # read-under-write guard, tiny
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        kept.withColumn("cell", F.col("cell")).write.mode("overwrite") \
+            .partitionBy("cell").parquet(codes_dir)
+    finally:
+        spark.conf.set(conf_key, old)
+    written = {r.cell for r in kept.select("cell").distinct().collect()}
+    for c in set(aff_cells) - written:  # cell drained by the takedown
+        shutil.rmtree(f"{codes_dir}/cell={c}", ignore_errors=True)
+
+
+def q177_stream_ann_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN lifecycle's takedown stage: q176 maintains the store by
+    streaming ingest waves, then a retraction batch (vec_id % 9 == 4)
+    is removed from the SAME store, cell-partition-scoped; the probe
+    then runs against the post-takedown store.  The oracle is q157's
+    from-scratch rebuild with the deleted ids excluded from the index
+    side — takedown == rebuild-without-them, proven per corpus."""
+    key = _SAD_STAGE.key(spark, sf_dir)
+    staged = _SAD_STAGE.get(key)
+    if staged is not None:
+        return staged
+    emb = _with_norm(_emb(spark, sf_dir))
+    cb = _codebook(emb)
+    if not cb[0]:
+        return spark.createDataFrame(
+            [],
+            "new_id long, rn int, neighbor_id long, adc_dot double, cosine double",
+        )
+    cb_lit = _cb_lit(cb)
+    q176_stream_ann_index(spark, sf_dir)  # ensure the maintained store
+    work = _SA_WORK[_SA_STAGE.key(spark, sf_dir)]
+    deleted = emb.filter(
+        F.col("vec_id") % DELETE_MOD == DELETE_RES
+    ).select("vec_id", "v")
+    apply_index_takedown(spark, work, deleted)
+    probe_cells = {
+        r.probe_cell
+        for r in new_batch_queries(emb, cb_lit)
+        .select("probe_cell").distinct().collect()
+    }
+    out = probe_ivfpq(
+        maintained_index(spark, work, probe_cells), emb, cb_lit
+    ).localCheckpoint(eager=True)
+    return _SAD_STAGE.put(key, out)
+
+
+def _q177_sql() -> str:
+    return _q157_sql(
+        index_extra_where=(
+            f"\n   AND c.vec_id % {DELETE_MOD} != {DELETE_RES}"
+        )
+    )
+
+
 STREAMANN_QUERIES = {
     "q176_stream_ann_index": q176_stream_ann_index,
+    "q177_stream_ann_deletes": q177_stream_ann_deletes,
 }
 
 STREAMANN_ORACLES = {
     # the maintained store must answer exactly like the from-scratch
     # index — q157's oracle rebuilds everything in SQL
     "q176_stream_ann_index": _q157_sql(),
+    # takedown == rebuild-without-the-deleted (index side only)
+    "q177_stream_ann_deletes": _q177_sql(),
 }

@@ -86,3 +86,63 @@ def test_stream_ann_restart_and_pruned_probe(spark, tmp_path):
     maintained = {tuple(r) for r in probe.collect()}
     oneshot = {tuple(r) for r in q157_ann_incremental(spark, SF).collect()}
     assert maintained == oneshot
+
+
+def test_index_takedown_is_cell_scoped_and_idempotent(spark, tmp_path):
+    """q177's core against the store directly: retracting a batch
+    rewrites ONLY the cells the deleted vectors live in (other cell
+    directories are untouched), a drained cell is swept, and re-applying
+    the same takedown leaves the store byte-stable in content."""
+    from postfix_log_parser_spark.ext.quantize import _cb_lit, _codebook
+    from postfix_log_parser_spark.ext.streamann import (
+        apply_index_takedown,
+        run_index_maintenance,
+    )
+
+    emb = _with_norm(_emb(spark, SF))
+    cb_lit = _cb_lit(_codebook(emb))
+    work = str(tmp_path / "work")
+    waves_dir = f"{work}/waves"
+    os.makedirs(waves_dir)
+    _write_wave_files(spark, SF, waves_dir)
+    run_index_maintenance(spark, waves_dir, work, cb_lit)
+    codes_dir = f"{work}/codes"
+    before_rows = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(codes_dir).collect()
+    }
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(codes_dir):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    # delete the vectors of exactly ONE cell (pick the cell of some
+    # indexed vector) — only that cell directory may change
+    some = spark.read.parquet(codes_dir).orderBy("vec_id").head()
+    victims = [
+        r.vec_id
+        for r in spark.read.parquet(codes_dir)
+        .filter(F.col("cell") == some.cell).limit(3).collect()
+    ]
+    deleted = emb.filter(F.col("vec_id").isin(victims)).select("vec_id", "v")
+    before = snapshot()
+    apply_index_takedown(spark, work, deleted)
+    after = snapshot()
+    changed_cells = {
+        p.split("cell=")[1].split("/")[0]
+        for p in (set(before) ^ set(after)
+                  | {p for p in before if p in after and before[p] != after[p]})
+        if "cell=" in p
+    }
+    assert changed_cells <= {str(some.cell)}, changed_cells
+    got = {(r.vec_id, r.cell) for r in spark.read.parquet(codes_dir).collect()}
+    assert got == {t for t in before_rows if t[0] not in set(victims)}
+
+    # idempotent: re-apply, content unchanged
+    apply_index_takedown(spark, work, deleted)
+    again = {(r.vec_id, r.cell) for r in spark.read.parquet(codes_dir).collect()}
+    assert again == got
