@@ -90,6 +90,15 @@ N_WAVES = 3
 # cost scales with min(buckets touched, N), not with N itself
 N_STATE_BUCKETS = 16
 
+# explicit state-table schemas: an empty corpus's waves append ZERO
+# rows, so a partitioned state dir can exist with no parquet footers —
+# schema inference would fail there, an explicit schema reads it as a
+# typed empty frame (the empty-input totality gate)
+_BANDS_SCHEMA = "doc_id long, band_idx int, band_key binary, bucket int"
+_SHINGLES_SCHEMA = "doc_id long, shingles array<string>, bucket int"
+_COMP_SCHEMA = "doc_id long, component_id long, bucket int"
+_PAIRS_SCHEMA = "id_a long, id_b long, bucket int"
+
 # the maintained view persists across queries — like q36's component map
 # and q172's merged map, the stream runs once per (session, corpus) and
 # readers get the converged state
@@ -171,7 +180,9 @@ def _probe_candidates(
     touched = [
         r.bucket for r in wave_bands.select("bucket").distinct().collect()
     ]
-    idx = spark.read.parquet(bands_dir).filter(F.col("bucket").isin(touched))
+    idx = spark.read.schema(_BANDS_SCHEMA).parquet(bands_dir).filter(
+        F.col("bucket").isin(touched)
+    )
     return (
         idx.alias("y")
         .join(
@@ -208,7 +219,8 @@ def _update_components(
     # all read this cached frame instead of re-listing the partition
     # directories each time
     base = (
-        spark.read.parquet(comp_dir).select("doc_id", "component_id")
+        spark.read.schema(_COMP_SCHEMA).parquet(comp_dir)
+        .select("doc_id", "component_id")
         .persist()
         if have_map else empty_map
     )
@@ -364,7 +376,7 @@ def run_maintenance(
                 ).distinct().collect()
             ]
             store_sh = (
-                spark.read.parquet(sh_dir)
+                spark.read.schema(_SHINGLES_SCHEMA).parquet(sh_dir)
                 .filter(F.col("bucket").isin(ep_buckets))
                 .join(F.broadcast(endpoints), "doc_id")
                 .select("doc_id", "shingles")
@@ -421,7 +433,7 @@ def run_maintenance(
     if not os.path.exists(comp_dir):  # empty corpus: no pairs anywhere
         return empty_map
     return (
-        spark.read.parquet(comp_dir)
+        spark.read.schema(_COMP_SCHEMA).parquet(comp_dir)
         .select("doc_id", "component_id")
         .localCheckpoint(eager=True)
     )
@@ -459,12 +471,12 @@ def apply_takedown(
 
     def current() -> DataFrame:
         return (
-            spark.read.parquet(comp_dir)
+            spark.read.schema(_COMP_SCHEMA).parquet(comp_dir)
             .select("doc_id", "component_id")
             .localCheckpoint(eager=True)
         )
 
-    base = spark.read.parquet(comp_dir)  # carries the bucket column
+    base = spark.read.schema(_COMP_SCHEMA).parquet(comp_dir)
     aff = (
         base.join(deleted, "doc_id")
         .select("component_id").distinct()
@@ -492,7 +504,7 @@ def apply_takedown(
         ).distinct().collect()
     ]
     resid = (
-        spark.read.parquet(pairs_dir)
+        spark.read.schema(_PAIRS_SCHEMA).parquet(pairs_dir)
         .filter(F.col("bucket").isin(member_buckets))
         .join(F.broadcast(survivors.select(F.col("doc_id").alias("id_a"))), "id_a")
         .join(F.broadcast(survivors.select(F.col("doc_id").alias("id_b"))), "id_b")
