@@ -842,7 +842,12 @@ def _hash_min_cc(edges: DataFrame, driver_limit: int = 500_000) -> DataFrame:
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)  # min-id canonical root
         rows = [(int(n), int(find(n))) for n in parent]
-        return spark.createDataFrame(rows, "id long, comp long")
+        # checkpoint the literal: staged consumers (q36/q172/q174) re-read
+        # these labels on every warm call — materialized blocks collect in
+        # ~20 ms where a literal frame re-parallelizes rows each time
+        return spark.createDataFrame(
+            rows, "id long, comp long"
+        ).localCheckpoint(eager=True)
     und = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
