@@ -826,8 +826,15 @@ def _hash_min_cc(edges: DataFrame, driver_limit: int = 500_000) -> DataFrame:
     swap the per-round persist for a reliable checkpoint to truncate
     lineage."""
     spark = edges.sparkSession
+    # persist BEFORE probing: the probe's partial materialization is
+    # cached, so an oversized graph's distributed loop reuses the cached
+    # partitions instead of re-executing the full edge lineage a second
+    # time (and the probe itself never ships more than driver_limit+1
+    # rows to the driver)
+    edges = edges.persist()
     probe = edges.limit(driver_limit + 1).collect()
     if len(probe) <= driver_limit:
+        edges.unpersist()
         parent: dict = {}
 
         def find(x: int) -> int:
@@ -886,11 +893,13 @@ def _hash_min_cc(edges: DataFrame, driver_limit: int = 500_000) -> DataFrame:
             if rounds >= cap:
                 labels.unpersist()
                 und.unpersist()
+                edges.unpersist()
                 raise RuntimeError(
                     f"hash-min CC did not converge in {rounds} rounds over "
                     f"{n_nodes} nodes — propagation is broken, not deep"
                 )
     und.unpersist()
+    edges.unpersist()
     # checkpoint truncates the per-round join lineage and frees the
     # loop's cache: callers read checkpointed blocks, not the persisted
     # labels (which would otherwise leak for the session)

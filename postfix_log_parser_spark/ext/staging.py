@@ -63,11 +63,22 @@ class StageCache:
     staged artifact derives from; they feed the key's fingerprint.
     ``None`` is never a cached value — a producer that has nothing to
     stage (e.g. an empty codebook) simply doesn't ``put``, so the next
-    call re-checks the corpus (the empty-at-first-touch pin bug)."""
+    call re-checks the corpus (the empty-at-first-touch pin bug).
 
-    def __init__(self, inputs: tuple[str, ...], max_entries: int = 4):
+    ``on_evict(key, value)`` fires whenever an entry leaves the cache
+    (LRU overflow or ``clear``), so side state keyed on the same entry
+    (work directories, companion dicts) is released in lockstep instead
+    of accumulating until process exit."""
+
+    def __init__(
+        self,
+        inputs: tuple[str, ...],
+        max_entries: int = 4,
+        on_evict=None,
+    ):
         self.inputs = inputs
         self.max_entries = max_entries
+        self._on_evict = on_evict
         self._store: OrderedDict = OrderedDict()
         _REGISTRY.append(self)
 
@@ -89,10 +100,15 @@ class StageCache:
         self._store[key] = df
         self._store.move_to_end(key)
         while len(self._store) > self.max_entries:
-            self._store.popitem(last=False)
+            old_key, old_val = self._store.popitem(last=False)
+            if self._on_evict is not None:
+                self._on_evict(old_key, old_val)
         return df
 
     def clear(self) -> None:
+        if self._on_evict is not None:
+            for key, val in list(self._store.items()):
+                self._on_evict(key, val)
         self._store.clear()
 
     def __len__(self) -> int:

@@ -57,12 +57,32 @@ from postfix_log_parser_spark.ext.staging import StageCache
 
 N_WAVES = 3
 
-_SA_STAGE = StageCache(inputs=("embeddings.parquet",))
-# q177's post-takedown probe results, staged the same way
-_SAD_STAGE = StageCache(inputs=("embeddings.parquet",))
+# explicit schema for the cell-partitioned code store: a takedown can
+# legally drain every cell, leaving a partition dir with no parquet
+# footers — schema inference would fail there (the r10 q173/q175
+# empty-table lesson); an explicit schema reads it as a typed empty
+# frame
+_CODES_SCHEMA = "vec_id long, codes array<int>, cell int"
+
 # the live code-store dir behind each staged q176 result, so q177 can
 # apply the takedown to the SAME maintained store
 _SA_WORK: dict = {}
+
+
+def _evict_sa_work(key: tuple, _df) -> None:
+    """Release the code-store work dir in lockstep with its staged entry
+    (same bounded-lifecycle discipline as streamcc's _evict_mv_work)."""
+    work = _SA_WORK.pop(key, None)
+    if work is not None:
+        shutil.rmtree(work, ignore_errors=True)
+        if work in _WORK_DIRS:
+            _WORK_DIRS.remove(work)
+
+
+_SA_STAGE = StageCache(inputs=("embeddings.parquet",), on_evict=_evict_sa_work)
+# q177's post-takedown probe results, staged the same way (no side state
+# of its own — the takedown advances q176's store in place)
+_SAD_STAGE = StageCache(inputs=("embeddings.parquet",))
 
 # the takedown batch: every 9th-offset-4 vector is retracted from the
 # INDEX (it stays in the embeddings table — a query for it is still
@@ -152,7 +172,7 @@ def maintained_index(spark: SparkSession, work: str, probe_cells) -> DataFrame:
     ``nprobe`` cells of state, not the corpus."""
     codes_dir = f"{work}/codes"
     return (
-        spark.read.parquet(codes_dir)
+        spark.read.schema(_CODES_SCHEMA).parquet(codes_dir)
         .filter(F.col("cell").isin(sorted(probe_cells)))
         .select("vec_id", "cell", "codes")
     )
@@ -220,7 +240,7 @@ def apply_index_takedown(
     if not aff_cells:
         return
     kept = (
-        spark.read.parquet(codes_dir)
+        spark.read.schema(_CODES_SCHEMA).parquet(codes_dir)
         .filter(F.col("cell").isin(aff_cells))
         .join(F.broadcast(deleted.select("vec_id")), "vec_id", "left_anti")
         .select("vec_id", "cell", "codes")

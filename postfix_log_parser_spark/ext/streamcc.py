@@ -99,12 +99,6 @@ _SHINGLES_SCHEMA = "doc_id long, shingles array<string>, bucket int"
 _COMP_SCHEMA = "doc_id long, component_id long, bucket int"
 _PAIRS_SCHEMA = "id_a long, id_b long, bucket int"
 
-# the maintained view persists across queries — like q36's component map
-# and q172's merged map, the stream runs once per (session, corpus) and
-# readers get the converged state
-_MV_STAGE = StageCache(inputs=("documents.parquet",))
-# q175's post-takedown map, staged the same way
-_TD_STAGE = StageCache(inputs=("documents.parquet",))
 # the live state dir behind each staged q173 map, so q175 can apply the
 # takedown to the SAME maintained state instead of rebuilding it
 _MV_WORK: dict = {}
@@ -113,6 +107,29 @@ _MV_WORK: dict = {}
 # exit; the staged result frame is an eager localCheckpoint, so dropping
 # the directory never invalidates an already-returned DataFrame
 _WORK_DIRS: list[str] = []
+
+
+def _evict_mv_work(key: tuple, _df) -> None:
+    """Release the work dir in lockstep with its staged entry: an LRU
+    eviction (or clear_stages) drops the frame reference AND removes the
+    on-disk state + the side-dict entry, so a long session sweeping many
+    corpora never accumulates stale directories (the staged frame itself
+    is an eager localCheckpoint — dropping the directory never
+    invalidates an already-returned DataFrame)."""
+    work = _MV_WORK.pop(key, None)
+    if work is not None:
+        shutil.rmtree(work, ignore_errors=True)
+        if work in _WORK_DIRS:
+            _WORK_DIRS.remove(work)
+
+
+# the maintained view persists across queries — like q36's component map
+# and q172's merged map, the stream runs once per (session, corpus) and
+# readers get the converged state
+_MV_STAGE = StageCache(inputs=("documents.parquet",), on_evict=_evict_mv_work)
+# q175's post-takedown map, staged the same way (no side state of its
+# own — the takedown advances q173's work dir in place)
+_TD_STAGE = StageCache(inputs=("documents.parquet",))
 
 
 def _sweep_work_dirs() -> None:
@@ -176,7 +193,14 @@ def _probe_candidates(
     and the wave side rides a BROADCAST, so the index side has zero
     exchange and zero sort regardless of corpus size.  (If a wave ever
     outgrew broadcast size, the co-located fallback is a shuffle of the
-    WAVE into the index's bucket layout — still never of the index.)"""
+    WAVE into the index's bucket layout — still never of the index.)
+
+    The ``doc_id`` inequality matters for replay: a crash after the band
+    append but before the checkpoint commit replays the wave against an
+    index that already CONTAINS the wave's own rows, so without the
+    guard every wave doc would self-match at Jaccard 1.0 and append
+    spurious (x, x) pairs — breaking the module's replay-safety
+    contract."""
     touched = [
         r.bucket for r in wave_bands.select("bucket").distinct().collect()
     ]
@@ -188,7 +212,8 @@ def _probe_candidates(
         .join(
             F.broadcast(wave_bands.alias("x")),
             (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_key") == F.col("y.band_key")),
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
         )
         .select(
             F.least("x.doc_id", "y.doc_id").alias("id_a"),

@@ -11,6 +11,7 @@ query incarnations)."""
 
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import functions as F
 
@@ -119,6 +120,64 @@ def test_probe_plan_prunes_index_and_broadcasts_wave(spark, tmp_path):
     assert "PartitionFilters:" in scan
     pf = scan.split("PartitionFilters:")[1]
     assert "bucket" in pf and pf.strip()[:3] != "[],"
+
+
+def test_probe_never_self_matches_replayed_wave(spark, tmp_path):
+    """Replay safety: a crash after the band append but before the
+    checkpoint commit replays the wave against an index that already
+    CONTAINS the wave's own rows.  The probe's doc_id inequality must
+    keep a doc from matching its own band entries — otherwise every
+    replayed doc yields a verified Jaccard-1.0 self-pair and q175's
+    residual CC emits spurious (x, x) singleton rows."""
+    from postfix_log_parser_spark.ext.dedup import _minhash_bands, shingles3_udf
+    from postfix_log_parser_spark.ext.streamcc import (
+        _bucket_of,
+        _probe_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    sh = docs.select(
+        "doc_id", shingles3_udf(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    bands = _minhash_bands(sh).withColumn(
+        "bucket", _bucket_of(F.col("band_key"))
+    ).persist()
+    bands_dir = str(tmp_path / "bands")
+    # the index already holds the WHOLE wave (the replayed-batch state)
+    bands.write.partitionBy("bucket").parquet(bands_dir)
+
+    got = _probe_candidates(spark, bands_dir, bands).collect()
+    bands.unpersist()
+    assert got, "identical docs must still cross-match"
+    assert all(r.id_a != r.id_b for r in got), (
+        "replayed wave self-matched its own band rows"
+    )
+
+
+def test_stage_eviction_releases_work_dir(spark):
+    """The _MV_STAGE ↔ _MV_WORK lifecycle lockstep: when the LRU evicts
+    (or clear_stages drops) a staged q173 entry, its work directory is
+    removed from disk and from the atexit sweep list — no unbounded
+    side-dict growth across corpora."""
+    from postfix_log_parser_spark.ext import streamcc
+
+    fake_key = ("app", "corpus", ())
+    fake_dir = tempfile.mkdtemp(prefix="evict_probe_")
+    streamcc._MV_WORK[fake_key] = fake_dir
+    streamcc._WORK_DIRS.append(fake_dir)
+    try:
+        streamcc._evict_mv_work(fake_key, None)
+        assert fake_key not in streamcc._MV_WORK
+        assert fake_dir not in streamcc._WORK_DIRS
+        assert not os.path.exists(fake_dir)
+        # wired into the cache: overflow/clear must fire the callback
+        assert streamcc._MV_STAGE._on_evict is streamcc._evict_mv_work
+    finally:
+        shutil.rmtree(fake_dir, ignore_errors=True)
 
 
 def test_single_component_wave_rewrites_at_most_one_map_bucket(spark, tmp_path):
