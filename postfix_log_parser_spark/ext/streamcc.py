@@ -29,6 +29,27 @@ tables —
                   partitions containing changed rows (dynamic partition
                   overwrite of the touched buckets — a wave that grows
                   one component rewrites one bucket, not the map).
+* ``components_by_doc/``  the SAME map hash-bucketed by ``doc_id`` —
+                  the second index of the classic two-access-path
+                  trade.  Every doc→component lookup (the merge core's
+                  endpoint classification, the takedown's
+                  affected-component probe) prunes to the lookup ids'
+                  buckets instead of streaming the comp-keyed map, so
+                  per-batch READ I/O is wave-proportional too (the r10
+                  verdict's last corpus-proportional term).  Write cost
+                  is the same row-level delta the comp-keyed map pays.
+
+Both map tables advance through ONE two-phase transaction per batch
+(``_commit_map_txn``): the wave's row-level delta ``(doc_id, old_comp,
+new_comp)`` is FROZEN to ``_txn/<tag>/`` first (a durable, wave-sized
+parquet write), then applied to both layouts with partition-scoped
+dynamic overwrite, then the txn dir is removed.  Every apply is
+per-row idempotent given the frozen delta, so a crash anywhere
+replays safely: before the freeze, nothing advanced and the replayed
+batch recomputes the same delta from pre-state; after the freeze,
+``_recover_pending_txns`` re-applies the frozen rows to whichever
+table(s) missed them — the MailLogWriter two-phase-commit discipline
+applied to state maintenance.
 
 These are exactly the checkpoint tables the q172 docstring names for
 the 100 TB deployment; here they are parquet directories written from
@@ -97,7 +118,12 @@ N_STATE_BUCKETS = 16
 _BANDS_SCHEMA = "doc_id long, band_idx int, band_key binary, bucket int"
 _SHINGLES_SCHEMA = "doc_id long, shingles array<string>, bucket int"
 _COMP_SCHEMA = "doc_id long, component_id long, bucket int"
+_MIRROR_SCHEMA = "doc_id long, component_id long, bucket int"
 _PAIRS_SCHEMA = "id_a long, id_b long, bucket int"
+# the frozen per-batch delta: new_comp null → remove doc from the map,
+# old_comp null → insert, both set → relabel/move
+_TXN_SCHEMA = "doc_id long, old_comp long, new_comp long"
+_EMPTY_MAP_SCHEMA = "doc_id long, component_id long"
 
 # the live state dir behind each staged q173 map, so q175 can apply the
 # takedown to the SAME maintained state instead of rebuilding it
@@ -222,115 +248,216 @@ def _probe_candidates(
     )
 
 
-def _update_components(
-    spark: SparkSession, comp_dir: str, pairs: DataFrame
-) -> None:
-    """Fold verified pairs into the hash-partitioned component map,
-    rewriting ONLY the buckets whose contents change.
-
-    merge_delta gives the wave-proportional change set: ``relabel``
-    (old_comp → new_comp for merged components) and ``extra`` (rows to
-    add).  Touched buckets = buckets of old ids ∪ new ids ∪ added ids —
-    every changed row's before- and after-location.  The new contents of
-    exactly those buckets are the pruned base read, relabeled, plus the
-    added rows; dynamic partition overwrite replaces just those
-    directories.  A touched bucket whose rows ALL moved elsewhere ends
-    empty — dynamic overwrite writes nothing there, so its stale
-    directory is swept explicitly."""
-    empty_map = spark.createDataFrame([], "doc_id long, component_id long")
-    have_map = os.path.exists(comp_dir)
-    # one listing + scan of the map per batch: the update's 4-5 actions
-    # (delta build, hit probe, added-row anti-join, new-contents read)
-    # all read this cached frame instead of re-listing the partition
-    # directories each time
-    base = (
-        spark.read.schema(_COMP_SCHEMA).parquet(comp_dir)
-        .select("doc_id", "component_id")
-        .persist()
-        if have_map else empty_map
-    )
-    relabel, extra = merge_delta(base, pairs)
-    # Touched buckets — from relabels that actually HIT base rows (a
-    # relabel whose old id is a plain new-doc id moves nothing) plus the
-    # added rows: every changed row's before- and after-location.  The
-    # hit probe reads only the candidate old-id buckets (a pruned scan,
-    # relabel-proportional superset), and every collect here is bounded
-    # by N_STATE_BUCKETS ints.
-    cand_old = sorted({
-        r.bucket
-        for r in relabel.select(
-            _bucket_of(F.col("old_comp")).alias("bucket")
+def _lookup_components(
+    spark: SparkSession, work: str, ids: DataFrame
+) -> DataFrame:
+    """doc_id → component_id for exactly ``ids``, through the
+    doc-bucketed mirror: the scan is PRUNED to the ids' buckets (a
+    partition filter from a bounded ≤N_STATE_BUCKETS collect) and the
+    ids side rides a broadcast — per-lookup I/O is id-proportional, at
+    any corpus size.  This is the access path whose absence made the r10
+    merge loop read the whole comp-keyed map every batch."""
+    mirror_dir = f"{work}/components_by_doc"
+    if not os.path.exists(mirror_dir):
+        return spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
+    buckets = sorted({
+        r.b
+        for r in ids.select(
+            _bucket_of(F.col("doc_id")).alias("b")
         ).distinct().collect()
     })
-    if have_map and cand_old:
-        hits = (
-            base.filter(_bucket_of(F.col("component_id")).isin(cand_old))
-            .join(
-                F.broadcast(relabel),
-                base["component_id"] == relabel["old_comp"],
-            )
-            .select(
-                _bucket_of(F.col("old_comp")).alias("b_old"),
-                _bucket_of(F.col("new_comp")).alias("b_new"),
-            )
-        )
-        hit_buckets = {
-            b
-            for r in hits.select("b_old", "b_new").distinct().collect()
-            for b in (r.b_old, r.b_new)
-        }
-    else:
-        hit_buckets = set()
-    extra_buckets = {
-        r.bucket
-        for r in extra.select(
-            _bucket_of(F.col("component_id")).alias("bucket")
-        ).distinct().collect()
-    }
-    touched = sorted(hit_buckets | extra_buckets)
-    if not touched:  # no membership change — zero map I/O this batch
-        if have_map:
-            base.unpersist()
-        return
-    changed_src = (
-        base.filter(_bucket_of(F.col("component_id")).isin(touched))
-        if have_map else base
+    if not buckets:
+        return spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
+    return (
+        spark.read.schema(_MIRROR_SCHEMA).parquet(mirror_dir)
+        .filter(F.col("bucket").isin(buckets))
+        .join(F.broadcast(ids.select("doc_id")), "doc_id")
+        .select("doc_id", "component_id")
     )
-    relabeled = (
-        changed_src.join(
-            F.broadcast(relabel),
-            changed_src["component_id"] == relabel["old_comp"], "left",
-        )
-        .select(
-            "doc_id",
-            F.coalesce("new_comp", "component_id").alias("component_id"),
-        )
-    )
-    # checkpoint before writing: the new rows are computed FROM the
-    # directory being overwritten (a self-overwrite read-under-write
-    # hazard otherwise), and they are wave-proportional — tiny
-    new_rows = (
-        relabeled.unionByName(extra)
-        .withColumn("bucket", _bucket_of(F.col("component_id")))
-        .repartition(N_STATE_BUCKETS, F.col("bucket"))
-        .localCheckpoint(eager=True)
-    )
+
+
+def _overwrite_buckets(
+    spark: SparkSession, table_dir: str, touched: list, new_rows: DataFrame
+) -> None:
+    """Partition-scoped advance of one bucketed map layout: dynamic
+    partition overwrite replaces exactly the bucket directories present
+    in ``new_rows`` (eagerly checkpointed by the caller — the contents
+    were computed FROM the directory being overwritten); a touched
+    bucket that received no rows was fully drained by the change and its
+    stale directory is swept explicitly."""
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     old = spark.conf.get(conf_key, "static")
     spark.conf.set(conf_key, "dynamic")
     try:
-        (
-            new_rows.write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(comp_dir)
-        )
+        new_rows.write.mode("overwrite").partitionBy("bucket").parquet(table_dir)
     finally:
         spark.conf.set(conf_key, old)
     written = {r.bucket for r in new_rows.select("bucket").distinct().collect()}
-    for b in set(touched) - written:  # bucket fully drained by the move
-        shutil.rmtree(f"{comp_dir}/bucket={b}", ignore_errors=True)
-    if have_map:
-        base.unpersist()
+    for b in set(touched) - written:
+        shutil.rmtree(f"{table_dir}/bucket={b}", ignore_errors=True)
+
+
+def _apply_map_txn(spark: SparkSession, work: str, txn_dir: str) -> None:
+    """Phase 2: advance BOTH map layouts from one frozen row-level delta.
+
+    Each layout's new touched-bucket contents are ``(pruned base read,
+    minus every delta doc) ∪ (delta upserts)`` — remove-then-reinsert is
+    idempotent per row, so re-applying after a crash that advanced one
+    table but not the other converges both.  One bounded collect plans
+    all touched buckets for both layouts (the r10 verdict's
+    three-collects-per-batch nit, folded into a single job)."""
+    comp_dir = f"{work}/components"
+    mirror_dir = f"{work}/components_by_doc"
+    d = (
+        spark.read.schema(_TXN_SCHEMA).parquet(txn_dir)
+        .localCheckpoint(eager=True)
+    )
+    plan = (
+        d.filter(F.col("old_comp").isNotNull())
+        .select(_bucket_of(F.col("old_comp")).alias("b"), F.lit("c").alias("s"))
+        .unionAll(
+            d.filter(F.col("new_comp").isNotNull())
+            .select(_bucket_of(F.col("new_comp")).alias("b"), F.lit("c").alias("s"))
+        )
+        .unionAll(
+            d.select(_bucket_of(F.col("doc_id")).alias("b"), F.lit("d").alias("s"))
+        )
+        .distinct()
+        .collect()
+    )
+    if not plan:  # empty delta — zero map I/O, just retire the txn
+        shutil.rmtree(txn_dir, ignore_errors=True)
+        return
+    comp_buckets = sorted({r.b for r in plan if r.s == "c"})
+    doc_buckets = sorted({r.b for r in plan if r.s == "d"})
+    upserts = d.filter(F.col("new_comp").isNotNull()).select(
+        "doc_id", F.col("new_comp").alias("component_id")
+    )
+    delta_docs = F.broadcast(d.select("doc_id"))
+    for table_dir, schema, touched, bucket_col in (
+        (comp_dir, _COMP_SCHEMA, comp_buckets, "component_id"),
+        (mirror_dir, _MIRROR_SCHEMA, doc_buckets, "doc_id"),
+    ):
+        base = (
+            spark.read.schema(schema).parquet(table_dir)
+            .filter(F.col("bucket").isin(touched))
+            .select("doc_id", "component_id")
+            if os.path.exists(table_dir)
+            else spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
+        )
+        new_rows = (
+            base.join(delta_docs, "doc_id", "left_anti")
+            .unionByName(upserts)
+            .withColumn("bucket", _bucket_of(F.col(bucket_col)))
+            .repartition(N_STATE_BUCKETS, F.col("bucket"))
+            .localCheckpoint(eager=True)
+        )
+        _overwrite_buckets(spark, table_dir, touched, new_rows)
+    shutil.rmtree(txn_dir, ignore_errors=True)
+
+
+def _commit_map_txn(
+    spark: SparkSession, work: str, delta: DataFrame, tag: str
+) -> None:
+    """Phase 1 + 2: FREEZE the wave's row-level delta to a durable
+    ``_txn/<tag>/`` parquet (materializing every pre-state read before
+    any overwrite — no read-under-write), then apply it to both map
+    layouts.  The freeze is what makes a mid-apply crash recoverable:
+    the delta can no longer be recomputed once one table advanced, but
+    it doesn't need to be — it's on disk."""
+    txn_dir = f"{work}/_txn/{tag}"
+    (
+        delta.select("doc_id", "old_comp", "new_comp")
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(txn_dir)
+    )
+    _apply_map_txn(spark, work, txn_dir)
+
+
+def _recover_pending_txns(spark: SparkSession, work: str) -> None:
+    """Crash recovery, run before any state advance: a frozen txn that
+    never finished applying is re-applied (idempotent); an unfrozen one
+    (no _SUCCESS — the crash hit mid-freeze, nothing advanced) is
+    discarded and will be recomputed by its replayed batch."""
+    troot = f"{work}/_txn"
+    if not os.path.isdir(troot):
+        return
+    for tag in sorted(os.listdir(troot)):
+        tdir = f"{troot}/{tag}"
+        if os.path.exists(f"{tdir}/_SUCCESS"):
+            _apply_map_txn(spark, work, tdir)
+        else:
+            shutil.rmtree(tdir, ignore_errors=True)
+
+
+def _update_components(
+    spark: SparkSession, work: str, pairs: DataFrame, tag: str
+) -> None:
+    """Fold verified pairs into the maintained component map (both
+    layouts), touching only wave-proportional state:
+
+    1. endpoint classification reads the doc-bucketed MIRROR pruned to
+       the endpoints' buckets (``_lookup_components`` — never the
+       comp-keyed map, never the corpus);
+    2. ``merge_delta`` on that endpoint map yields ``relabel``
+       (old_comp → new_comp for merged components) and ``extra`` (rows
+       to add) — both wave-proportional, and provably identical to the
+       full-map result: a delta node is either an endpoint's component
+       (present in the pruned map) or a doc id absent from the map,
+       which can never equal any component id (a component's id is its
+       min member's doc_id, and that member is in the map);
+    3. the row-level delta = members of merged components (a comp-keyed
+       read pruned to the relabels' old buckets) relabeled, plus the
+       added rows;
+    4. ``_commit_map_txn`` freezes it and advances both layouts with
+       partition-scoped dynamic overwrite."""
+    comp_dir = f"{work}/components"
+    if pairs.isEmpty():  # nothing verified — zero state I/O this batch
+        return
+    ep = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ep_map = _lookup_components(spark, work, ep).localCheckpoint(eager=True)
+    relabel, extra = merge_delta(ep_map, pairs)
+    # keep only relabels of REAL base components (a relabel whose old id
+    # is a plain new-doc id moves nothing and re-enters through `extra`);
+    # every base comp the delta can touch is some endpoint's comp, so
+    # the pruned endpoint map decides membership exactly
+    relabel = relabel.join(
+        ep_map.select(F.col("component_id").alias("old_comp")).distinct(),
+        "old_comp",
+        "semi",
+    )
+    cand_old = sorted({
+        r.b
+        for r in relabel.select(
+            _bucket_of(F.col("old_comp")).alias("b")
+        ).distinct().collect()
+    })
+    if os.path.exists(comp_dir) and cand_old:
+        members = (
+            spark.read.schema(_COMP_SCHEMA).parquet(comp_dir)
+            .filter(F.col("bucket").isin(cand_old))
+            .join(
+                F.broadcast(relabel),
+                F.col("component_id") == F.col("old_comp"),
+            )
+            .select("doc_id", "old_comp", "new_comp")
+        )
+    else:
+        members = spark.createDataFrame([], _TXN_SCHEMA)
+    delta = members.unionByName(
+        extra.select(
+            "doc_id",
+            F.lit(None).cast("long").alias("old_comp"),
+            F.col("component_id").alias("new_comp"),
+        )
+    )
+    _commit_map_txn(spark, work, delta, tag)
 
 
 def run_maintenance(
@@ -348,9 +475,13 @@ def run_maintenance(
     sh_dir = f"{work}/shingles"
     comp_dir = f"{work}/components"
     pairs_dir = f"{work}/pairs"
-    empty_map = spark.createDataFrame([], "doc_id long, component_id long")
+    empty_map = spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
 
     def merge_wave(batch: DataFrame, batch_id: int) -> None:
+        # a crash mid-apply left a frozen-but-unfinished map txn: bring
+        # both map layouts to its post-state BEFORE recomputing anything
+        # (one os.path check when there's nothing pending)
+        _recover_pending_txns(spark, work)
         batch = batch.persist()
         wave_sh = (
             batch.select(
@@ -423,8 +554,9 @@ def run_maintenance(
 
         # partition-scoped component-map update (reads old buckets, so
         # it runs BEFORE the index/store appends — batch replay after a
-        # crash recomputes the same idempotent swap)
-        _update_components(spark, comp_dir, pairs)
+        # crash recomputes the same idempotent swap, or resumes the
+        # frozen txn if the crash hit mid-apply)
+        _update_components(spark, work, pairs, tag=f"batch-{batch_id:08d}")
         # co-locate each append by bucket before writing (one shuffle of
         # the WAVE, never of the state): one file per touched bucket per
         # batch instead of |tasks|×|buckets| fragments
@@ -469,30 +601,31 @@ def apply_takedown(
 ) -> DataFrame:
     """Remove a takedown batch from the MAINTAINED state — the streaming
     twin of q174's deletion core, run as a maintenance op against the
-    four state tables (takedowns arrive as their own feed, not as
+    five state tables (takedowns arrive as their own feed, not as
     ingest waves).  Every step is affected-component-proportional:
 
-    1. affected components = map ⋈ deleted (the doc→comp lookup streams
-       the comp-keyed map — the documented second-index trade);
+    1. affected components = the deleted docs' components, via the
+       doc-bucketed MIRROR pruned to the deleted ids' buckets (the r10
+       "second-index trade" closed — the comp-keyed map is never
+       streamed);
     2. their member rows come from a read PRUNED to the affected
        comps' buckets;
     3. residual edges come from the pair store PRUNED to the members'
        ``id_a`` buckets, endpoint-filtered to surviving members;
     4. hash-min CC on the residual subgraph relabels survivors to the
        min surviving id; edgeless survivors drop out;
-    5. the component map is advanced IN PLACE with the same
-       partition-scoped dynamic overwrite as ingest: touched buckets =
-       affected comps' buckets ∪ recomputed labels' buckets, drained
-       buckets swept.
+    5. the row-level delta (every member: deleted/edgeless → remove,
+       survivor → its recomputed label) advances BOTH map layouts
+       through the same frozen two-phase txn as ingest.
 
     Idempotent: re-applying the same takedown finds no deleted doc in
-    the map and returns the map unchanged.  Returns the post-takedown
+    the mirror and returns the map unchanged.  Returns the post-takedown
     map as an eager localCheckpoint."""
     comp_dir = f"{work}/components"
     pairs_dir = f"{work}/pairs"
-    empty_map = spark.createDataFrame([], "doc_id long, component_id long")
     if not os.path.exists(comp_dir):
-        return empty_map
+        return spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
+    _recover_pending_txns(spark, work)
 
     def current() -> DataFrame:
         return (
@@ -501,31 +634,32 @@ def apply_takedown(
             .localCheckpoint(eager=True)
         )
 
-    base = spark.read.schema(_COMP_SCHEMA).parquet(comp_dir)
+    deleted = deleted.select("doc_id").localCheckpoint(eager=True)
     aff = (
-        base.join(deleted, "doc_id")
+        _lookup_components(spark, work, deleted)
         .select("component_id").distinct()
         .localCheckpoint(eager=True)
     )
     aff_buckets = sorted({
-        r.bucket
+        r.b
         for r in aff.select(
-            _bucket_of(F.col("component_id")).alias("bucket")
+            _bucket_of(F.col("component_id")).alias("b")
         ).distinct().collect()
     })
     if not aff_buckets:  # nothing mapped is deleted — no-op
         return current()
     members = (
-        base.filter(F.col("bucket").isin(aff_buckets))
+        spark.read.schema(_COMP_SCHEMA).parquet(comp_dir)
+        .filter(F.col("bucket").isin(aff_buckets))
         .join(F.broadcast(aff), "component_id")
         .select("doc_id", "component_id")
         .localCheckpoint(eager=True)
     )
     survivors = members.join(F.broadcast(deleted), "doc_id", "left_anti")
     member_buckets = [
-        r.bucket
+        r.b
         for r in members.select(
-            _bucket_of(F.col("doc_id")).alias("bucket")
+            _bucket_of(F.col("doc_id")).alias("b")
         ).distinct().collect()
     ]
     resid = (
@@ -539,36 +673,18 @@ def apply_takedown(
     )
     labels = _hash_min_cc(resid)
     recomputed = labels.select(
-        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+        F.col("id").alias("doc_id"), F.col("comp").alias("new_comp")
     )
-    touched = sorted(
-        set(aff_buckets)
-        | {
-            r.bucket
-            for r in labels.select(
-                _bucket_of(F.col("comp")).alias("bucket")
-            ).distinct().collect()
-        }
+    # every member row changes: removed (deleted / edgeless survivor →
+    # new_comp null) or relabeled to its residual-CC label
+    delta = (
+        members.select("doc_id", F.col("component_id").alias("old_comp"))
+        .join(recomputed, "doc_id", "left")
+        .select("doc_id", "old_comp", "new_comp")
     )
-    new_rows = (
-        base.filter(F.col("bucket").isin(touched))
-        .join(F.broadcast(aff), "component_id", "left_anti")
-        .select("doc_id", "component_id")
-        .unionByName(recomputed)
-        .withColumn("bucket", _bucket_of(F.col("component_id")))
-        .repartition(N_STATE_BUCKETS, F.col("bucket"))
-        .localCheckpoint(eager=True)
+    _commit_map_txn(
+        spark, work, delta, tag=f"takedown-{uuid.uuid4().hex[:8]}"
     )
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        new_rows.write.mode("overwrite").partitionBy("bucket").parquet(comp_dir)
-    finally:
-        spark.conf.set(conf_key, old)
-    written = {r.bucket for r in new_rows.select("bucket").distinct().collect()}
-    for b in set(touched) - written:  # bucket fully drained by the takedown
-        shutil.rmtree(f"{comp_dir}/bucket={b}", ignore_errors=True)
     return current()
 
 

@@ -237,6 +237,153 @@ def test_single_component_wave_rewrites_at_most_one_map_bucket(spark, tmp_path):
     assert len(changed_buckets) <= 1, changed_buckets
 
 
+def test_endpoint_lookup_prunes_mirror_and_broadcasts_ids(spark, tmp_path):
+    """The r10 verdict's last corpus-proportional term, closed: the
+    merge core's doc→component endpoint lookup must read the
+    doc-bucketed MIRROR pruned to the lookup ids' buckets (a
+    PartitionFilters entry on the bucket column) with the ids side
+    broadcast — so a one-doc wave with one existing endpoint reads at
+    most TWO mirror bucket directories, at any corpus size."""
+    from postfix_log_parser_spark.ext.streamcc import (
+        _bucket_of,
+        _lookup_components,
+        _update_components,
+    )
+
+    work = str(tmp_path / "w")
+    os.makedirs(work)
+    # a map with many components spread over many buckets
+    pairs = spark.createDataFrame(
+        [(i, i + 1000) for i in range(1, 60)], "id_a long, id_b long"
+    )
+    _update_components(spark, work, pairs, "seed")
+
+    # a one-doc wave pairing with ONE existing doc: two endpoint ids
+    ep = spark.createDataFrame([(7,), (900001,)], "doc_id long")
+    looked = _lookup_components(spark, work, ep)
+    assert {(r.doc_id, r.component_id) for r in looked.collect()} == {(7, 7)}
+
+    plan = looked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the mirror scan is the plan's only FileScan (match on columns, not
+    # the Location path — pytest tmp paths overflow the 100-char plan
+    # metadata truncation)
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "component_id" in ln
+    )
+    assert "PartitionFilters:" in scan
+    pf = scan.split("PartitionFilters:")[1]
+    assert "bucket" in pf and pf.strip()[:3] != "[],"
+
+    # the filter's IN-list is the exact set of bucket directories the
+    # scan reads: it must be the two ids' buckets, nothing more
+    ep_buckets = {
+        r.b for r in ep.select(_bucket_of(F.col("doc_id")).alias("b")).collect()
+    }
+    in_list = pf.split(" IN (")[1].split(")")[0]
+    read_buckets = {int(v) for v in in_list.split(",")}
+    assert read_buckets <= ep_buckets
+    assert len(read_buckets) <= 2
+
+
+def test_mirror_stays_consistent_with_component_map(spark, tmp_path):
+    """components_by_doc/ must hold exactly the comp-keyed map's rows
+    after ingest waves AND after a takedown — the lockstep invariant the
+    two-phase txn exists to guarantee."""
+    from postfix_log_parser_spark.ext.streamcc import (
+        _COMP_SCHEMA,
+        _MIRROR_SCHEMA,
+        apply_takedown,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    work = str(tmp_path / "work")
+    waves_dir = f"{work}/waves"
+    os.makedirs(waves_dir)
+    _write_wave_files(spark, sf, waves_dir)
+
+    def rows(d, schema):
+        return {
+            (r.doc_id, r.component_id)
+            for r in spark.read.schema(schema).parquet(d)
+            .select("doc_id", "component_id").collect()
+        }
+
+    got = {
+        (r.doc_id, r.component_id)
+        for r in run_maintenance(spark, waves_dir, work).collect()
+    }
+    assert got, "corpus must produce components"
+    assert rows(f"{work}/components", _COMP_SCHEMA) == got
+    assert rows(f"{work}/components_by_doc", _MIRROR_SCHEMA) == got
+
+    deleted = spark.createDataFrame(
+        [(d,) for d, _ in sorted(got)[:3]], "doc_id long"
+    )
+    after = {
+        (r.doc_id, r.component_id)
+        for r in apply_takedown(spark, work, deleted).collect()
+    }
+    assert after != got
+    assert rows(f"{work}/components", _COMP_SCHEMA) == after
+    assert rows(f"{work}/components_by_doc", _MIRROR_SCHEMA) == after
+
+
+def test_pending_txn_recovery_converges_both_layouts(spark, tmp_path):
+    """Crash recovery: a FROZEN txn that advanced the comp-keyed map but
+    crashed before the mirror (simulated by restoring the mirror's
+    pre-state) must be re-applied by _recover_pending_txns until both
+    layouts agree; an UNFROZEN txn (no _SUCCESS) is discarded."""
+    from postfix_log_parser_spark.ext.streamcc import (
+        _COMP_SCHEMA,
+        _MIRROR_SCHEMA,
+        _commit_map_txn,
+        _recover_pending_txns,
+        _update_components,
+    )
+
+    work = str(tmp_path / "w")
+    os.makedirs(work)
+    p1 = spark.createDataFrame([(10, 20), (30, 40)], "id_a long, id_b long")
+    _update_components(spark, work, p1, "seed")
+    mirror_dir = f"{work}/components_by_doc"
+    pre_mirror = str(tmp_path / "pre_mirror")
+    shutil.copytree(mirror_dir, pre_mirror)
+
+    # a txn that merges {30,40} into comp 10 — applied fully...
+    delta = spark.createDataFrame(
+        [(30, 30, 10), (40, 30, 10)], "doc_id long, old_comp long, new_comp long"
+    )
+    _commit_map_txn(spark, work, delta, "merge1")
+    want = {(10, 10), (20, 10), (30, 10), (40, 10)}
+
+    def rows(d, schema):
+        return {
+            (r.doc_id, r.component_id)
+            for r in spark.read.schema(schema).parquet(d)
+            .select("doc_id", "component_id").collect()
+        }
+
+    assert rows(f"{work}/components", _COMP_SCHEMA) == want
+    assert rows(mirror_dir, _MIRROR_SCHEMA) == want
+
+    # ...now simulate the crash: mirror rolled back to pre-state, txn
+    # still frozen on disk
+    shutil.rmtree(mirror_dir)
+    shutil.copytree(pre_mirror, mirror_dir)
+    assert rows(mirror_dir, _MIRROR_SCHEMA) != want
+    delta.select("doc_id", "old_comp", "new_comp").repartition(1) \
+        .write.mode("overwrite").parquet(f"{work}/_txn/merge1")
+    # an incomplete freeze alongside it must be discarded, not applied
+    os.makedirs(f"{work}/_txn/halfbaked")
+    _recover_pending_txns(spark, work)
+    assert rows(f"{work}/components", _COMP_SCHEMA) == want  # re-apply no-op
+    assert rows(mirror_dir, _MIRROR_SCHEMA) == want  # mirror caught up
+    assert not os.path.exists(f"{work}/_txn/merge1")
+    assert not os.path.exists(f"{work}/_txn/halfbaked")
+
+
 def test_update_components_sweeps_drained_bucket(spark, tmp_path):
     """A merge can move EVERY row out of a bucket (the old component id
     relabels to an id hashing elsewhere); dynamic overwrite writes
@@ -254,15 +401,17 @@ def test_update_components_sweeps_drained_bucket(spark, tmp_path):
             F.pmod(F.xxhash64(F.lit(i).cast("long")), F.lit(N_STATE_BUCKETS))
         ).head()[0]
 
-    comp_dir = str(tmp_path / "components")
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    comp_dir = f"{work}/components"
     # component {50, 60} → comp 50
     p1 = spark.createDataFrame([(50, 60)], "id_a long, id_b long")
-    _update_components(spark, comp_dir, p1)
+    _update_components(spark, work, p1, "t1")
     # pick k < 50 whose bucket differs from bucket(50): the merge moves
     # every row out of bucket(50)
     k = next(i for i in range(49, 0, -1) if bucket(i) != bucket(50))
     p2 = spark.createDataFrame([(k, 50)], "id_a long, id_b long")
-    _update_components(spark, comp_dir, p2)
+    _update_components(spark, work, p2, "t2")
 
     got = {(r.doc_id, r.component_id) for r in
            spark.read.parquet(comp_dir).select("doc_id", "component_id").collect()}
@@ -289,7 +438,7 @@ def test_apply_takedown_relabels_and_dissolves(spark, tmp_path):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 20)], "id_a long, id_b long"
     )
-    _update_components(spark, f"{work}/components", pairs)
+    _update_components(spark, work, pairs, "t1")
     pairs.withColumn("bucket", _bucket_of(F.col("id_a"))) \
         .write.partitionBy("bucket").parquet(f"{work}/pairs")
 
