@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "q175_stream_components_with_deletes",
     "q176_stream_ann_index",
     "q177_stream_ann_deletes",
+    "q178_events_takedown",
     "q154_split_leakage",
     "q160_component_split",
     "q155_aqe_skew_join",

@@ -596,6 +596,67 @@ def run_maintenance(
     )
 
 
+def compact_state(
+    spark: SparkSession, work: str, max_files: int = 4
+) -> dict:
+    """Bounded small-files maintenance for the APPEND-ONLY state tables
+    (``pairs/``, ``bands/``, ``shingles/``): every wave appends one file
+    per touched bucket, so after 10k batches a bucket is 10k tiny files —
+    the classic streaming-sink decay mode (per-file open cost dominates
+    the probe's pruned scans; q57's MV and ``compact_event_days`` solve
+    the same pathology for their tables).  Rewrites ONLY the buckets
+    whose parquet file count exceeds ``max_files`` — partition-scoped,
+    content-identical, each swapped in by rename (the staging and
+    retired directories are dot-prefixed so Spark's file index never
+    sees them; a crash mid-swap is healed by the recovery sweep at the
+    next call).  Returns ``{table: buckets_compacted}``.
+
+    Run it between batches (never concurrently with the stream writing
+    the same work dir), on whatever cadence bounds file counts — the
+    maintenance twin of the map txn's bounded-lifecycle discipline."""
+    out: dict = {}
+    for table, schema in (
+        ("pairs", _PAIRS_SCHEMA),
+        ("bands", _BANDS_SCHEMA),
+        ("shingles", _SHINGLES_SCHEMA),
+    ):
+        table_dir = f"{work}/{table}"
+        out[table] = 0
+        if not os.path.isdir(table_dir):
+            continue
+        row_schema = schema.replace(", bucket int", "")
+        # crash recovery: a retired dir whose replacement never landed is
+        # the data — restore it; stale staging dirs are discarded
+        for name in sorted(os.listdir(table_dir)):
+            if name.startswith(".compact-"):
+                shutil.rmtree(f"{table_dir}/{name}", ignore_errors=True)
+            elif name.startswith(".old-"):
+                orig = f"{table_dir}/{name[len('.old-'):]}"
+                if not os.path.exists(orig):
+                    os.rename(f"{table_dir}/{name}", orig)
+                else:
+                    shutil.rmtree(f"{table_dir}/{name}", ignore_errors=True)
+        for name in sorted(os.listdir(table_dir)):
+            if not name.startswith("bucket="):
+                continue
+            bdir = f"{table_dir}/{name}"
+            parts = [p for p in os.listdir(bdir) if p.endswith(".parquet")]
+            if len(parts) <= max_files:
+                continue
+            staged = f"{table_dir}/.compact-{name}"
+            (
+                spark.read.schema(row_schema).parquet(bdir)
+                .repartition(1)
+                .write.mode("overwrite").parquet(staged)
+            )
+            retired = f"{table_dir}/.old-{name}"
+            os.rename(bdir, retired)
+            os.rename(staged, bdir)
+            shutil.rmtree(retired, ignore_errors=True)
+            out[table] += 1
+    return out
+
+
 def apply_takedown(
     spark: SparkSession, work: str, deleted: DataFrame
 ) -> DataFrame:

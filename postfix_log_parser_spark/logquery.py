@@ -512,6 +512,38 @@ SELECT * FROM (VALUES
 """
 
 
+def q178_events_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style delete on the events table — the sink-side twin of the
+    dedup family's takedown lifecycle (q174/q175/q177): the fixture
+    events are written through the date-partitioned sink, every event
+    from ``gmail.com`` senders is deleted with PARTITION-SCOPED I/O
+    (``sinks.delete_events``: one day fully drains and is swept, one day
+    is partially rewritten, the other days are never touched — pinned in
+    tests/test_sinks.py), and the surviving table is read back through
+    q40's projection.  The oracle is q40's VALUES minus the deleted
+    sender's rows, so the driver proves delete == rebuild-without-them.
+    Reference scope: operational extension of the events sink
+    (``lognormalizer/parse.py:15-56`` DDL has no delete path)."""
+    from postfix_log_parser_spark.sinks import (
+        delete_events,
+        read_events,
+        route_sink_faults,
+        write_events,
+    )
+
+    events, _faults, _state = _run(spark, ALL_EVENTS_FIXTURE)
+    sinkable, _sink_faults = route_sink_faults(events)
+    path = _work_dir("q178_events_") + "/events"
+    write_events(sinkable, path)
+    delete_events(spark, path, F.col("domain_from") == "gmail.com")
+    return _events_projection(read_events(spark, path))
+
+
+_Q178_SQL = f"""
+SELECT * FROM ({_Q40_SQL}) q40 WHERE domain_from <> 'gmail.com'
+"""
+
+
 def q41_log_faults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fault side-channel (S4/Q4/Q8/Q12): reason histogram."""
     _events, faults, _state = _run(spark, FAULTS)
@@ -1382,6 +1414,7 @@ LOG_QUERIES = {
     "q42_log_state": q42_log_state,
     "q43_stream_events": q43_stream_events,
     "q44_sink_roundtrip": q44_sink_roundtrip,
+    "q178_events_takedown": q178_events_takedown,
 }
 
 # Spark 4's transformWithStateInPandas needs the protobuf package for its
@@ -1426,6 +1459,7 @@ LOG_ORACLES = {
     "q43_stream_events": _Q43_SQL,
     "q162_pystream_sessions": _Q43_SQL,
     "q44_sink_roundtrip": _Q44_SQL,
+    "q178_events_takedown": _Q178_SQL,
 }
 
 if HAS_TWS_RUNTIME:  # pragma: no cover

@@ -24,6 +24,7 @@ insert).  Spark equivalents:
 
 from __future__ import annotations
 
+import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -171,6 +172,61 @@ def compact_event_days(
         )
     finally:
         spark.conf.set(conf_key, old)
+
+
+def delete_events(spark: SparkSession, path: str, predicate) -> list:
+    """GDPR-style takedown for the date-partitioned events table:
+    remove every event matching ``predicate`` (a boolean Column — a
+    queue_id, a recipient domain, a sender) with PARTITION-SCOPED I/O,
+    mirroring the dedup family's takedown lifecycle (q174/q175/q177).
+
+    1. Affected days: one column-pruned scan of the predicate columns +
+       the partition column (predicate pushdown applies; parquet
+       min/max row-group stats prune further for time-correlated
+       predicates).  This is the unavoidable find-the-rows pass — at
+       100 TB it reads only the predicate columns' bytes.
+    2. Rewrite: ONLY the affected day partitions are re-read, filtered
+       to survivors, and swapped in via dynamic partition overwrite
+       (the survivors frame is eagerly checkpointed first — its rows
+       are computed FROM the directories being overwritten).  Days the
+       predicate never touched are never read again nor rewritten.
+    3. A day whose events were ALL deleted receives no overwrite —
+       its stale directory is swept explicitly.
+
+    Returns the list of affected day strings (audit trail).
+    Idempotent: re-applying finds no matching rows and does nothing."""
+    df = spark.read.parquet(path)
+    affected = sorted(
+        str(r.event_date)
+        for r in df.filter(predicate).select("event_date").distinct().collect()
+    )
+    if not affected:
+        return []
+    kept = (
+        df.filter(F.col("event_date").isin(affected))
+        .filter(~predicate)
+        .select(*EVENT_COLUMNS, "event_date")
+        .repartition(F.col("event_date"))
+        .sortWithinPartitions("timestamp")
+        .localCheckpoint(eager=True)
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            kept.write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(conf_key, old)
+    written = {
+        str(r.event_date) for r in kept.select("event_date").distinct().collect()
+    }
+    for day in set(affected) - written:  # day fully drained by the delete
+        shutil.rmtree(f"{path}/event_date={day}", ignore_errors=True)
+    return affected
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:

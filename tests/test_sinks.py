@@ -425,3 +425,44 @@ def test_rollup_incremental_merge_and_replay(spark, tmp_path):
     # an empty batch is a no-op
     writer(batch([]), 2)
     assert snapshot() == s1
+
+
+def test_delete_events_is_partition_scoped(spark, tmp_path):
+    """GDPR delete on the date-partitioned events table (q178's core):
+    only the predicate's days are touched — a fully-drained day is
+    swept, a partially-hit day is rewritten without the matches, and
+    every other day's files are byte-identical afterwards.  Re-applying
+    the same delete is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from postfix_log_parser_spark.logquery import ALL_EVENTS_FIXTURE, _run
+    from postfix_log_parser_spark.sinks import delete_events
+
+    events, _faults, _state = _run(spark, ALL_EVENTS_FIXTURE)
+    sinkable, _ = route_sink_faults(events)
+    path = str(tmp_path / "events")
+    write_events(sinkable, path)
+
+    def snapshot(day):
+        d = f"{path}/event_date={day}"
+        return {f: os.stat(f"{d}/{f}").st_mtime_ns for f in os.listdir(d)}
+
+    untouched = {d: snapshot(d) for d in ("2024-04-09", "2024-04-30")}
+
+    affected = delete_events(spark, path, F.col("domain_from") == "gmail.com")
+    assert affected == ["2024-05-10", "2024-05-11"]
+    # 2024-05-10 held only the gmail event — fully drained and swept
+    assert not os.path.exists(f"{path}/event_date=2024-05-10")
+    # 2024-05-11 keeps its non-gmail event
+    back = read_events(spark, path)
+    assert {r.queue_id for r in back.select("queue_id").collect()} == {
+        "85C6C10208A", "2D7291020EE", "74F8A1019D1", "DBC88100165"
+    }
+    # the partition-scoped pin: days the predicate never matched were
+    # neither rewritten nor touched
+    for day, snap in untouched.items():
+        assert snapshot(day) == snap, f"untouched day {day} was rewritten"
+    # idempotent: nothing left to delete
+    assert delete_events(spark, path, F.col("domain_from") == "gmail.com") == []

@@ -421,6 +421,79 @@ def test_update_components_sweeps_drained_bucket(spark, tmp_path):
     )
 
 
+def test_compact_state_bounds_file_counts_and_keeps_answers(spark, tmp_path):
+    """The append-only state tables accrete one file per touched bucket
+    per batch; compact_state must rewrite exactly the over-threshold
+    buckets down to one file, byte-preserve the contents, and leave the
+    maintenance loop fully functional (a later wave still probes, merges
+    and appends correctly)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from postfix_log_parser_spark.ext.streamcc import (
+        _BANDS_SCHEMA,
+        _PAIRS_SCHEMA,
+        _SHINGLES_SCHEMA,
+        compact_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    work = str(tmp_path / "work")
+    waves_dir = f"{work}/waves"
+    os.makedirs(waves_dir)
+    _write_wave_files(spark, sf, waves_dir)
+    base = {r.doc_id: r.component_id for r in
+            run_maintenance(spark, waves_dir, work).collect()}
+    assert base, "corpus must produce components"
+
+    def file_counts(table):
+        d = f"{work}/{table}"
+        return {
+            name: sum(p.endswith(".parquet") for p in os.listdir(f"{d}/{name}"))
+            for name in os.listdir(d) if name.startswith("bucket=")
+        }
+
+    def rows(table, schema):
+        return frozenset(
+            tuple(tuple(x) if isinstance(x, list) else x for x in r)
+            for r in
+            spark.read.schema(schema).parquet(f"{work}/{table}").collect()
+        )
+
+    tables = (
+        ("pairs", _PAIRS_SCHEMA),
+        ("bands", _BANDS_SCHEMA),
+        ("shingles", _SHINGLES_SCHEMA),
+    )
+    assert any(
+        c > 1 for t, _s in tables for c in file_counts(t).values()
+    ), "3 waves must leave some multi-file bucket to compact"
+    before = {t: rows(t, s) for t, s in tables}
+
+    res = compact_state(spark, work, max_files=1)
+    assert sum(res.values()) > 0
+    for t, s in tables:
+        assert all(c <= 1 for c in file_counts(t).values()), t
+        assert rows(t, s) == before[t], f"{t} contents changed"
+
+    # the loop still works on compacted state: a late exact-copy wave
+    # joins its original's component through the compacted band index
+    target = min(d for d in base if d < 100000)
+    text = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("doc_id") == target).select("text").head()[0]
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array([900001], "int64"),
+                  "text": pa.array([text], "string")}),
+        f"{waves_dir}/wave-99.parquet",
+    )
+    after = {r.doc_id: r.component_id for r in
+             run_maintenance(spark, waves_dir, work).collect()}
+    assert after[900001] == base[target]
+    assert {d: c for d, c in after.items() if d != 900001} == base
+
+
 def test_apply_takedown_relabels_and_dissolves(spark, tmp_path):
     """q175's core against the state tables directly: deleting a chain
     component's min member relabels the survivors to the min SURVIVING
