@@ -587,6 +587,10 @@ def run_maintenance(
         .start()
     )
     query.awaitTermination()
+    # a crash-interrupted prior incarnation may have left a frozen txn
+    # AND no new waves for this run's batches to recover it through —
+    # converge the map layouts before reading (no-op when none pending)
+    _recover_pending_txns(spark, work)
     if not os.path.exists(comp_dir):  # empty corpus: no pairs anywhere
         return empty_map
     return (

@@ -31,9 +31,10 @@ from pyspark.sql.streaming.stateful_processor import (
 # protocol to the JVM; without the protobuf package the runner crashes at
 # init (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
 # "cannot import name 'descriptor' from 'google.protobuf'").  This
-# container ships no protobuf and installs are off-limits, so the q113
-# contract query registers only where the runtime is whole; the processor
-# logic itself is unit-tested against a mock handle either way.
+# container ships no protobuf and installs are off-limits (re-checked
+# r9/r10/r11 — still absent), so the q113 contract query registers only
+# where the runtime is whole; the processor logic itself is unit-tested
+# against a mock handle either way.
 def _has_tws_runtime() -> bool:
     try:  # find_spec("google.protobuf") raises if the namespace pkg is absent
         return importlib.util.find_spec("google.protobuf") is not None

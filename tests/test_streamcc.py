@@ -421,6 +421,39 @@ def test_update_components_sweeps_drained_bucket(spark, tmp_path):
     )
 
 
+def test_update_components_full_replay_is_noop(spark, tmp_path):
+    """foreachBatch full-batch replay (crash after all writes, before the
+    checkpoint commit): re-folding the SAME pairs against the advanced
+    map must change nothing — the endpoints now map to merged
+    components, so the delta graph is edgeless and both layouts stay
+    put."""
+    from postfix_log_parser_spark.ext.streamcc import (
+        _COMP_SCHEMA,
+        _MIRROR_SCHEMA,
+        _update_components,
+    )
+
+    work = str(tmp_path / "w")
+    os.makedirs(work)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 20)], "id_a long, id_b long"
+    )
+    _update_components(spark, work, pairs, "b0")
+
+    def rows(d, schema):
+        return {
+            (r.doc_id, r.component_id)
+            for r in spark.read.schema(schema).parquet(d)
+            .select("doc_id", "component_id").collect()
+        }
+
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (20, 10)}
+    assert rows(f"{work}/components", _COMP_SCHEMA) == want
+    _update_components(spark, work, pairs, "b0-replay")
+    assert rows(f"{work}/components", _COMP_SCHEMA) == want
+    assert rows(f"{work}/components_by_doc", _MIRROR_SCHEMA) == want
+
+
 def test_compact_state_bounds_file_counts_and_keeps_answers(spark, tmp_path):
     """The append-only state tables accrete one file per touched bucket
     per batch; compact_state must rewrite exactly the over-threshold
