@@ -7,7 +7,8 @@ tracking) and the three state tables.  This test runs the loop, stops,
 adds the remaining waves, resumes with the SAME work dir, and requires
 the final map to byte-match the single-pass run — and to contain a
 cross-incarnation component (a pair whose members arrived in different
-query incarnations)."""
+query incarnations).  State = five tables since r11: bands, shingles,
+pairs, the comp-keyed map, and its doc-bucketed mirror."""
 
 import os
 import shutil
