@@ -71,6 +71,7 @@ _FIXTURE_INPUT = {
     "q161_pystream_source",  # fixture through the maillog STREAM reader
     "q162_pystream_sessions",  # fixture stream through the full fold
     "q166_pystream_relay",  # fixture stream relayed through the maillog sink
+    "q178_events_takedown",  # fixture events through the sink + GDPR delete
 }
 
 
