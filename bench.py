@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "q176_stream_ann_index",
     "q177_stream_ann_deletes",
     "q178_events_takedown",
+    "q179_rollup_delete_propagation",
     "q154_split_leakage",
     "q160_component_split",
     "q155_aqe_skew_join",

@@ -544,6 +544,48 @@ SELECT * FROM ({_Q40_SQL}) q40 WHERE domain_from <> 'gmail.com'
 """
 
 
+def q179_rollup_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure PROPAGATION: deleting base rows (q178's takedown)
+    must not leave their aggregates behind in derived tables.  The
+    fixture events are sunk, a daily rollup MV is materialized from
+    them, the gmail.com takedown runs, and ``refresh_event_rollup``
+    recomputes ONLY the affected days' MV partitions (a fully-drained
+    day disappears from the MV; untouched days are never recomputed —
+    pinned in tests/test_sinks.py).  The oracle aggregates q40's VALUES
+    minus the deleted sender from scratch, so the driver proves
+    partition-scoped refresh == full MV rebuild."""
+    from postfix_log_parser_spark.sinks import (
+        delete_events,
+        refresh_event_rollup,
+        route_sink_faults,
+        write_event_rollup,
+        write_events,
+    )
+
+    events, _faults, _state = _run(spark, ALL_EVENTS_FIXTURE)
+    sinkable, _sink_faults = route_sink_faults(events)
+    work = _work_dir("q179_rollup_")
+    path, mv = f"{work}/events", f"{work}/rollup"
+    write_events(sinkable, path)
+    write_event_rollup(spark, path, mv)
+    affected = delete_events(spark, path, F.col("domain_from") == "gmail.com")
+    refresh_event_rollup(spark, path, mv, affected)
+    return spark.read.parquet(mv).select(
+        "event_date", "n_events", "sum_status", "first_time"
+    )
+
+
+_Q179_SQL = f"""
+SELECT CAST(substr(ts_utc, 1, 10) AS DATE) AS event_date,
+       count(*) AS n_events,
+       CAST(sum(status_code) AS BIGINT) AS sum_status,
+       min(substr(ts_utc, 12, 15)) AS first_time
+FROM ({_Q40_SQL}) q40
+WHERE domain_from <> 'gmail.com'
+GROUP BY 1
+"""
+
+
 def q41_log_faults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fault side-channel (S4/Q4/Q8/Q12): reason histogram."""
     _events, faults, _state = _run(spark, FAULTS)
@@ -1415,6 +1457,7 @@ LOG_QUERIES = {
     "q43_stream_events": q43_stream_events,
     "q44_sink_roundtrip": q44_sink_roundtrip,
     "q178_events_takedown": q178_events_takedown,
+    "q179_rollup_delete_propagation": q179_rollup_delete_propagation,
 }
 
 # Spark 4's transformWithStateInPandas needs the protobuf package for its
@@ -1460,6 +1503,7 @@ LOG_ORACLES = {
     "q162_pystream_sessions": _Q43_SQL,
     "q44_sink_roundtrip": _Q44_SQL,
     "q178_events_takedown": _Q178_SQL,
+    "q179_rollup_delete_propagation": _Q179_SQL,
 }
 
 if HAS_TWS_RUNTIME:  # pragma: no cover

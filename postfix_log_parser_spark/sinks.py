@@ -229,6 +229,67 @@ def delete_events(spark: SparkSession, path: str, predicate) -> list:
     return affected
 
 
+_ROLLUP_SCHEMA = (
+    "n_events bigint, sum_status bigint, first_time string, event_date date"
+)
+
+
+def _rollup_frame(events: DataFrame) -> DataFrame:
+    """The daily rollup grain (q44's projection as a maintained MV):
+    per-day event count, status-code sum, first event time."""
+    return events.groupBy(F.to_date("timestamp").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("status_code").cast("long").alias("sum_status"),
+        F.min(F.date_format("timestamp", "HH:mm:ss.SSSSSS")).alias("first_time"),
+    )
+
+
+def write_event_rollup(spark: SparkSession, events_path: str, mv_path: str) -> None:
+    """Materialize the daily rollup, partitioned by day so refreshes can
+    be partition-scoped (the batch build; q57 owns the streaming form)."""
+    events = spark.read.parquet(events_path)
+    (
+        _rollup_frame(events)
+        .select("n_events", "sum_status", "first_time", "event_date")
+        .write.mode("overwrite").partitionBy("event_date").parquet(mv_path)
+    )
+
+
+def refresh_event_rollup(
+    spark: SparkSession, events_path: str, mv_path: str, days: list
+) -> None:
+    """Propagate a base-table change (a ``delete_events`` takedown, a
+    day re-ingest) into the derived rollup WITHOUT rebuilding it: only
+    the changed days' partitions are recomputed from the events table
+    (partition-pruned scan) and swapped in via dynamic partition
+    overwrite; a day whose source rows all disappeared is swept from
+    the MV.  This is the right-to-erasure completeness step — deleting
+    base rows must not leave their aggregates behind — and the
+    partition-scoped twin of a full MV rebuild, proven equal to one by
+    q179's oracle."""
+    if not days:
+        return
+    days = [str(d) for d in days]
+    events = spark.read.parquet(events_path)
+    fresh = (
+        _rollup_frame(events.filter(F.col("event_date").isin(days)))
+        .select("n_events", "sum_status", "first_time", "event_date")
+        .localCheckpoint(eager=True)
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        fresh.write.mode("overwrite").partitionBy("event_date").parquet(mv_path)
+    finally:
+        spark.conf.set(conf_key, old)
+    written = {
+        str(r.event_date) for r in fresh.select("event_date").distinct().collect()
+    }
+    for day in set(days) - written:  # the day's last source row was deleted
+        shutil.rmtree(f"{mv_path}/event_date={day}", ignore_errors=True)
+
+
 def read_events(spark: SparkSession, path: str) -> DataFrame:
     """Read the events table back with the canonical column order."""
     return spark.read.parquet(path).select(*EVENT_COLUMNS)

@@ -72,6 +72,7 @@ _FIXTURE_INPUT = {
     "q162_pystream_sessions",  # fixture stream through the full fold
     "q166_pystream_relay",  # fixture stream relayed through the maillog sink
     "q178_events_takedown",  # fixture events through the sink + GDPR delete
+    "q179_rollup_delete_propagation",  # fixture events + rollup MV refresh
 }
 
 

@@ -466,3 +466,53 @@ def test_delete_events_is_partition_scoped(spark, tmp_path):
         assert snapshot(day) == snap, f"untouched day {day} was rewritten"
     # idempotent: nothing left to delete
     assert delete_events(spark, path, F.col("domain_from") == "gmail.com") == []
+
+
+def test_refresh_event_rollup_is_partition_scoped(spark, tmp_path):
+    """q179's core: propagating a base-table delete into the daily
+    rollup MV recomputes ONLY the affected days — a fully-drained day
+    leaves the MV, untouched days' MV files stay byte-identical, and
+    the refreshed MV equals a from-scratch rebuild."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from postfix_log_parser_spark.logquery import ALL_EVENTS_FIXTURE, _run
+    from postfix_log_parser_spark.sinks import (
+        delete_events,
+        refresh_event_rollup,
+        write_event_rollup,
+    )
+
+    events, _faults, _state = _run(spark, ALL_EVENTS_FIXTURE)
+    sinkable, _ = route_sink_faults(events)
+    path = str(tmp_path / "events")
+    mv = str(tmp_path / "rollup")
+    write_events(sinkable, path)
+    write_event_rollup(spark, path, mv)
+
+    def snapshot(day):
+        d = f"{mv}/event_date={day}"
+        return {f: os.stat(f"{d}/{f}").st_mtime_ns for f in os.listdir(d)}
+
+    untouched = {d: snapshot(d) for d in ("2024-04-09", "2024-04-30")}
+
+    affected = delete_events(spark, path, F.col("domain_from") == "gmail.com")
+    refresh_event_rollup(spark, path, mv, affected)
+    # the drained day's aggregate left the MV with its base rows
+    assert not os.path.exists(f"{mv}/event_date=2024-05-10")
+    # untouched days were not recomputed
+    for day, snap in untouched.items():
+        assert snapshot(day) == snap, f"untouched MV day {day} was rewritten"
+    # partition-scoped refresh == full rebuild
+    rebuilt = str(tmp_path / "rebuilt")
+    write_event_rollup(spark, path, rebuilt)
+    got = {tuple(r) for r in spark.read.parquet(mv)
+           .select("event_date", "n_events", "sum_status", "first_time").collect()}
+    want = {tuple(r) for r in spark.read.parquet(rebuilt)
+            .select("event_date", "n_events", "sum_status", "first_time").collect()}
+    assert got == want and got
+    # no-op refresh: empty day list touches nothing
+    refresh_event_rollup(spark, path, mv, [])
+    for day, snap in untouched.items():
+        assert snapshot(day) == snap
