@@ -117,3 +117,56 @@ def test_incremental_delete_equals_full_cc(spark, seed):
         (a, b) for a, b in edges if a not in deleted and b not in deleted
     ]
     assert got == _cc(surviving), (seed, edges, deleted)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_streamed_update_sequence_equals_full_cc(spark, tmp_path, seed):
+    """The STREAMING update path (q173's `_update_components`, with the
+    doc-bucketed mirror and the frozen txn): for ANY edge set split into
+    ANY number of arrival batches, folding them sequentially through the
+    two-layout state must equal union-find over the union — and the
+    mirror must hold exactly the comp-keyed map's rows after every
+    batch."""
+    from postfix_log_parser_spark.ext.streamcc import (
+        _COMP_SCHEMA,
+        _MIRROR_SCHEMA,
+        _update_components,
+    )
+
+    rnd = random.Random(3000 + seed)
+    n = rnd.randint(4, 16)
+    edges = sorted({
+        tuple(sorted(rnd.sample(range(n), 2)))
+        for _ in range(rnd.randint(2, 16))
+    })
+    # split into 1-4 batches, some possibly empty
+    n_batches = rnd.randint(1, 4)
+    batches = [[] for _ in range(n_batches)]
+    for e in edges:
+        batches[rnd.randrange(n_batches)].append(e)
+
+    work = str(tmp_path / "w")
+    import os
+
+    os.makedirs(work)
+
+    def rows(d, schema):
+        if not os.path.exists(d):
+            return set()
+        return {
+            (r.doc_id, r.component_id)
+            for r in spark.read.schema(schema).parquet(d)
+            .select("doc_id", "component_id").collect()
+        }
+
+    seen = []
+    for i, batch in enumerate(batches):
+        pairs = spark.createDataFrame(
+            batch, "id_a long, id_b long"
+        ) if batch else spark.createDataFrame([], "id_a long, id_b long")
+        _update_components(spark, work, pairs, f"b{i}")
+        seen.extend(batch)
+        comp = rows(f"{work}/components", _COMP_SCHEMA)
+        mirror = rows(f"{work}/components_by_doc", _MIRROR_SCHEMA)
+        assert comp == set(_cc(seen).items()), (seed, i, batches)
+        assert mirror == comp, (seed, i, "mirror drifted from the map")
