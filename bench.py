@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "q177_stream_ann_deletes",
     "q178_events_takedown",
     "q179_rollup_delete_propagation",
+    "q180_stream_bm25_index",
+    "q181_bm25_index_takedown",
     "q154_split_leakage",
     "q160_component_split",
     "q155_aqe_skew_join",

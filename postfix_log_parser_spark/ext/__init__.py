@@ -60,6 +60,10 @@ from postfix_log_parser_spark.ext.streamann import (
     STREAMANN_ORACLES,
     STREAMANN_QUERIES,
 )
+from postfix_log_parser_spark.ext.streambm25 import (
+    STREAMBM25_ORACLES,
+    STREAMBM25_QUERIES,
+)
 from postfix_log_parser_spark.ext.streamcc import (
     STREAMCC_ORACLES,
     STREAMCC_QUERIES,
@@ -123,6 +127,7 @@ EXT_QUERIES = {
     **SPANS_QUERIES,
     **STREAMCC_QUERIES,
     **STREAMANN_QUERIES,
+    **STREAMBM25_QUERIES,
     **CLASSIFY_QUERIES,
     **TOPK_QUERIES,
     **DPP_QUERIES,
@@ -167,6 +172,7 @@ EXT_ORACLES = {
     **SPANS_ORACLES,
     **STREAMCC_ORACLES,
     **STREAMANN_ORACLES,
+    **STREAMBM25_ORACLES,
     **CLASSIFY_ORACLES,
     **TOPK_ORACLES,
     **DPP_ORACLES,
