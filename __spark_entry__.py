@@ -152,10 +152,28 @@
   min-member relabels, and whole-component dissolutions all
   incremental); oracle rebuilds from scratch over the surviving
   pairs (q174), the STREAMING form of the same takedown — applied as
-  a maintenance op against q173's four persistent state tables
+  a maintenance op against q173's persistent state tables
   (band index, shingle store, pair list, component map), advancing
   the map in place with partition-scoped overwrite; oracle rebuilds
-  from scratch over the surviving pairs (q175),
+  from scratch over the surviving pairs (q175);
+  r10: STREAMING ANN index maintenance — waves append PQ codes to a
+  cell-partitioned store, the probe prunes to nprobe cells; oracle =
+  q157's from-scratch rebuild (q176), ANN index takedown —
+  cell-scoped retraction, oracle = rebuild without the deleted ids
+  (q177);
+  r11: events-table GDPR takedown — partition-scoped delete on the
+  date-partitioned sink, oracle = the q40 VALUES minus the deleted
+  sender (q178), rollup delete PROPAGATION — only the affected days
+  of the daily rollup MV recomputed after the base delete, oracle =
+  from-scratch aggregate over survivors (q179), STREAMING BM25 index
+  maintenance — term-bucketed postings with probe-time df/N/avgdl and
+  read-side replay dedup, oracle = q110's from-scratch SQL (q180),
+  BM25 index takedown — term-bucket-scoped retraction with a negative
+  stats increment, oracle = q110 rebuilt without the deleted docs
+  (q181).  q173/q175's component map also gained a doc-bucketed
+  MIRROR (components_by_doc/) in r11, advanced in lockstep through a
+  frozen two-phase txn, so every doc→component lookup is
+  partition-pruned,
 * q40-q45 — the postfix parse→sessionize pipeline itself (batch Arrow,
   fused, streaming, sinks), oracle-checked against literal expected rows
   derived from the reference's golden tests
