@@ -328,7 +328,6 @@ def apply_bm25_takedown(
             .repartition(N_TERM_BUCKETS, F.col("bucket"))
             .localCheckpoint(eager=True)  # read-under-write guard
         )
-        cols = [c for c in schema.split(", ")]  # noqa: F841 - doc aid
         spark.conf.set(conf_key, "dynamic")
         try:
             kept.write.mode("overwrite").partitionBy("bucket").parquet(table_dir)

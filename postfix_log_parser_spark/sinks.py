@@ -193,6 +193,12 @@ def delete_events(spark: SparkSession, path: str, predicate) -> list:
     3. A day whose events were ALL deleted receives no overwrite —
        its stale directory is swept explicitly.
 
+    NULL semantics match SQL DELETE: only rows where the predicate is
+    TRUE are removed — a row where it evaluates to NULL survives (the
+    keep filter is ``NOT coalesce(predicate, false)``, not ``NOT
+    predicate``, which would silently drop NULL rows in affected days
+    while identical rows in untouched days survived).
+
     Returns the list of affected day strings (audit trail).
     Idempotent: re-applying finds no matching rows and does nothing."""
     df = spark.read.parquet(path)
@@ -204,7 +210,7 @@ def delete_events(spark: SparkSession, path: str, predicate) -> list:
         return []
     kept = (
         df.filter(F.col("event_date").isin(affected))
-        .filter(~predicate)
+        .filter(~F.coalesce(predicate, F.lit(False)))
         .select(*EVENT_COLUMNS, "event_date")
         .repartition(F.col("event_date"))
         .sortWithinPartitions("timestamp")

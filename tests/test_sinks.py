@@ -516,3 +516,31 @@ def test_refresh_event_rollup_is_partition_scoped(spark, tmp_path):
     refresh_event_rollup(spark, path, mv, [])
     for day, snap in untouched.items():
         assert snapshot(day) == snap
+
+
+def test_delete_events_null_predicate_rows_survive(spark, mixed_events, tmp_path):
+    """SQL DELETE semantics: a row where the predicate evaluates to NULL
+    is NOT deleted — even when it lives in an affected day that gets
+    rewritten (the r11 ADVICE latent bug: ``~predicate`` alone silently
+    dropped NULL rows in rewritten days while identical rows in
+    untouched days survived)."""
+    from pyspark.sql import functions as F
+
+    from postfix_log_parser_spark.sinks import delete_events
+
+    sinkable, _ = route_sink_faults(mixed_events)
+    base = sinkable.limit(1)
+    rows = (
+        base.withColumn("domain_from", F.lit("gmail.com"))
+        .withColumn("queue_id", F.lit("GMAILQUEUE1"))
+        .unionByName(
+            base.withColumn("domain_from", F.lit(None).cast("string"))
+            .withColumn("queue_id", F.lit("NULLQUEUE02"))
+        )
+    )
+    path = str(tmp_path / "events")
+    write_events(rows, path)
+    affected = delete_events(spark, path, F.col("domain_from") == "gmail.com")
+    assert len(affected) == 1  # both rows share the fixture's single day
+    back = read_events(spark, path)
+    assert {r.queue_id for r in back.collect()} == {"NULLQUEUE02"}
