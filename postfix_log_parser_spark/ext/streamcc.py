@@ -104,6 +104,7 @@ from postfix_log_parser_spark.ext.dedup import (
     shingles3_udf,
 )
 from postfix_log_parser_spark.ext.staging import StageCache
+from postfix_log_parser_spark.ext.statetable import StateTable, hash_bucket
 
 N_WAVES = 3
 # state-table bucket count: 16 locally (waves at sf0.001 are a few rows;
@@ -168,7 +169,31 @@ atexit.register(_sweep_work_dirs)
 
 
 def _bucket_of(col: Column) -> Column:
-    return F.pmod(F.xxhash64(col), F.lit(N_STATE_BUCKETS)).cast("int")
+    return hash_bucket(col, N_STATE_BUCKETS)
+
+
+def _tables(spark: SparkSession, work: str) -> dict[str, StateTable]:
+    """The five state tables under one work dir, each carrying its
+    layout manifest (validated on every open — a store written under a
+    different bucket count or key refuses instead of mis-pruning)."""
+
+    def t(name: str, schema: str, key: str) -> StateTable:
+        return StateTable(
+            spark,
+            f"{work}/{name}",
+            schema,
+            partition_col="bucket",
+            n_buckets=N_STATE_BUCKETS,
+            key_desc=f"pmod(xxhash64({key}), n_buckets)",
+        )
+
+    return {
+        "bands": t("bands", _BANDS_SCHEMA, "band_key"),
+        "shingles": t("shingles", _SHINGLES_SCHEMA, "doc_id"),
+        "components": t("components", _COMP_SCHEMA, "component_id"),
+        "components_by_doc": t("components_by_doc", _MIRROR_SCHEMA, "doc_id"),
+        "pairs": t("pairs", _PAIRS_SCHEMA, "id_a"),
+    }
 
 
 def _write_wave_files(spark: SparkSession, sf_dir: str, waves_dir: str) -> None:
@@ -211,7 +236,7 @@ def q173_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _probe_candidates(
-    spark: SparkSession, bands_dir: str, wave_bands: DataFrame
+    bands: StateTable, wave_bands: DataFrame
 ) -> DataFrame:
     """Wave × band-index candidate pairs — the probe whose plan the
     layout exists for: the index scan is PRUNED to the wave's buckets
@@ -227,12 +252,8 @@ def _probe_candidates(
     guard every wave doc would self-match at Jaccard 1.0 and append
     spurious (x, x) pairs — breaking the module's replay-safety
     contract."""
-    touched = [
-        r.bucket for r in wave_bands.select("bucket").distinct().collect()
-    ]
-    idx = spark.read.schema(_BANDS_SCHEMA).parquet(bands_dir).filter(
-        F.col("bucket").isin(touched)
-    )
+    touched = bands.partitions_of(wave_bands)
+    idx = bands.read(touched)
     return (
         idx.alias("y")
         .join(
@@ -257,44 +278,17 @@ def _lookup_components(
     ids side rides a broadcast — per-lookup I/O is id-proportional, at
     any corpus size.  This is the access path whose absence made the r10
     merge loop read the whole comp-keyed map every batch."""
-    mirror_dir = f"{work}/components_by_doc"
-    if not os.path.exists(mirror_dir):
+    mirror = _tables(spark, work)["components_by_doc"]
+    if not mirror.exists():
         return spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
-    buckets = sorted({
-        r.b
-        for r in ids.select(
-            _bucket_of(F.col("doc_id")).alias("b")
-        ).distinct().collect()
-    })
+    buckets = mirror.partitions_of(ids, _bucket_of(F.col("doc_id")))
     if not buckets:
         return spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
     return (
-        spark.read.schema(_MIRROR_SCHEMA).parquet(mirror_dir)
-        .filter(F.col("bucket").isin(buckets))
+        mirror.read(buckets)
         .join(F.broadcast(ids.select("doc_id")), "doc_id")
         .select("doc_id", "component_id")
     )
-
-
-def _overwrite_buckets(
-    spark: SparkSession, table_dir: str, touched: list, new_rows: DataFrame
-) -> None:
-    """Partition-scoped advance of one bucketed map layout: dynamic
-    partition overwrite replaces exactly the bucket directories present
-    in ``new_rows`` (eagerly checkpointed by the caller — the contents
-    were computed FROM the directory being overwritten); a touched
-    bucket that received no rows was fully drained by the change and its
-    stale directory is swept explicitly."""
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        new_rows.write.mode("overwrite").partitionBy("bucket").parquet(table_dir)
-    finally:
-        spark.conf.set(conf_key, old)
-    written = {r.bucket for r in new_rows.select("bucket").distinct().collect()}
-    for b in set(touched) - written:
-        shutil.rmtree(f"{table_dir}/bucket={b}", ignore_errors=True)
 
 
 def _apply_map_txn(spark: SparkSession, work: str, txn_dir: str) -> None:
@@ -305,9 +299,11 @@ def _apply_map_txn(spark: SparkSession, work: str, txn_dir: str) -> None:
     idempotent per row, so re-applying after a crash that advanced one
     table but not the other converges both.  One bounded collect plans
     all touched buckets for both layouts (the r10 verdict's
-    three-collects-per-batch nit, folded into a single job)."""
-    comp_dir = f"{work}/components"
-    mirror_dir = f"{work}/components_by_doc"
+    three-collects-per-batch nit, folded into a single job).  The
+    partition-scoped overwrite + drained-bucket sweep is
+    ``StateTable.overwrite_partitions`` (shared with streamann/streambm25
+    since r12)."""
+    tabs = _tables(spark, work)
     d = (
         spark.read.schema(_TXN_SCHEMA).parquet(txn_dir)
         .localCheckpoint(eager=True)
@@ -334,15 +330,14 @@ def _apply_map_txn(spark: SparkSession, work: str, txn_dir: str) -> None:
         "doc_id", F.col("new_comp").alias("component_id")
     )
     delta_docs = F.broadcast(d.select("doc_id"))
-    for table_dir, schema, touched, bucket_col in (
-        (comp_dir, _COMP_SCHEMA, comp_buckets, "component_id"),
-        (mirror_dir, _MIRROR_SCHEMA, doc_buckets, "doc_id"),
+    for tname, touched, bucket_col in (
+        ("components", comp_buckets, "component_id"),
+        ("components_by_doc", doc_buckets, "doc_id"),
     ):
+        tab = tabs[tname]
         base = (
-            spark.read.schema(schema).parquet(table_dir)
-            .filter(F.col("bucket").isin(touched))
-            .select("doc_id", "component_id")
-            if os.path.exists(table_dir)
+            tab.read(touched).select("doc_id", "component_id")
+            if tab.exists()
             else spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
         )
         new_rows = (
@@ -352,7 +347,7 @@ def _apply_map_txn(spark: SparkSession, work: str, txn_dir: str) -> None:
             .repartition(N_STATE_BUCKETS, F.col("bucket"))
             .localCheckpoint(eager=True)
         )
-        _overwrite_buckets(spark, table_dir, touched, new_rows)
+        tab.overwrite_partitions(touched, new_rows)
     shutil.rmtree(txn_dir, ignore_errors=True)
 
 
@@ -412,7 +407,7 @@ def _update_components(
        added rows;
     4. ``_commit_map_txn`` freezes it and advances both layouts with
        partition-scoped dynamic overwrite."""
-    comp_dir = f"{work}/components"
+    comp = _tables(spark, work)["components"]
     if pairs.isEmpty():  # nothing verified — zero state I/O this batch
         return
     ep = (
@@ -432,16 +427,10 @@ def _update_components(
         "old_comp",
         "semi",
     )
-    cand_old = sorted({
-        r.b
-        for r in relabel.select(
-            _bucket_of(F.col("old_comp")).alias("b")
-        ).distinct().collect()
-    })
-    if os.path.exists(comp_dir) and cand_old:
+    cand_old = comp.partitions_of(relabel, _bucket_of(F.col("old_comp")))
+    if comp.exists() and cand_old:
         members = (
-            spark.read.schema(_COMP_SCHEMA).parquet(comp_dir)
-            .filter(F.col("bucket").isin(cand_old))
+            comp.read(cand_old)
             .join(
                 F.broadcast(relabel),
                 F.col("component_id") == F.col("old_comp"),
@@ -461,7 +450,8 @@ def _update_components(
 
 
 def run_maintenance(
-    spark: SparkSession, waves_dir: str, work: str
+    spark: SparkSession, waves_dir: str, work: str,
+    compact_every: int = 8,
 ) -> DataFrame:
     """One availableNow pass of the maintenance loop over whatever wave
     files currently exist.  State (bands/shingles/components) and the
@@ -470,11 +460,13 @@ def run_maintenance(
     folds only the waves that arrived since — the restart-recovery
     contract pinned in test_streamcc.py.  The returned map is an eager
     localCheckpoint: it stays valid even if the state directory is
-    later replaced or cleaned up."""
-    bands_dir = f"{work}/bands"
-    sh_dir = f"{work}/shingles"
-    comp_dir = f"{work}/components"
-    pairs_dir = f"{work}/pairs"
+    later replaced or cleaned up.
+
+    Maintenance is WIRED IN (r11 verdict #3 — ``compact_state`` used to
+    be a manual op nothing invoked): every ``compact_every``-th batch
+    compacts the append-only tables after its own writes, safely — the
+    foreachBatch callback is the only writer of this work dir."""
+    tabs = _tables(spark, work)
     empty_map = spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
 
     def merge_wave(batch: DataFrame, batch_id: int) -> None:
@@ -508,9 +500,9 @@ def run_maintenance(
         # wave × index pairs: pruned, broadcast probe of the bucketed index.
         # The candidate set is consumed twice (endpoint-bucket planning and
         # the verify join) — persist so the probe runs once per batch.
-        if os.path.exists(bands_dir):
+        if tabs["bands"].exists():
             cand = ww.unionByName(
-                _probe_candidates(spark, bands_dir, wave_bands)
+                _probe_candidates(tabs["bands"], wave_bands)
             ).distinct().persist()
         else:
             cand = ww.distinct().persist()
@@ -524,16 +516,12 @@ def run_maintenance(
             .distinct()
             .join(F.broadcast(wave_ids), "doc_id", "left_anti")
         )
-        if os.path.exists(sh_dir):
-            ep_buckets = [
-                r.bucket
-                for r in endpoints.select(
-                    _bucket_of(F.col("doc_id")).alias("bucket")
-                ).distinct().collect()
-            ]
+        if tabs["shingles"].exists():
+            ep_buckets = tabs["shingles"].partitions_of(
+                endpoints, _bucket_of(F.col("doc_id"))
+            )
             store_sh = (
-                spark.read.schema(_SHINGLES_SCHEMA).parquet(sh_dir)
-                .filter(F.col("bucket").isin(ep_buckets))
+                tabs["shingles"].read(ep_buckets)
                 .join(F.broadcast(endpoints), "doc_id")
                 .select("doc_id", "shingles")
             )
@@ -557,22 +545,26 @@ def run_maintenance(
         # crash recomputes the same idempotent swap, or resumes the
         # frozen txn if the crash hit mid-apply)
         _update_components(spark, work, pairs, tag=f"batch-{batch_id:08d}")
-        # co-locate each append by bucket before writing (one shuffle of
-        # the WAVE, never of the state): one file per touched bucket per
-        # batch instead of |tasks|×|buckets| fragments
-        pairs.withColumn("bucket", _bucket_of(F.col("id_a"))) \
-            .repartition(N_STATE_BUCKETS, F.col("bucket")) \
-            .write.mode("append").partitionBy("bucket").parquet(pairs_dir)
-        wave_bands.select("doc_id", "band_idx", "band_key", "bucket") \
-            .repartition(N_STATE_BUCKETS, F.col("bucket")) \
-            .write.mode("append").partitionBy("bucket").parquet(bands_dir)
-        wave_sh.select(
-            "doc_id", "shingles", _bucket_of(F.col("doc_id")).alias("bucket")
-        ).repartition(N_STATE_BUCKETS, F.col("bucket")) \
-            .write.mode("append").partitionBy("bucket").parquet(sh_dir)
+        # StateTable.append co-locates each append by bucket before
+        # writing (one shuffle of the WAVE, never of the state): one
+        # file per touched bucket per batch instead of
+        # |tasks|×|buckets| fragments
+        tabs["pairs"].append(
+            pairs.withColumn("bucket", _bucket_of(F.col("id_a")))
+        )
+        tabs["bands"].append(
+            wave_bands.select("doc_id", "band_idx", "band_key", "bucket")
+        )
+        tabs["shingles"].append(
+            wave_sh.select(
+                "doc_id", "shingles", _bucket_of(F.col("doc_id")).alias("bucket")
+            )
+        )
         wave_bands.unpersist()
         wave_sh.unpersist()
         batch.unpersist()
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_state(spark, work)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -591,10 +583,10 @@ def run_maintenance(
     # AND no new waves for this run's batches to recover it through —
     # converge the map layouts before reading (no-op when none pending)
     _recover_pending_txns(spark, work)
-    if not os.path.exists(comp_dir):  # empty corpus: no pairs anywhere
+    if not tabs["components"].exists():  # empty corpus: no pairs anywhere
         return empty_map
     return (
-        spark.read.schema(_COMP_SCHEMA).parquet(comp_dir)
+        tabs["components"].read()
         .select("doc_id", "component_id")
         .localCheckpoint(eager=True)
     )
@@ -617,48 +609,14 @@ def compact_state(
 
     Run it between batches (never concurrently with the stream writing
     the same work dir), on whatever cadence bounds file counts — the
-    maintenance twin of the map txn's bounded-lifecycle discipline."""
-    out: dict = {}
-    for table, schema in (
-        ("pairs", _PAIRS_SCHEMA),
-        ("bands", _BANDS_SCHEMA),
-        ("shingles", _SHINGLES_SCHEMA),
-    ):
-        table_dir = f"{work}/{table}"
-        out[table] = 0
-        if not os.path.isdir(table_dir):
-            continue
-        row_schema = schema.replace(", bucket int", "")
-        # crash recovery: a retired dir whose replacement never landed is
-        # the data — restore it; stale staging dirs are discarded
-        for name in sorted(os.listdir(table_dir)):
-            if name.startswith(".compact-"):
-                shutil.rmtree(f"{table_dir}/{name}", ignore_errors=True)
-            elif name.startswith(".old-"):
-                orig = f"{table_dir}/{name[len('.old-'):]}"
-                if not os.path.exists(orig):
-                    os.rename(f"{table_dir}/{name}", orig)
-                else:
-                    shutil.rmtree(f"{table_dir}/{name}", ignore_errors=True)
-        for name in sorted(os.listdir(table_dir)):
-            if not name.startswith("bucket="):
-                continue
-            bdir = f"{table_dir}/{name}"
-            parts = [p for p in os.listdir(bdir) if p.endswith(".parquet")]
-            if len(parts) <= max_files:
-                continue
-            staged = f"{table_dir}/.compact-{name}"
-            (
-                spark.read.schema(row_schema).parquet(bdir)
-                .repartition(1)
-                .write.mode("overwrite").parquet(staged)
-            )
-            retired = f"{table_dir}/.old-{name}"
-            os.rename(bdir, retired)
-            os.rename(staged, bdir)
-            shutil.rmtree(retired, ignore_errors=True)
-            out[table] += 1
-    return out
+    maintenance twin of the map txn's bounded-lifecycle discipline.
+    Since r12 the rename-swap + crash-heal machinery is
+    ``StateTable.compact`` (shared with streambm25)."""
+    tabs = _tables(spark, work)
+    return {
+        name: tabs[name].compact(max_files)
+        for name in ("pairs", "bands", "shingles")
+    }
 
 
 def apply_takedown(
@@ -686,15 +644,15 @@ def apply_takedown(
     Idempotent: re-applying the same takedown finds no deleted doc in
     the mirror and returns the map unchanged.  Returns the post-takedown
     map as an eager localCheckpoint."""
-    comp_dir = f"{work}/components"
-    pairs_dir = f"{work}/pairs"
-    if not os.path.exists(comp_dir):
+    tabs = _tables(spark, work)
+    comp, pairs_tab = tabs["components"], tabs["pairs"]
+    if not comp.exists():
         return spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
     _recover_pending_txns(spark, work)
 
     def current() -> DataFrame:
         return (
-            spark.read.schema(_COMP_SCHEMA).parquet(comp_dir)
+            comp.read()
             .select("doc_id", "component_id")
             .localCheckpoint(eager=True)
         )
@@ -705,35 +663,25 @@ def apply_takedown(
         .select("component_id").distinct()
         .localCheckpoint(eager=True)
     )
-    aff_buckets = sorted({
-        r.b
-        for r in aff.select(
-            _bucket_of(F.col("component_id")).alias("b")
-        ).distinct().collect()
-    })
+    aff_buckets = comp.partitions_of(aff, _bucket_of(F.col("component_id")))
     if not aff_buckets:  # nothing mapped is deleted — no-op
         return current()
     members = (
-        spark.read.schema(_COMP_SCHEMA).parquet(comp_dir)
-        .filter(F.col("bucket").isin(aff_buckets))
+        comp.read(aff_buckets)
         .join(F.broadcast(aff), "component_id")
         .select("doc_id", "component_id")
         .localCheckpoint(eager=True)
     )
     survivors = members.join(F.broadcast(deleted), "doc_id", "left_anti")
-    member_buckets = [
-        r.b
-        for r in members.select(
-            _bucket_of(F.col("doc_id")).alias("b")
-        ).distinct().collect()
-    ]
+    member_buckets = pairs_tab.partitions_of(
+        members, _bucket_of(F.col("doc_id"))
+    )
     resid = (
-        spark.read.schema(_PAIRS_SCHEMA).parquet(pairs_dir)
-        .filter(F.col("bucket").isin(member_buckets))
+        pairs_tab.read(member_buckets)
         .join(F.broadcast(survivors.select(F.col("doc_id").alias("id_a"))), "id_a")
         .join(F.broadcast(survivors.select(F.col("doc_id").alias("id_b"))), "id_b")
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    ) if os.path.exists(pairs_dir) else spark.createDataFrame(
+    ) if pairs_tab.exists() else spark.createDataFrame(
         [], "a long, b long"
     )
     labels = _hash_min_cc(resid)

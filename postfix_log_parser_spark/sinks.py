@@ -24,13 +24,29 @@ insert).  Spark equivalents:
 
 from __future__ import annotations
 
-import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from postfix_log_parser_spark.ext.statetable import (
+    StateTable,
+    dynamic_partition_overwrite,
+)
 from postfix_log_parser_spark.schema import EVENT_COLUMNS
+
+
+def _events_table(spark: SparkSession, path: str) -> StateTable:
+    """The date-partitioned events table as a StateTable (schema
+    inferred — the events table always carries data when maintained):
+    the takedown/refresh lifecycle shares the partition-scoped
+    overwrite + drained-partition sweep with the streamcc/streamann/
+    streambm25 state stores, and the layout manifest pins the partition
+    grain."""
+    return StateTable(
+        spark, path, schema=None, partition_col="event_date",
+        n_buckets=None, key_desc="to_date(timestamp)",
+    )
 
 
 def route_sink_faults(events: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -81,14 +97,8 @@ def overwrite_event_days(events: DataFrame, path: str) -> None:
     (late logs, a parser fix) without rewriting the table or disturbing
     readers of other partitions.  Static overwrite mode would instead
     truncate the whole table — the conf is scoped and restored."""
-    spark = events.sparkSession
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
+    with dynamic_partition_overwrite(events.sparkSession):
         write_events(events, path, mode="overwrite")
-    finally:
-        spark.conf.set(conf_key, old)
 
 
 def compact_event_days(
@@ -160,18 +170,13 @@ def compact_event_days(
         .sortWithinPartitions("timestamp")
         .select(*EVENT_COLUMNS, "event_date")
     )
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
+    with dynamic_partition_overwrite(spark):
         (
             compacted.write.mode("overwrite")
             .option("maxRecordsPerFile", rows_per_file)
             .partitionBy("event_date")
             .parquet(path)
         )
-    finally:
-        spark.conf.set(conf_key, old)
 
 
 def delete_events(spark: SparkSession, path: str, predicate) -> list:
@@ -216,22 +221,9 @@ def delete_events(spark: SparkSession, path: str, predicate) -> list:
         .sortWithinPartitions("timestamp")
         .localCheckpoint(eager=True)
     )
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        (
-            kept.write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set(conf_key, old)
-    written = {
-        str(r.event_date) for r in kept.select("event_date").distinct().collect()
-    }
-    for day in set(affected) - written:  # day fully drained by the delete
-        shutil.rmtree(f"{path}/event_date={day}", ignore_errors=True)
+    # partition-scoped overwrite + fully-drained-day sweep, shared with
+    # the streaming state stores (ext/statetable.py)
+    _events_table(spark, path).overwrite_partitions(affected, kept)
     return affected
 
 
@@ -282,18 +274,12 @@ def refresh_event_rollup(
         .select("n_events", "sum_status", "first_time", "event_date")
         .localCheckpoint(eager=True)
     )
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        fresh.write.mode("overwrite").partitionBy("event_date").parquet(mv_path)
-    finally:
-        spark.conf.set(conf_key, old)
-    written = {
-        str(r.event_date) for r in fresh.select("event_date").distinct().collect()
-    }
-    for day in set(days) - written:  # the day's last source row was deleted
-        shutil.rmtree(f"{mv_path}/event_date={day}", ignore_errors=True)
+    # a day whose last source row was deleted is swept from the MV by
+    # the shared drained-partition sweep
+    StateTable(
+        spark, mv_path, schema=None, partition_col="event_date",
+        n_buckets=None, key_desc="to_date(timestamp) rollup grain",
+    ).overwrite_partitions(days, fresh)
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:

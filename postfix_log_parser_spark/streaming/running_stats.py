@@ -32,7 +32,7 @@ from pyspark.sql.streaming.stateful_processor import (
 # init (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
 # "cannot import name 'descriptor' from 'google.protobuf'").  This
 # container ships no protobuf and installs are off-limits (re-checked
-# r9/r10/r11 — still absent), so the q113 contract query registers only
+# r9/r10/r11/r12 — still absent), so the q113 contract query registers only
 # where the runtime is whole; the processor logic itself is unit-tested
 # against a mock handle either way.
 def _has_tws_runtime() -> bool:

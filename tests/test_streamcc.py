@@ -86,6 +86,7 @@ def test_probe_plan_prunes_index_and_broadcasts_wave(spark, tmp_path):
     from postfix_log_parser_spark.ext.streamcc import (
         _bucket_of,
         _probe_candidates,
+        _tables,
     )
 
     docs = spark.createDataFrame(
@@ -102,7 +103,7 @@ def test_probe_plan_prunes_index_and_broadcasts_wave(spark, tmp_path):
 
     wave = bands.filter(F.col("doc_id") >= 8).persist()
     wave.count()  # materialize, as merge_wave does before probing
-    probe = _probe_candidates(spark, bands_dir, wave)
+    probe = _probe_candidates(_tables(spark, str(tmp_path))["bands"], wave)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     wave.unpersist()
 
@@ -134,6 +135,7 @@ def test_probe_never_self_matches_replayed_wave(spark, tmp_path):
     from postfix_log_parser_spark.ext.streamcc import (
         _bucket_of,
         _probe_candidates,
+        _tables,
     )
 
     docs = spark.createDataFrame(
@@ -151,7 +153,7 @@ def test_probe_never_self_matches_replayed_wave(spark, tmp_path):
     # the index already holds the WHOLE wave (the replayed-batch state)
     bands.write.partitionBy("bucket").parquet(bands_dir)
 
-    got = _probe_candidates(spark, bands_dir, bands).collect()
+    got = _probe_candidates(_tables(spark, str(tmp_path))["bands"], bands).collect()
     bands.unpersist()
     assert got, "identical docs must still cross-match"
     assert all(r.id_a != r.id_b for r in got), (
