@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "q179_rollup_delete_propagation",
     "q180_stream_bm25_index",
     "q181_bm25_index_takedown",
+    "q182_bm25_layout_migration",
     "q154_split_leakage",
     "q160_component_split",
     "q155_aqe_skew_join",

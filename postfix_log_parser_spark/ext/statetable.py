@@ -106,6 +106,28 @@ class StateTable:
         self.key_fingerprint = key_fingerprint
         self._validated = False
 
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "StateTable | None":
+        """Open an existing store BY ITS MANIFEST — the reader derives
+        the layout (bucket count, key, schema) from what the store
+        records instead of a build-time constant, so a probe keeps
+        working across layout migrations.  Returns None when no
+        manifest exists (a pre-manifest or foreign directory)."""
+        mpath = os.path.join(path, MANIFEST_NAME)
+        if not os.path.isfile(mpath):
+            return None
+        with open(mpath) as fh:
+            m = json.load(fh)
+        return cls(
+            spark,
+            path,
+            schema=m["schema"],
+            partition_col=m["partition_col"],
+            n_buckets=m["n_buckets"],
+            key_desc=m["key_desc"],
+            key_fingerprint=m["key_fingerprint"],
+        )
+
     # ---------------------------------------------------------- layout
 
     @property
@@ -257,6 +279,72 @@ class StateTable:
         for v in {str(t) for t in touched} - written:
             shutil.rmtree(self.partition_dir(v), ignore_errors=True)
         return written
+
+    # ------------------------------------------------------- migration
+
+    def migrate(self, target: "StateTable", key_col: str) -> int:
+        """Resumable, exactly-once layout migration — the action the
+        manifest refusal demands (a 100 TB store raising its bucket
+        count can't just flip the constant; the data must be
+        re-bucketed under a NEW manifest).
+
+        One SOURCE partition at a time: its rows are re-bucketed under
+        ``target``'s layout into a dot-prefixed staging dir, then moved
+        into the target partitions under DETERMINISTIC file names
+        (``mig-<src>-<dst>.parquet`` — one file per (source, target)
+        partition pair, so a crash-resumed redo overwrites its own
+        earlier copies instead of duplicating rows), then the source
+        partition's done-marker is written.  A crash resumes at the
+        first unmarked partition; the unit of work and of retry is one
+        partition directory.  The source store is never modified.
+        Returns the number of source partitions migrated this call."""
+        self.validate()
+        target.validate()
+        target._ensure_manifest()
+        os.makedirs(os.path.join(target.path, "_migrated"), exist_ok=True)
+        done = 0
+        for name in sorted(os.listdir(self.path)):
+            if not name.startswith(f"{self.partition_col}="):
+                continue
+            pval = name.split("=", 1)[1]
+            marker = os.path.join(target.path, "_migrated", name)
+            if os.path.exists(marker):
+                continue
+            rows = self.spark.read.schema(self.row_schema).parquet(
+                os.path.join(self.path, name)
+            )
+            rebucketed = rows.withColumn(
+                target.partition_col, target.bucket_of(F.col(key_col))
+            )
+            staged = os.path.join(target.path, f".mig-{pval}")
+            (
+                rebucketed.repartition(
+                    target.n_buckets, F.col(target.partition_col)
+                )
+                .write.mode("overwrite")
+                .partitionBy(target.partition_col)
+                .parquet(staged)
+            )
+            for bname in sorted(os.listdir(staged)):
+                if not bname.startswith(f"{target.partition_col}="):
+                    continue
+                bval = bname.split("=", 1)[1]
+                tdir = target.partition_dir(bval)
+                os.makedirs(tdir, exist_ok=True)
+                parts = sorted(
+                    p for p in os.listdir(os.path.join(staged, bname))
+                    if p.endswith(".parquet")
+                )
+                for i, p in enumerate(parts):
+                    os.replace(
+                        os.path.join(staged, bname, p),
+                        os.path.join(tdir, f"mig-{pval}-{bval}-{i:03d}.parquet"),
+                    )
+            shutil.rmtree(staged, ignore_errors=True)
+            with open(marker, "w") as fh:
+                fh.write("done\n")
+            done += 1
+        return done
 
     # ------------------------------------------------------ compaction
 

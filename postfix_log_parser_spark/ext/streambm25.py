@@ -116,6 +116,20 @@ def _tables(spark: SparkSession, work: str) -> dict[str, StateTable]:
         ),
     }
 
+
+def _open_tables(spark: SparkSession, work: str) -> dict[str, StateTable]:
+    """Open the index tables BY THEIR MANIFESTS when present (so every
+    access path — ingest, probe, takedown, compaction — keeps working
+    on a store whose layout was migrated to a different bucket count,
+    q182), falling back to the build defaults for a store that doesn't
+    exist yet."""
+    tabs = _tables(spark, work)
+    for name in tabs:
+        t = StateTable.open(spark, f"{work}/{name}")
+        if t is not None:
+            tabs[name] = t
+    return tabs
+
 # the takedown batch: every 7th-offset-2 doc is retracted from the
 # index (the doc stays in the corpus table; only its index entries go)
 DELETE_MOD, DELETE_RES = 7, 2
@@ -202,18 +216,23 @@ def ingest_wave(spark: SparkSession, work: str, batch: DataFrame, tag: str) -> N
     """Fold one wave into the index: tokenize the wave only, append its
     postings to their term buckets, its doc lengths to the doc-bucketed
     stats, and one corpus-stats increment row.  Every write is
-    wave-proportional; nothing accumulated is ever read."""
-    tabs = _tables(spark, work)
+    wave-proportional; nothing accumulated is ever read.  Bucket
+    assignment comes from each table's manifest (an ingest into a
+    migrated store lands in the layout the store records)."""
+    tabs = _open_tables(spark, work)
     toks = _tokenized(batch).persist()
     postings = (
         toks.select("doc_id", "dl", F.explode("words").alias("term"))
         .groupBy("term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("bucket", _term_bucket(F.col("term")))
+        .withColumn("bucket", tabs["postings"].bucket_of(F.col("term")))
     )
     tabs["postings"].append(postings.select("term", "doc_id", "tf", "dl", "bucket"))
     tabs["docstats"].append(
-        toks.select("doc_id", "dl", _doc_bucket(F.col("doc_id")).alias("bucket"))
+        toks.select(
+            "doc_id", "dl",
+            tabs["docstats"].bucket_of(F.col("doc_id")).alias("bucket"),
+        )
     )
     _append_stats(
         spark, work, tag,
@@ -270,18 +289,22 @@ def probe_bm25(
     the result must equal the from-scratch plan's.  Dedup-by-key makes
     the answer invariant under crash-replayed appends; a pending
     takedown txn is converged first so the probe never reads a
-    half-applied retraction."""
+    half-applied retraction.
+
+    The postings layout is discovered FROM THE STORE'S MANIFEST
+    (``StateTable.open``), not the module constant — so the same probe
+    keeps answering across a bucket-count migration (q182): the bucket
+    the planner prunes to is always the one the store was written
+    under."""
     empty = spark.createDataFrame([], "rnk int, doc_id long, bm25 double")
-    tabs = _tables(spark, work)
-    if not tabs["postings"].exists():
+    ptab = _open_tables(spark, work)["postings"]
+    if not ptab.exists():
         return empty
     _recover_pending_bm25_txns(spark, work)
     terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
-    buckets = tabs["postings"].partitions_of(
-        terms_df, _term_bucket(F.col("term"))
-    )
+    buckets = ptab.partitions_of(terms_df, ptab.bucket_of(F.col("term")))
     postings = (
-        tabs["postings"].read(buckets)
+        ptab.read(buckets)
         .filter(F.col("term").isin(terms))
         # replay dedup: identical rows collapse (tf is a per-(term,doc)
         # constant, so max == the value)
@@ -332,7 +355,7 @@ def _apply_bm25_txn(spark: SparkSession, work: str, txn_dir: str) -> None:
         meta = json.load(fh)
     present = spark.read.schema(_PRESENT_SCHEMA).parquet(f"{txn_dir}/present")
     del_ids = F.broadcast(present.select("doc_id"))
-    tabs = _tables(spark, work)
+    tabs = _open_tables(spark, work)
     for tname, touched in (
         ("postings", meta["term_buckets"]),
         ("docstats", meta["doc_buckets"]),
@@ -343,7 +366,7 @@ def _apply_bm25_txn(spark: SparkSession, work: str, txn_dir: str) -> None:
         kept = (
             tab.read(touched)
             .join(del_ids, "doc_id", "left_anti")
-            .repartition(N_TERM_BUCKETS, F.col("bucket"))
+            .repartition(tab.n_buckets, F.col("bucket"))
             .localCheckpoint(eager=True)  # read-under-write guard
         )
         tab.overwrite_partitions(touched, kept)
@@ -398,10 +421,10 @@ def apply_bm25_takedown(
     forever.  Re-applying a COMPLETED takedown finds no deleted doc in
     docstats and returns without writing anything."""
     _recover_pending_bm25_txns(spark, work)
-    tabs = _tables(spark, work)
+    tabs = _open_tables(spark, work)
     dd = _tokenized(deleted).persist()
     doc_buckets = tabs["docstats"].partitions_of(
-        dd, _doc_bucket(F.col("doc_id"))
+        dd, tabs["docstats"].bucket_of(F.col("doc_id"))
     ) if tabs["docstats"].exists() else []
     if not doc_buckets:
         dd.unpersist()
@@ -418,7 +441,7 @@ def apply_bm25_takedown(
         return
     term_buckets = tabs["postings"].partitions_of(
         dd.select(F.explode("words").alias("term")),
-        _term_bucket(F.col("term")),
+        tabs["postings"].bucket_of(F.col("term")),
     )
     dd.unpersist()
     # phase 1: freeze (present rows, then meta.json as the marker)
@@ -491,7 +514,7 @@ def compact_bm25_state(
     the per-table dedup spec, plus the tag-merged ``stats/`` log (the
     r11 verdict's missing third table).  Auto-invoked by
     ``run_bm25_maintenance`` every ``COMPACT_EVERY`` batches."""
-    tabs = _tables(spark, work)
+    tabs = _open_tables(spark, work)
     return {
         "postings": tabs["postings"].compact(
             max_files, dedup_keys=["term", "doc_id", "dl"],
@@ -549,6 +572,74 @@ def q181_bm25_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BMD_STAGE.put(key, out)
 
 
+MIGRATED_BUCKETS = 48  # the migration target layout (≠ N_TERM_BUCKETS)
+
+
+def migrate_bm25_store(
+    spark: SparkSession, src_work: str, dst_work: str,
+    n_buckets: int = MIGRATED_BUCKETS,
+) -> None:
+    """Re-bucket a maintained BM25 index into a new layout — the
+    operational act the manifest refusal exists to force: raising the
+    bucket count for a grown corpus can't just flip ``N_TERM_BUCKETS``
+    (old stores would silently mis-prune); the data is migrated under a
+    NEW manifest via ``StateTable.migrate`` (resumable, exactly-once,
+    source untouched) and every reader derives the layout from the
+    manifest from then on.  The flat ``stats/`` log is layout-free and
+    is carried over as files."""
+    src = _open_tables(spark, src_work)
+    dst = {
+        "postings": StateTable(
+            spark, f"{dst_work}/postings", _POSTINGS_SCHEMA,
+            partition_col="bucket", n_buckets=n_buckets,
+            key_desc="pmod(xxhash64(term), n_buckets)",
+        ),
+        "docstats": StateTable(
+            spark, f"{dst_work}/docstats", _DOCSTATS_SCHEMA,
+            partition_col="bucket", n_buckets=n_buckets,
+            key_desc="pmod(xxhash64(doc_id), n_buckets)",
+        ),
+    }
+    src["postings"].migrate(dst["postings"], key_col="term")
+    src["docstats"].migrate(dst["docstats"], key_col="doc_id")
+    sdir, ddir = f"{src_work}/stats", f"{dst_work}/stats"
+    if os.path.isdir(sdir) and not os.path.isdir(ddir):
+        shutil.copytree(sdir, ddir)
+
+
+_BMM_STAGE = StageCache(inputs=("documents.parquet",))
+
+
+def q182_bm25_layout_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout-migration lifecycle: q180's maintained 16-bucket index
+    is migrated to a 48-bucket store (new manifest, re-bucketed
+    postings/docstats, source untouched) and the SAME probe — which
+    discovers the layout from the manifest — answers against the
+    migrated store.  The oracle is q110's from-scratch SQL: migrated ==
+    maintained == rebuilt, and the probe's partition pruning provably
+    follows the store's recorded layout rather than the build
+    constant."""
+    key = _BMM_STAGE.key(spark, sf_dir)
+    staged = _BMM_STAGE.get(key)
+    if staged is not None:
+        return staged
+    # build an index of OUR OWN (q181's takedown advances q180's store
+    # in place, so migrating that store would be order-dependent — the
+    # migration source must be a full-corpus index regardless of which
+    # contract queries ran first)
+    src_work = tempfile.mkdtemp(prefix="q182_bm25_src_")
+    _WORK_DIRS.append(src_work)
+    waves_dir = f"{src_work}/waves"
+    os.makedirs(waves_dir)
+    _write_wave_files(spark, sf_dir, waves_dir)
+    run_bm25_maintenance(spark, waves_dir, src_work)
+    dst_work = tempfile.mkdtemp(prefix="q182_bm25_migrated_")
+    _WORK_DIRS.append(dst_work)
+    migrate_bm25_store(spark, src_work, dst_work)
+    out = probe_bm25(spark, dst_work).localCheckpoint(eager=True)
+    return _BMM_STAGE.put(key, out)
+
+
 def _q181_sql() -> str:
     ctes = _BM25_CTES.replace(
         "FROM documents WHERE text IS NOT NULL",
@@ -562,6 +653,7 @@ def _q181_sql() -> str:
 STREAMBM25_QUERIES = {
     "q180_stream_bm25_index": q180_stream_bm25_index,
     "q181_bm25_index_takedown": q181_bm25_index_takedown,
+    "q182_bm25_layout_migration": q182_bm25_layout_migration,
 }
 
 STREAMBM25_ORACLES = {
@@ -569,4 +661,6 @@ STREAMBM25_ORACLES = {
     "q180_stream_bm25_index": _Q110_SQL,
     # takedown == rebuild excluding the deleted docs
     "q181_bm25_index_takedown": _q181_sql(),
+    # migrated layout == maintained == rebuilt (same from-scratch SQL)
+    "q182_bm25_layout_migration": _Q110_SQL,
 }

@@ -352,3 +352,69 @@ def test_takedown_crash_after_rewrites_before_stats_still_decrements(
             .collect()[0]
         )
     assert totals(work) == totals(twin)
+
+
+def test_layout_migration_resumable_and_probe_follows_manifest(spark, tmp_path):
+    """q182's core (r12): a maintained 16-bucket index migrated to a
+    48-bucket layout answers identically; the probe's bucket planning
+    follows the MIGRATED store's manifest; a crash-resumed migration
+    (re-doing an unmarked source partition) does not duplicate rows;
+    and opening the migrated store under the old layout refuses."""
+    from postfix_log_parser_spark.ext.statetable import (
+        StateLayoutError,
+        StateTable,
+    )
+    from postfix_log_parser_spark.ext.streambm25 import (
+        MIGRATED_BUCKETS,
+        N_TERM_BUCKETS,
+        _POSTINGS_SCHEMA as PSCHEMA,
+        migrate_bm25_store,
+    )
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    waves = f"{src}/waves"
+    os.makedirs(waves)
+    _write_wave_files(spark, SF, waves)
+    run_bm25_maintenance(spark, waves, src)
+    base = _probe_rows(spark, src)
+
+    dst = str(tmp_path / "dst")
+    migrate_bm25_store(spark, src, dst)
+    assert _probe_rows(spark, dst) == base and base
+
+    # the probe planned against the 48-bucket layout, not the 16-bucket
+    # constant: recorded manifest says 48 and at least one partition dir
+    # sits above the old bucket range
+    import json as _json
+    with open(f"{dst}/postings/_manifest.json") as fh:
+        assert _json.load(fh)["n_buckets"] == MIGRATED_BUCKETS
+    dirs = {
+        int(d.split("=")[1]) for d in os.listdir(f"{dst}/postings")
+        if d.startswith("bucket=")
+    }
+    assert max(dirs) >= N_TERM_BUCKETS
+
+    # crash-resume: drop one source partition's done-marker and re-run —
+    # the deterministic file names overwrite the earlier copies, so row
+    # counts and answers are unchanged
+    rows_before = (
+        spark.read.schema(PSCHEMA).parquet(f"{dst}/postings").count()
+    )
+    markers = sorted(os.listdir(f"{dst}/postings/_migrated"))
+    os.remove(f"{dst}/postings/_migrated/{markers[0]}")
+    migrate_bm25_store(spark, src, dst)
+    assert (
+        spark.read.schema(PSCHEMA).parquet(f"{dst}/postings").count()
+        == rows_before
+    )
+    assert _probe_rows(spark, dst) == base
+
+    # the refusal the migration exists to satisfy: the old layout
+    # cannot open the migrated store
+    with _pytest.raises(StateLayoutError):
+        StateTable(
+            spark, f"{dst}/postings", PSCHEMA,
+            partition_col="bucket", n_buckets=N_TERM_BUCKETS,
+            key_desc="pmod(xxhash64(term), n_buckets)",
+        ).read()
