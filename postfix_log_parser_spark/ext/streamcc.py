@@ -196,6 +196,19 @@ def _tables(spark: SparkSession, work: str) -> dict[str, StateTable]:
     }
 
 
+def _open_tables(spark: SparkSession, work: str) -> dict[str, StateTable]:
+    """Open the five tables BY THEIR MANIFESTS when present (so every
+    access path keeps working on a store whose layout was migrated to a
+    different bucket count — the q182 discipline, applied family-wide),
+    falling back to the build defaults for tables not yet created."""
+    tabs = _tables(spark, work)
+    for name in tabs:
+        t = StateTable.open(spark, f"{work}/{name}")
+        if t is not None:
+            tabs[name] = t
+    return tabs
+
+
 def _write_wave_files(spark: SparkSession, sf_dir: str, waves_dir: str) -> None:
     """Split the augmented corpus into N_WAVES single-file parquet waves
     (doc_id mod N_WAVES) — the stream's arrival units.  Each wave is
@@ -278,10 +291,10 @@ def _lookup_components(
     ids side rides a broadcast — per-lookup I/O is id-proportional, at
     any corpus size.  This is the access path whose absence made the r10
     merge loop read the whole comp-keyed map every batch."""
-    mirror = _tables(spark, work)["components_by_doc"]
+    mirror = _open_tables(spark, work)["components_by_doc"]
     if not mirror.exists():
         return spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
-    buckets = mirror.partitions_of(ids, _bucket_of(F.col("doc_id")))
+    buckets = mirror.partitions_of(ids, mirror.bucket_of(F.col("doc_id")))
     if not buckets:
         return spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
     return (
@@ -303,20 +316,20 @@ def _apply_map_txn(spark: SparkSession, work: str, txn_dir: str) -> None:
     partition-scoped overwrite + drained-bucket sweep is
     ``StateTable.overwrite_partitions`` (shared with streamann/streambm25
     since r12)."""
-    tabs = _tables(spark, work)
+    tabs = _open_tables(spark, work)
     d = (
         spark.read.schema(_TXN_SCHEMA).parquet(txn_dir)
         .localCheckpoint(eager=True)
     )
     plan = (
         d.filter(F.col("old_comp").isNotNull())
-        .select(_bucket_of(F.col("old_comp")).alias("b"), F.lit("c").alias("s"))
+        .select(tabs["components"].bucket_of(F.col("old_comp")).alias("b"), F.lit("c").alias("s"))
         .unionAll(
             d.filter(F.col("new_comp").isNotNull())
-            .select(_bucket_of(F.col("new_comp")).alias("b"), F.lit("c").alias("s"))
+            .select(tabs["components"].bucket_of(F.col("new_comp")).alias("b"), F.lit("c").alias("s"))
         )
         .unionAll(
-            d.select(_bucket_of(F.col("doc_id")).alias("b"), F.lit("d").alias("s"))
+            d.select(tabs["components_by_doc"].bucket_of(F.col("doc_id")).alias("b"), F.lit("d").alias("s"))
         )
         .distinct()
         .collect()
@@ -343,8 +356,8 @@ def _apply_map_txn(spark: SparkSession, work: str, txn_dir: str) -> None:
         new_rows = (
             base.join(delta_docs, "doc_id", "left_anti")
             .unionByName(upserts)
-            .withColumn("bucket", _bucket_of(F.col(bucket_col)))
-            .repartition(N_STATE_BUCKETS, F.col("bucket"))
+            .withColumn("bucket", tab.bucket_of(F.col(bucket_col)))
+            .repartition(tab.n_buckets, F.col("bucket"))
             .localCheckpoint(eager=True)
         )
         tab.overwrite_partitions(touched, new_rows)
@@ -407,7 +420,7 @@ def _update_components(
        added rows;
     4. ``_commit_map_txn`` freezes it and advances both layouts with
        partition-scoped dynamic overwrite."""
-    comp = _tables(spark, work)["components"]
+    comp = _open_tables(spark, work)["components"]
     if pairs.isEmpty():  # nothing verified — zero state I/O this batch
         return
     ep = (
@@ -427,7 +440,7 @@ def _update_components(
         "old_comp",
         "semi",
     )
-    cand_old = comp.partitions_of(relabel, _bucket_of(F.col("old_comp")))
+    cand_old = comp.partitions_of(relabel, comp.bucket_of(F.col("old_comp")))
     if comp.exists() and cand_old:
         members = (
             comp.read(cand_old)
@@ -466,7 +479,7 @@ def run_maintenance(
     be a manual op nothing invoked): every ``compact_every``-th batch
     compacts the append-only tables after its own writes, safely — the
     foreachBatch callback is the only writer of this work dir."""
-    tabs = _tables(spark, work)
+    tabs = _open_tables(spark, work)
     empty_map = spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
 
     def merge_wave(batch: DataFrame, batch_id: int) -> None:
@@ -484,7 +497,7 @@ def run_maintenance(
         )
         wave_bands = (
             _minhash_bands(wave_sh)
-            .withColumn("bucket", _bucket_of(F.col("band_key")))
+            .withColumn("bucket", tabs["bands"].bucket_of(F.col("band_key")))
             .persist()
         )
         # within-wave pairs: the wave's band self-join (tiny)
@@ -518,7 +531,7 @@ def run_maintenance(
         )
         if tabs["shingles"].exists():
             ep_buckets = tabs["shingles"].partitions_of(
-                endpoints, _bucket_of(F.col("doc_id"))
+                endpoints, tabs["shingles"].bucket_of(F.col("doc_id"))
             )
             store_sh = (
                 tabs["shingles"].read(ep_buckets)
@@ -550,14 +563,14 @@ def run_maintenance(
         # file per touched bucket per batch instead of
         # |tasks|×|buckets| fragments
         tabs["pairs"].append(
-            pairs.withColumn("bucket", _bucket_of(F.col("id_a")))
+            pairs.withColumn("bucket", tabs["pairs"].bucket_of(F.col("id_a")))
         )
         tabs["bands"].append(
             wave_bands.select("doc_id", "band_idx", "band_key", "bucket")
         )
         tabs["shingles"].append(
             wave_sh.select(
-                "doc_id", "shingles", _bucket_of(F.col("doc_id")).alias("bucket")
+                "doc_id", "shingles", tabs["shingles"].bucket_of(F.col("doc_id")).alias("bucket")
             )
         )
         wave_bands.unpersist()
@@ -612,7 +625,7 @@ def compact_state(
     maintenance twin of the map txn's bounded-lifecycle discipline.
     Since r12 the rename-swap + crash-heal machinery is
     ``StateTable.compact`` (shared with streambm25)."""
-    tabs = _tables(spark, work)
+    tabs = _open_tables(spark, work)
     return {
         name: tabs[name].compact(max_files)
         for name in ("pairs", "bands", "shingles")
@@ -644,7 +657,7 @@ def apply_takedown(
     Idempotent: re-applying the same takedown finds no deleted doc in
     the mirror and returns the map unchanged.  Returns the post-takedown
     map as an eager localCheckpoint."""
-    tabs = _tables(spark, work)
+    tabs = _open_tables(spark, work)
     comp, pairs_tab = tabs["components"], tabs["pairs"]
     if not comp.exists():
         return spark.createDataFrame([], _EMPTY_MAP_SCHEMA)
@@ -663,7 +676,7 @@ def apply_takedown(
         .select("component_id").distinct()
         .localCheckpoint(eager=True)
     )
-    aff_buckets = comp.partitions_of(aff, _bucket_of(F.col("component_id")))
+    aff_buckets = comp.partitions_of(aff, comp.bucket_of(F.col("component_id")))
     if not aff_buckets:  # nothing mapped is deleted — no-op
         return current()
     members = (
@@ -674,7 +687,7 @@ def apply_takedown(
     )
     survivors = members.join(F.broadcast(deleted), "doc_id", "left_anti")
     member_buckets = pairs_tab.partitions_of(
-        members, _bucket_of(F.col("doc_id"))
+        members, pairs_tab.bucket_of(F.col("doc_id"))
     )
     resid = (
         pairs_tab.read(member_buckets)
