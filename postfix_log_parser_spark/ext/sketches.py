@@ -26,6 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -235,14 +236,14 @@ def q136_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, so the ESTIMATES match exactly across engines — estimation
     error shows up only against ``exact_jaccard``, carried per pair.
     """
-    from postfix_log_parser_spark.ext.dedup import shingles3_udf
+    from postfix_log_parser_spark.ext.dedup import shingles3_nd
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "source", "text"
     )
     sh = (
         docs.select(
-            "source", F.explode(shingles3_udf(F.col("text"))).alias("s")
+            "source", F.explode(shingles3_nd(F.col("text"))).alias("s")
         )
         .select(
             "source",
@@ -252,6 +253,11 @@ def q136_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .distinct()
+        # four consumers (sizes, sketch trim, both exact-join sides):
+        # materialize the deduped hash set once instead of re-running the
+        # shingle UDF + distinct exchange per consumer (r12; the plan had
+        # SIX ArrowEvalPython corpus passes and zero cached subtrees)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     # two-phase bottom-K (ext.topk.partial_topk): each partition's local
@@ -397,18 +403,18 @@ def q165_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     any join; the training side is ONE exploded-gram pass probed via a
     broadcast hash join on the word index — no shuffle of the corpus.
     """
-    from postfix_log_parser_spark.ext.textstats import _docs, grams5_udf
+    from postfix_log_parser_spark.ext.textstats import _docs, grams5_nd
 
-    g = _docs(spark, sf_dir).select(
-        "doc_id", grams5_udf(F.col("text")).alias("grams")
-    )
+    # doc_id slices before the ND-marked gram UDF — kills the §4.4
+    # double evaluation per side (see q47's note in ext/textstats.py)
+    docs = _docs(spark, sf_dir)
     ev = (
-        g.filter(F.col("doc_id") % 53 == 0)
-        .select(F.explode("grams").alias("gram"))
+        docs.filter(F.col("doc_id") % 53 == 0)
+        .select(F.explode(grams5_nd(F.col("text"))).alias("gram"))
         .distinct()
     )
-    tr = g.filter(F.col("doc_id") % 53 != 0).select(
-        "doc_id", F.explode("grams").alias("gram")
+    tr = docs.filter(F.col("doc_id") % 53 != 0).select(
+        "doc_id", F.explode(grams5_nd(F.col("text"))).alias("gram")
     )
 
     def pos(i: int) -> F.Column:

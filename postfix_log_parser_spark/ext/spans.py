@@ -39,6 +39,7 @@ exactly.  All outputs are integer arithmetic — no float drift.
 from __future__ import annotations
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -64,9 +65,16 @@ def duplicated_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
         F.sequence(F.lit(1), F.length("text") - k + 1),
         lambda i: F.unhex(F.md5(F.col("text").substr(i, F.lit(k)))),
     )
-    grams = eligible.select(
-        "doc_id", F.posexplode(hashes).alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("p"), "h")
+    grams = (
+        eligible.select("doc_id", F.posexplode(hashes).alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("p"), "h")
+        # two consumers (the dup-test aggregate and the join probe):
+        # materialize the gram stream once instead of running the
+        # full-corpus md5 window pass twice (r12).  At 100 TB this
+        # materialization IS the cost knob — q125/q158 exist to shrink
+        # it; here it halves the per-execution compute.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dup = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -230,6 +238,13 @@ def _winnow_keys_udf(text: "pd.Series") -> "pd.Series":
     return pd.Series(out)
 
 
+# optimizer fence against the InferFiltersFromGenerate UDF duplication
+# (guide §4.4; see dedup.shingles3_nd) — the winnow pass is the single
+# most expensive Python stage in the spans family, and the inferred
+# size()>0 filter was evaluating it twice per consumer
+_winnow_keys_nd = _winnow_keys_udf.asNondeterministic()
+
+
 def winnowed_spans(
     docs: DataFrame, k: int = SPAN_K, w: int = WINNOW_W
 ) -> DataFrame:
@@ -246,7 +261,7 @@ def winnowed_spans(
 
     # ---- pass 1: per-doc winnowed fingerprints (vectorized, narrow) ----
     fp = (
-        eligible.select("doc_id", F.explode(_winnow_keys_udf("text")).alias("kmin"))
+        eligible.select("doc_id", F.explode(_winnow_keys_nd("text")).alias("kmin"))
         .select(
             "doc_id",
             F.substring("kmin", 34, 10).cast("long").alias("p"),
@@ -255,6 +270,10 @@ def winnowed_spans(
             # winnow key where the '|' position tie-break needs it)
             F.unhex(F.substring("kmin", 1, 32)).alias("h"),
         )
+        # dup-test aggregate + join probe both consume the winnowed set:
+        # one materialization instead of two winnow passes (r12) — the
+        # production twin is the written fingerprint table
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup1 = (
         fp.groupBy("h")
@@ -309,6 +328,9 @@ def _verify_regions(
             ).alias("h"),
         )
         .distinct()  # adjacent regions may overlap after expansion
+        # pass-2 grams also feed a dup-test + probe pair; without this
+        # the whole pass-1 subtree re-executes inside both (r12)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup2 = (
         pass2.groupBy("h")
@@ -381,9 +403,15 @@ def strided_spans(
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("p"), "hx")
     # content-defined selection BEFORE the exchange: the narrow filter
     # runs inside the scan stage, so only selected grams shuffle
-    sel = grams.filter(
-        F.conv(F.substring("hx", 1, 15), 16, 10).cast("long") % s == 0
-    ).select("doc_id", "p", F.unhex("hx").alias("h"))
+    sel = (
+        grams.filter(
+            F.conv(F.substring("hx", 1, 15), 16, 10).cast("long") % s == 0
+        )
+        .select("doc_id", "p", F.unhex("hx").alias("h"))
+        # selected grams feed dup-test + probe: materialize the ~1/s
+        # selection once instead of two full-corpus md5 passes (r12)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dup1 = (
         sel.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -101,7 +101,7 @@ from postfix_log_parser_spark.ext.dedup import (
     _q36_sql,
     _stage_key,
     merge_delta,
-    shingles3_udf,
+    shingles3_nd,
 )
 from postfix_log_parser_spark.ext.staging import StageCache
 from postfix_log_parser_spark.ext.statetable import StateTable, hash_bucket
@@ -490,7 +490,7 @@ def run_maintenance(
         batch = batch.persist()
         wave_sh = (
             batch.select(
-                "doc_id", shingles3_udf(F.col("text")).alias("shingles")
+                "doc_id", shingles3_nd(F.col("text")).alias("shingles")
             )
             .filter(F.size("shingles") > 0)
             .persist()
