@@ -96,15 +96,32 @@ def shingles3_udf(text: "pd.Series") -> "pd.Series":
     return pd.Series(out)
 
 
-# Optimizer fence (r12, guide §4.4): ``InferFiltersFromGenerate`` puts a
-# ``size(...) > 0`` filter above the UDF projection (and several call
-# sites add an explicit one), and filter pushdown then DUPLICATES the
-# expensive UDF below it — one ArrowEvalPython feeding the filter, a
-# second recomputing the kept column (measured 2× the shingle stage).
-# The function is pure, so the non-deterministic mark changes nothing
-# but the evaluation count; input-side filters (doc_id slices, joins)
-# are already placed before the projection at every call site.
-shingles3_nd = shingles3_udf.asNondeterministic()
+def shingled(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, shingles) with the UDF projection persisted BEFORE any
+    filter or explode — the shared optimizer fence for the shingle
+    family (r12, guide §4.4 + §5).
+
+    A filter that references the UDF column (the explicit ``size() > 0``
+    gates, or the filters ``InferFiltersFromGenerate`` derives above an
+    explode) gets pushed below the projection and DUPLICATES the
+    ArrowEvalPython stage: one eval feeds the filter, a second
+    recomputes the kept column (measured 2× the shingle stage).  The
+    cache boundary is the fence — the fill plan contains no filter, so
+    the UDF runs exactly once, and consumers' filters/explodes stop at
+    the InMemoryRelation.
+
+    Deliberately NOT ``asNondeterministic()`` (guide §4.4's other fix):
+    an ND expression defeats canonical-plan matching, so every
+    invocation registers a FRESH CacheManager entry and re-fills it —
+    measured +55 s across the bench (q134 3.6→17 s, and the whole
+    q121-q135 band regressed from the accumulated fills' memory
+    pressure).  With a deterministic plan the CacheManager dedupes the
+    entry across repeats AND across the queries that share the same
+    projection.  At 100 TB this cache is a materialized shingle table —
+    written once, read by every consumer."""
+    return docs.select(
+        "doc_id", shingles3_udf(F.col("text")).alias("shingles")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def md5_long(col: Column) -> Column:
@@ -208,12 +225,15 @@ def q21_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     of docs, which both bounds skew and removes non-discriminative keys."""
     docs = _augmented(spark, sf_dir)
     # the exploded shingle set feeds FOUR consumers (sizes, hot-key scan,
-    # both join sides) — materialize it once instead of re-running the
-    # tokenize+shingle explode per consumer (at scale: a checkpoint table)
-    sh = docs.select(
-        "doc_id", F.explode(shingles3_nd(F.col("text"))).alias("shingle")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # both join sides) — the cached array projection runs the UDF once
+    # and each consumer re-explodes from the cache (cheap, codegen'd)
+    arrs = shingled(docs)
+    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    # |shingles| per doc == the exploded row count — a narrow map over
+    # the cache instead of a full explode + groupBy exchange (r12)
+    sizes = arrs.select(
+        "doc_id", F.size("shingles").cast("long").alias("n_sh")
+    )
     n_docs = docs.count()
     df_cap = int(n_docs * 0.05)
     hot = (
@@ -377,9 +397,7 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented(spark, sf_dir)
     # shingle sets feed the signature explode AND both verify-join sides —
     # materialize once (at scale: a checkpoint table)
-    with_sh = docs.select(
-        "doc_id", shingles3_nd(F.col("text")).alias("shingles")
-    ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    with_sh = shingled(docs).filter(F.size("shingles") > 0)
     bands = _minhash_bands(with_sh)
     # stage the band index as a byproduct while the shingle cache is hot:
     # incremental ingest (q172) probes it, and materializing it here
@@ -488,9 +506,7 @@ def q69_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.5 verifies.  Output: (new doc, matched index doc,
     jaccard)."""
     docs = _augmented(spark, sf_dir)
-    with_sh = docs.select(
-        "doc_id", shingles3_nd(F.col("text")).alias("shingles")
-    ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    with_sh = shingled(docs).filter(F.size("shingles") > 0)
     bands = _minhash_bands(with_sh)
     new_b = bands.filter(F.col("doc_id") >= 100000).alias("x")
     idx_b = bands.filter(F.col("doc_id") < 100000).alias("y")
@@ -1193,11 +1209,7 @@ def q107_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification reuses the persisted shingle sets (q22's pattern).
     """
     docs = _augmented(spark, sf_dir)
-    with_sh = (
-        docs.select("doc_id", shingles3_nd(F.col("text")).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    with_sh = shingled(docs).filter(F.size("shingles") > 0)
     tok = with_sh.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
@@ -1461,9 +1473,9 @@ def q134_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 1.9 MB vs 2.4 MB at sf0.01: short natural-language
     # shingles lz4-compress far below a 16-byte incompressible hash.
     # (The opposite held for q119's 32-char hex md5 keys.)
-    sh = docs.select(
-        "doc_id", F.explode(shingles3_nd(F.col("text"))).alias("shingle")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingled(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
     n_docs = docs.count()
     df_cap = int(n_docs * 0.05)
     hot = (
@@ -1572,9 +1584,7 @@ def lsh_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if staged is not None:
         return staged
     docs = _augmented(spark, sf_dir)
-    with_sh = docs.select(
-        "doc_id", shingles3_nd(F.col("text")).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    with_sh = shingled(docs).filter(F.size("shingles") > 0)
     bands = _minhash_bands(with_sh).localCheckpoint(eager=True)
     return _BAND_STAGE.put(key, bands)
 _WAVE2_AUG_SQL = (
@@ -1627,12 +1637,12 @@ def wave2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if staged is not None:
         return staged
     idx_bands = lsh_band_index(spark, sf_dir)
-    wave_sh = (
+    wave_arrs = (
         _wave2(spark, sf_dir)
-        .select("doc_id", shingles3_nd(F.col("text")).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+        .select("doc_id", shingles3_udf(F.col("text")).alias("shingles"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    wave_sh = wave_arrs.filter(F.size("shingles") > 0)
     wave_bands = _minhash_bands(wave_sh)
     all_b = idx_bands.unionAll(wave_bands).alias("y")  # wave-wave pairs too
     cand = (
@@ -1658,7 +1668,7 @@ def wave2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex_sh = (
         _augmented(spark, sf_dir)
         .join(touched, "doc_id")
-        .select("doc_id", shingles3_nd(F.col("text")).alias("shingles"))
+        .select("doc_id", shingles3_udf(F.col("text")).alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
     with_sh = ex_sh.unionAll(wave_sh.select("doc_id", "shingles"))
@@ -1667,7 +1677,7 @@ def wave2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    wave_sh.unpersist()
+    wave_arrs.unpersist()
     return _INC_PAIRS_STAGE.put(key, pairs)
 
 

@@ -65,16 +65,14 @@ def duplicated_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
         F.sequence(F.lit(1), F.length("text") - k + 1),
         lambda i: F.unhex(F.md5(F.col("text").substr(i, F.lit(k)))),
     )
-    grams = (
-        eligible.select("doc_id", F.posexplode(hashes).alias("pos0", "h"))
-        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("p"), "h")
-        # two consumers (the dup-test aggregate and the join probe):
-        # materialize the gram stream once instead of running the
-        # full-corpus md5 window pass twice (r12).  At 100 TB this
-        # materialization IS the cost knob — q125/q158 exist to shrink
-        # it; here it halves the per-execution compute.
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # NOT cached (r12): the stride-1 gram stream is ~1 row per text
+    # byte — materializing it for the dup-test + probe pair costs more
+    # than the second codegen'd md5 pass it saves (same-process A/B at
+    # sf0.1: 2.05 s uncached vs 2.85 s cached).  q125/q158 are the real
+    # fix for this family: shrink the fingerprint set, not cache it.
+    grams = eligible.select(
+        "doc_id", F.posexplode(hashes).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("p"), "h")
     dup = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -238,12 +236,6 @@ def _winnow_keys_udf(text: "pd.Series") -> "pd.Series":
     return pd.Series(out)
 
 
-# optimizer fence against the InferFiltersFromGenerate UDF duplication
-# (guide §4.4; see dedup.shingles3_nd) — the winnow pass is the single
-# most expensive Python stage in the spans family, and the inferred
-# size()>0 filter was evaluating it twice per consumer
-_winnow_keys_nd = _winnow_keys_udf.asNondeterministic()
-
 
 def winnowed_spans(
     docs: DataFrame, k: int = SPAN_K, w: int = WINNOW_W
@@ -260,20 +252,26 @@ def winnowed_spans(
     eligible = docs.select("doc_id", "text").filter(F.length("text") >= k)
 
     # ---- pass 1: per-doc winnowed fingerprints (vectorized, narrow) ----
-    fp = (
-        eligible.select("doc_id", F.explode(_winnow_keys_nd("text")).alias("kmin"))
-        .select(
-            "doc_id",
-            F.substring("kmin", 34, 10).cast("long").alias("p"),
-            # binary h past this narrow stage (same 2x-shuffle note as
-            # duplicated_spans; the string form exists only inside the
-            # winnow key where the '|' position tie-break needs it)
-            F.unhex(F.substring("kmin", 1, 32)).alias("h"),
-        )
-        # dup-test aggregate + join probe both consume the winnowed set:
-        # one materialization instead of two winnow passes (r12) — the
-        # production twin is the written fingerprint table
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # the winnow UDF projection is persisted BEFORE the explode (guide
+    # §4.4 fence via the cache boundary — InferFiltersFromGenerate's
+    # size()>0 filter otherwise pushes below the projection and
+    # re-evaluates the most expensive Python stage in this family; the
+    # plan stays deterministic so the CacheManager dedupes the entry
+    # across invocations, see dedup.shingled).  The dup-test aggregate
+    # and the join probe then both explode from the cache — one winnow
+    # pass total; the production twin is the written fingerprint table.
+    keys = eligible.select(
+        "doc_id", _winnow_keys_udf("text").alias("kmins")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fp = keys.select(
+        "doc_id", F.explode("kmins").alias("kmin")
+    ).select(
+        "doc_id",
+        F.substring("kmin", 34, 10).cast("long").alias("p"),
+        # binary h past this narrow stage (same 2x-shuffle note as
+        # duplicated_spans; the string form exists only inside the
+        # winnow key where the '|' position tie-break needs it)
+        F.unhex(F.substring("kmin", 1, 32)).alias("h"),
     )
     dup1 = (
         fp.groupBy("h")

@@ -101,7 +101,7 @@ from postfix_log_parser_spark.ext.dedup import (
     _q36_sql,
     _stage_key,
     merge_delta,
-    shingles3_nd,
+    shingles3_udf,
 )
 from postfix_log_parser_spark.ext.staging import StageCache
 from postfix_log_parser_spark.ext.statetable import StateTable, hash_bucket
@@ -488,13 +488,10 @@ def run_maintenance(
         # (one os.path check when there's nothing pending)
         _recover_pending_txns(spark, work)
         batch = batch.persist()
-        wave_sh = (
-            batch.select(
-                "doc_id", shingles3_nd(F.col("text")).alias("shingles")
-            )
-            .filter(F.size("shingles") > 0)
-            .persist()
-        )
+        wave_arrs = batch.select(
+            "doc_id", shingles3_udf(F.col("text")).alias("shingles")
+        ).persist()
+        wave_sh = wave_arrs.filter(F.size("shingles") > 0)
         wave_bands = (
             _minhash_bands(wave_sh)
             .withColumn("bucket", tabs["bands"].bucket_of(F.col("band_key")))
@@ -574,7 +571,7 @@ def run_maintenance(
             )
         )
         wave_bands.unpersist()
-        wave_sh.unpersist()
+        wave_arrs.unpersist()
         batch.unpersist()
         if compact_every and batch_id % compact_every == compact_every - 1:
             compact_state(spark, work)

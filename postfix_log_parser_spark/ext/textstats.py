@@ -371,10 +371,19 @@ def grams5_udf(text: "pd.Series") -> "pd.Series":
     return pd.Series(out)
 
 
-# optimizer fence against the InferFiltersFromGenerate UDF duplication
-# (guide §4.4) — pure function, mark only pins a single evaluation; see
-# dedup.shingles3_nd for the full note
-grams5_nd = grams5_udf.asNondeterministic()
+def gram5_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, grams) with the UDF projection persisted BEFORE any
+    filter or explode — the q47/q165 shared fence (guide §4.4 + §5; see
+    ``dedup.shingled`` for the full note).  The fill plan contains no
+    filter, so the gram UDF runs exactly once per corpus; both queries'
+    doc_id slices and explodes run above the cache boundary, and the
+    deterministic plan lets the CacheManager share ONE entry across the
+    two queries and across repeated invocations."""
+    from pyspark import StorageLevel
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", grams5_udf(F.col("text")).alias("grams")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 # ---------------------------------------------------------------------------
 # q47 — benchmark decontamination (5-gram overlap vs a held-out eval set)
@@ -389,19 +398,19 @@ def q47_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides a BROADCAST into a semi-join-shaped inner join against the
     exploded training grams — one scan of the training side, no shuffle
     of it; the output aggregation keys on doc_id."""
-    # doc_id slices FIRST, then the (non-deterministic-marked) gram UDF:
-    # the old post-UDF filters made InferFiltersFromGenerate + pushdown
-    # evaluate grams5_udf TWICE per side (guide §4.4; one ArrowEvalPython
-    # feeding the inferred size()>0 filter, a second recomputing the
-    # column) — same-process A/B at sf0.1: 1.41 s → 0.95 s
-    docs = _docs(spark, sf_dir)
+    # ONE cached gram-array projection feeds both sides (shared with
+    # q165): the old per-side post-UDF filters made
+    # InferFiltersFromGenerate + pushdown evaluate grams5_udf TWICE per
+    # side (guide §4.4); the cache boundary pins a single corpus-wide
+    # evaluation and the slices/explodes run above it
+    g = gram5_arrays(spark, sf_dir)
     ev = (
-        docs.filter(F.col("doc_id") % 53 == 0)
-        .select(F.explode(grams5_nd(F.col("text"))).alias("gram"))
+        g.filter(F.col("doc_id") % 53 == 0)
+        .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    tr = docs.filter(F.col("doc_id") % 53 != 0).select(
-        "doc_id", F.explode(grams5_nd(F.col("text"))).alias("gram")
+    tr = g.filter(F.col("doc_id") % 53 != 0).select(
+        "doc_id", F.explode("grams").alias("gram")
     )
     return (
         tr.join(F.broadcast(ev), "gram")
