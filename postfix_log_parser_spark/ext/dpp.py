@@ -29,14 +29,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from postfix_log_parser_spark.logquery import _work_dir
-
 _KEPT = ("purchase", "signup")  # dim rows that survive the filter
 
 
 def _materialize(spark: SparkSession, sf_dir: str) -> str:
     """Write the partitioned fact + the dim table once per call; the
     scratch root is atexit-cleaned (q44's lifecycle)."""
+    # function-scope import: logquery itself imports ext.staging (whose
+    # package __init__ imports this module), so a module-level import here
+    # is circular whenever logquery is imported first (test modules do)
+    from postfix_log_parser_spark.logquery import _work_dir
+
     work = _work_dir("q152_dpp_")
     fact_path = os.path.join(work, "fact")
     dim_path = os.path.join(work, "dim")

@@ -853,17 +853,31 @@ def _run_stream_to_memory(
     df: DataFrame,
     prefix: str,
     output_mode: str | None = None,
+    need_nodata: bool = False,
 ) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a memory
     sink and return the materialized table.  Shuffle partitions are
     scoped to 8 for the micro-batch state stores; the checkpoint lives in
-    an atexit-cleaned scratch dir."""
+    an atexit-cleaned scratch dir.
+
+    ``need_nodata``: the trailing no-data micro-batch exists only to
+    advance the watermark one last time so WATERMARK-DEFERRED emissions
+    (outer-join NULL extension, timeout eviction) flush; it costs a full
+    commit cycle across every state store.  Queries whose output is
+    emitted during data batches — complete-mode aggregations (each batch
+    re-emits all state), append-mode dedup (rows emit on first sight),
+    inner interval joins (matches emit as found) — skip it (same scoped
+    conf q43 pioneered); q90/q98 set ``need_nodata=True`` because their
+    unmatched-row emission IS watermark-deferred."""
     import uuid
 
     qname = f"{prefix}_sink_{uuid.uuid4().hex[:8]}"
     work = _work_dir(f"{prefix}_stream_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key, "true")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(nodata_key, "true" if need_nodata else "false")
     try:
         writer = (
             df.writeStream.format("memory")
@@ -877,6 +891,7 @@ def _run_stream_to_memory(
         query.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(nodata_key, old_nodata)
         shutil.rmtree(work, ignore_errors=True)
     return spark.table(qname)
 
@@ -1370,7 +1385,7 @@ def _q90_run(spark: SparkSession, work: str) -> DataFrame:
     # user_id >= 0 below the join to both scans (via the join-key
     # equality constraint), which would eliminate the heartbeats before
     # they ever reach the watermark operators
-    return _run_stream_to_memory(spark, joined, "q90").filter(
+    return _run_stream_to_memory(spark, joined, "q90", need_nodata=True).filter(
         F.col("user_id") >= 0
     )
 
@@ -1408,7 +1423,7 @@ def q98_stream_interval_join_full(
         )
 
     joined = interval_join_streams(src(), src(), how="full_outer")
-    return _run_stream_to_memory(spark, joined, "q98").filter(
+    return _run_stream_to_memory(spark, joined, "q98", need_nodata=True).filter(
         F.col("user_id") >= 0
     )
 
