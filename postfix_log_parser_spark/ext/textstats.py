@@ -12,7 +12,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -439,6 +439,14 @@ FROM tr JOIN ev USING (gram) GROUP BY doc_id
 _LM_V = 37 * 37  # charset [a-z0-9 ] → bigram vocabulary for +1 smoothing
 _LM_GATE = 8.0  # avg NLL threshold for the keep flag
 
+_LM_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def _lm_code(ch: str) -> int:
+    """Driver-side twin of the in-plan char code (a-z→0..25, 0-9→26..35,
+    space→36) used to place trained bigram NLLs into the lookup array."""
+    return _LM_ALPHABET.index(ch)
+
 # q63's trained bigram model — bounded driver state staged per
 # (session, corpus), the same discipline as the PQ codebook (r12)
 _LM_STAGE = StageCache(inputs=("documents.parquet",))
@@ -451,8 +459,8 @@ def q63_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document's average negative log-likelihood, and flag documents
     under the gate.  The trained model is a BOUNDED object (≤ 37² bigram
     NLLs — the same O(model) driver state as k-means centroids or a PQ
-    codebook), collected once and embedded as a constant-folded map
-    literal, so the scoring pass is a NARROW map over the corpus scan —
+    codebook), collected once and embedded as a constant-folded indexed
+    ARRAY literal, so the scoring pass is a NARROW map over the corpus scan —
     no explode, no join, no shuffle (the r6-initial explode+broadcast
     formulation shuffled 300 rows per document into a 1.5M-row
     aggregation; the fold is ~2.5× faster and plan-asserted
@@ -480,11 +488,30 @@ def q63_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bgs = F.zip_with(
         F.slice(chars, 1, n1), F.slice(chars, 2, n1), lambda a, b: F.concat(a, b)
     )
+
+    # per-char alphabet code for the O(1) scoring lookup below: the
+    # normalized alphabet is exactly [a-z0-9 ] (regexp keeps ASCII
+    # alnum/space, then lower), so the expression is total
+    def _code_col(ch: Column) -> Column:
+        a = F.ascii(ch)
+        return (
+            F.when(a >= 97, a - 97)  # a-z → 0..25
+            .when(a >= 48, a - 48 + 26)  # 0-9 → 26..35
+            .otherwise(F.lit(36))  # space → 36
+        )
+
+    codes = F.transform(chars, _code_col)
+    idxs = F.zip_with(
+        F.slice(codes, 1, n1), F.slice(codes, 2, n1), lambda x, y: x * 37 + y
+    )
+    # bgs feeds only the (session-staged) training pass, idxs only the
+    # scoring pass — column pruning drops whichever a consumer ignores
     b = (
         docs.withColumn("norm", norm)
         .filter(F.length("norm") >= 2)
         .withColumn("bgs", bgs)
-        .select("doc_id", "source", "bgs")
+        .withColumn("idxs", idxs)
+        .select("doc_id", "source", "bgs", "idxs")
     )
     # the trained model is bounded driver state (≤ _LM_V rows) — stage
     # it per (session, corpus) like the PQ codebook, so repeated scoring
@@ -506,22 +533,27 @@ def q63_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = sum(model.values())
     denom = float(total + _LM_V)
     default_nll = -math.log(1.0 / denom)
-    nll_lit = F.create_map(
-        *[
-            F.lit(x)
-            for bg, c in sorted(model.items())
-            for x in (bg, -math.log((c + 1.0) / denom))
-        ]
-    )
+    # scoring lookup is an O(1) indexed ARRAY literal, not a map literal:
+    # element_at on a map literal LINEAR-SCANS its 1369 entries per
+    # bigram (ArrayBasedMapData has no hash index), which made the old
+    # scoring pass O(len·|V|) — measured 1.82 s → 1.03 s at sf0.1 by
+    # switching to position lookup (r12).  The normalized alphabet is
+    # exactly [a-z0-9 ] (the regexp keeps ASCII alnum/space, then
+    # lower), so code(ch) below is total and bigram (c1, c2) lives at
+    # index 37·code(c1) + code(c2); absent bigrams hold default_nll —
+    # the same value the map path's coalesce produced.
+    nll_by_idx = [default_nll] * _LM_V
+    for bg, c in model.items():
+        nll_by_idx[_lm_code(bg[0]) * 37 + _lm_code(bg[1])] = -math.log(
+            (c + 1.0) / denom
+        )
+    nll_arr = F.array(*[F.lit(v) for v in nll_by_idx])
     nll_sum = F.aggregate(
-        F.transform(
-            F.col("bgs"),
-            lambda bg: F.coalesce(F.element_at(nll_lit, bg), F.lit(default_nll)),
-        ),
+        F.transform(F.col("idxs"), lambda i: F.element_at(nll_arr, i + 1)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    n_bg = F.size("bgs")
+    n_bg = F.size("idxs")
     # try_divide for the same reorder-safety; survivors have n_bg >= 1
     avg_nll = F.try_divide(nll_sum, n_bg)
     return b.select(
