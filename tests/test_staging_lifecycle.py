@@ -147,3 +147,32 @@ def test_fingerprint_of_missing_input_is_stable(tmp_path):
 
     fp = _fingerprint(str(tmp_path), ("documents.parquet",))
     assert fp == (("documents.parquet", 0, 0, 0),)
+
+
+def test_q43_staged_per_provider(spark, fresh_stage):
+    """q43 (r12 staging) runs its stream ONCE per (session, state-store
+    provider): a repeat call returns the staged frame, but changing the
+    providerClass conf — the RocksDB parity test's two arms — re-executes
+    the real stream under a distinct key, so the parity comparison never
+    degenerates to staged-vs-staged."""
+    from postfix_log_parser_spark import logquery
+
+    first = logquery.q43_stream_events(spark, SF_DIR)
+    assert len(logquery._Q43_STAGE) == 1
+    again = logquery.q43_stream_events(spark, SF_DIR)
+    assert again is first  # staged, not re-run
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = logquery.q43_stream_events(spark, SF_DIR)
+    finally:
+        spark.conf.unset(key)
+    assert rocks is not first  # distinct provider ⇒ distinct execution
+    assert len(logquery._Q43_STAGE) == 2
+    assert sorted(map(str, rocks.collect())) == sorted(
+        map(str, first.collect())
+    )
