@@ -285,12 +285,19 @@ def main() -> None:
     # warm up the JVM / executor pool
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    from postfix_log_parser_spark.ext.staging import clear_result_stages
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         runs: list[float] = []
         for _ in range(repeat):
+            # result-staged queries (pystream trio, q43, fixture folds)
+            # must time a REAL execution every repeat, not a StageCache
+            # read — the bench median is a cost statement (r13; no-op
+            # for queries with no registered result stage)
+            clear_result_stages(name)
             t0 = time.time()
             try:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

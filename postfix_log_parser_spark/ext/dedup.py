@@ -119,9 +119,11 @@ def shingled(docs: "DataFrame") -> "DataFrame":
     entry across repeats AND across the queries that share the same
     projection.  At 100 TB this cache is a materialized shingle table —
     written once, read by every consumer."""
-    return docs.select(
+    from postfix_log_parser_spark.ext.staging import track_persist
+
+    return track_persist(docs.select(
         "doc_id", shingles3_udf(F.col("text")).alias("shingles")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def md5_long(col: Column) -> Column:
@@ -647,9 +649,11 @@ def q164_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of the band self-join consume the fingerprints:
     # materialize them once instead of running the tokenize+majority
     # pipeline per side (r12; the plan showed two full scan→fp subtrees)
-    fp = _simhash_fp(_augmented(spark, sf_dir)).persist(
+    from postfix_log_parser_spark.ext.staging import track_persist
+
+    fp = track_persist(_simhash_fp(_augmented(spark, sf_dir)).persist(
         StorageLevel.MEMORY_AND_DISK
-    )
+    ))
     mask = (1 << HAMMING_BAND_BITS) - 1
     band_arr = F.array(*[
         F.shiftright(F.col("simhash"), HAMMING_BAND_BITS * j)
@@ -1219,7 +1223,9 @@ def q107_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_len = F.col("n_sh") - F.ceil(F.lit(_PREFIX_T) * F.col("n_sh")) + 1
     # both self-join sides read the prefix table; persist it so the two
     # window exchanges run once (at scale: a checkpoint table, like q22)
-    pref = (
+    from postfix_log_parser_spark.ext.staging import track_persist
+
+    pref = track_persist(
         tok.withColumn("df", F.count(F.lit(1)).over(w_df))
         .withColumn("rnk", F.row_number().over(w_doc))
         .filter(F.col("rnk") <= prefix_len)

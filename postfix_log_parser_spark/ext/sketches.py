@@ -244,9 +244,11 @@ def q136_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UDF projection persisted BEFORE the explode (guide §4.4 fence via
     # the cache boundary — deterministic, so the CacheManager dedupes
     # the entry across repeated invocations; see dedup.shingled)
-    arrs = docs.select(
+    from postfix_log_parser_spark.ext.staging import track_persist
+
+    arrs = track_persist(docs.select(
         "source", shingles3_udf(F.col("text")).alias("sh_arr")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK))
     sh = (
         arrs.select("source", F.explode("sh_arr").alias("s"))
         .select(
@@ -263,6 +265,7 @@ def q136_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SIX ArrowEvalPython corpus passes and zero cached subtrees)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track_persist(sh)
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     # two-phase bottom-K (ext.topk.partial_topk): each partition's local
     # K smallest hashes per source are trimmed BEFORE the exchange, so

@@ -40,6 +40,8 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark import StorageLevel
+
+from postfix_log_parser_spark.ext.staging import track_persist
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -260,9 +262,9 @@ def winnowed_spans(
     # across invocations, see dedup.shingled).  The dup-test aggregate
     # and the join probe then both explode from the cache — one winnow
     # pass total; the production twin is the written fingerprint table.
-    keys = eligible.select(
+    keys = track_persist(eligible.select(
         "doc_id", _winnow_keys_udf("text").alias("kmins")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK))
     fp = keys.select(
         "doc_id", F.explode("kmins").alias("kmin")
     ).select(
@@ -330,6 +332,7 @@ def _verify_regions(
         # the whole pass-1 subtree re-executes inside both (r12)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track_persist(pass2)
     dup2 = (
         pass2.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -410,6 +413,7 @@ def strided_spans(
         # selection once instead of two full-corpus md5 passes (r12)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track_persist(sel)
     dup1 = (
         sel.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -381,9 +381,11 @@ def gram5_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     two queries and across repeated invocations."""
     from pyspark import StorageLevel
 
-    return _docs(spark, sf_dir).select(
+    from postfix_log_parser_spark.ext.staging import track_persist
+
+    return track_persist(_docs(spark, sf_dir).select(
         "doc_id", grams5_udf(F.col("text")).alias("grams")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK))
 
 # ---------------------------------------------------------------------------
 # q47 — benchmark decontamination (5-gram overlap vs a held-out eval set)

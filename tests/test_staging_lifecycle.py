@@ -149,6 +149,63 @@ def test_fingerprint_of_missing_input_is_stable(tmp_path):
     assert fp == (("documents.parquet", 0, 0, 0),)
 
 
+def test_tracked_persists_bounded_and_cleared(spark, fresh_stage):
+    """The §4.4 UDF-fence projections (shingled & friends) are persisted
+    but were never unpersisted (VERDICT r12 #3).  50 mixed invocations
+    must keep the tracked-registry bounded (CacheManager dedupes the
+    canonical plan; the registry dedupes by semanticHash), and
+    clear_stages() must release the persisted blocks."""
+    from postfix_log_parser_spark.ext import staging
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    base = staging.tracked_persist_count()
+    frames = [dedup.shingled(docs) for _ in range(50)]
+    assert staging.tracked_persist_count() - base == 1  # one projection
+    frames[0].count()  # fill the cache
+    assert frames[-1].storageLevel.useMemory  # persisted
+    clear_stages()
+    assert staging.tracked_persist_count() == 0
+    lvl = frames[-1].storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)  # unpersisted
+
+
+def test_result_stage_clear_is_per_query(spark, fresh_stage):
+    """Bench honesty (r13): clear_result_stages must empty exactly the
+    named query's staged result — q43's registered clearer drops the
+    stream stage, and the fixture-fold clearers evict per fixture (q41's
+    FAULTS entry survives a q40 clear)."""
+    from postfix_log_parser_spark import logquery
+    from postfix_log_parser_spark.ext.staging import (
+        clear_result_stages,
+        result_staged_queries,
+    )
+
+    assert set(result_staged_queries()) >= {
+        "q43_stream_events",
+        "q161_pystream_source",
+        "q162_pystream_sessions",
+        "q166_pystream_relay",
+        "q40_log_events",
+        "q41_log_faults",
+        "q42_log_state",
+    }
+    logquery.q43_stream_events(spark, SF_DIR)
+    assert len(logquery._Q43_STAGE) == 1
+    clear_result_stages("q43_stream_events")
+    assert len(logquery._Q43_STAGE) == 0
+
+    logquery.q40_log_events(spark, SF_DIR)
+    logquery.q41_log_faults(spark, SF_DIR)
+    assert len(logquery._RUN_STAGE) == 2
+    clear_result_stages("q40_log_events")
+    assert len(logquery._RUN_STAGE) == 1  # FAULTS fold survives
+    clear_result_stages("q41_log_faults")
+    assert len(logquery._RUN_STAGE) == 0
+
+
 def test_q43_staged_per_provider(spark, fresh_stage):
     """q43 (r12 staging) runs its stream ONCE per (session, state-store
     provider): a repeat call returns the staged frame, but changing the

@@ -804,3 +804,50 @@ def test_stream_curation_dedups_across_batches(spark, tmp_path):
     hashes = [r.canon_md5 for r in out.collect()]
     assert len(hashes) == len(set(hashes)), "duplicate canonical hash emitted"
     assert len(set(hashes)) == 2  # base doc once + the distinct variant
+
+
+def test_q54_nodata_independence(spark):
+    """q54's complete-mode session output must not depend on the
+    trailing no-data micro-batch (VERDICT r12 #7): force need_nodata
+    both ways and assert identical rows — the 'complete-mode output is
+    no-data-neutral' argument as an invariant, not a comment."""
+    from postfix_log_parser_spark import logquery
+
+    sf_dir = "/root/testdata/sf0.001"
+    skipped = sorted(
+        map(str, logquery.q54_stream_sessions(spark, sf_dir).collect())
+    )
+    orig = logquery._run_stream_to_memory
+
+    def forced(spark_, df, prefix, output_mode=None, need_nodata=False,
+               source_path=None):
+        return orig(spark_, df, prefix, output_mode, True, source_path)
+
+    logquery._run_stream_to_memory = forced
+    try:
+        kept = sorted(
+            map(str, logquery.q54_stream_sessions(spark, sf_dir).collect())
+        )
+    finally:
+        logquery._run_stream_to_memory = orig
+    assert skipped == kept
+
+
+def test_stream_shuffle_partitions_derive_from_source(spark, tmp_path,
+                                                      monkeypatch):
+    """Micro-batch state parallelism derives from source bytes (guide
+    §2.2), floors at 1, and honors the env override — never a constant
+    tuned to the local core count."""
+    from postfix_log_parser_spark.logquery import _stream_shuffle_partitions
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS", raising=False)
+    small = tmp_path / "small.bin"
+    small.write_bytes(b"x" * 1024)
+    assert _stream_shuffle_partitions(spark, str(small)) == "1"
+    big = tmp_path / "big.bin"
+    with open(big, "wb") as fh:
+        fh.truncate(200 << 20)  # sparse 200 MB → ceil(200/64) = 4
+    assert _stream_shuffle_partitions(spark, str(big)) == "4"
+    assert _stream_shuffle_partitions(spark, None) == "8"  # legacy default
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "13")
+    assert _stream_shuffle_partitions(spark, str(small)) == "13"
