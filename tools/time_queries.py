@@ -54,6 +54,13 @@ def main() -> None:
         fn = queries[name]
         runs: list[float] = []
         for _ in range(repeat):
+            # match bench.py (r13): result-staged queries time a real
+            # execution every repeat, not a StageCache read
+            from postfix_log_parser_spark.ext.staging import (
+                clear_result_stages,
+            )
+
+            clear_result_stages(name)
             spark.sparkContext.setJobDescription(f"time:{name}")
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
