@@ -1120,16 +1120,14 @@ def q74_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<binary>"))
     chunks = docs.select("doc_id", F.explode(chunk_hashes).alias("ck"))
-    # chunks seen in ≥2 distinct docs; small relative to the corpus, so
-    # the join back is broadcast-able at scale
-    dup_keys = (
-        chunks.groupBy("ck")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("ck")
-    )
-    marked = chunks.join(
-        F.broadcast(dup_keys.withColumn("dup", F.lit(1))), "ck", "left"
+    # "chunk seen in >= 2 distinct docs" as ONE min/max window over the
+    # ck exchange (r13, guide §2.4 — same rewrite as
+    # spans.duplicated_spans): the old groupBy(ck) + broadcast join-back
+    # re-ran the chunk-hash scan for the probe side
+    wck = Window.partitionBy("ck")
+    marked = chunks.withColumn(
+        "dup",
+        (F.min("doc_id").over(wck) != F.max("doc_id").over(wck)).cast("int"),
     )
     dup_frac = F.round(
         F.col("n_dup_chunks") / F.col("n_chunks"), 4

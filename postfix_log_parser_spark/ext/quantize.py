@@ -107,44 +107,71 @@ def _adc_expr() -> Column:
 
 _PQ_EMPTY_SCHEMA = "qid long, rn int, neighbor_id long, adc_dot double, cosine double"
 
+# the PQ training sample (16 rows -> M x CW x SUB floats) is a bounded
+# driver-resident model, the same class as the k-means centroids or
+# q63's bigram NLLs: stage it per (session, corpus fingerprint) so the
+# five consumers (q59/q68/q157/q159 x2) collect it once, not per call
+_CB_STAGE = StageCache(inputs=("embeddings.parquet",))
+
+
+def _codebook_staged(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    key = _CB_STAGE.key(spark, sf_dir)
+    cached = _CB_STAGE.get(key)
+    if cached is not None:
+        return cached
+    cb = _codebook(emb)
+    if not cb[0]:
+        return cb  # empty corpus: never cache the miss
+    return _CB_STAGE.put(key, cb)
+
 
 def q59_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-encode the table, ADC-score candidates against broadcast query
     LUTs, exact-cosine rerank columns on the winners."""
     emb = _with_norm(_emb(spark, sf_dir))
-    cb = _codebook(emb)
+    cb = _codebook_staged(spark, sf_dir, emb)
     if not cb[0]:  # empty table → no codebook; empty result, not a crash
         return spark.createDataFrame([], _PQ_EMPTY_SCHEMA)
     cb_lit = _cb_lit(cb)
 
-    def codes_expr(v: Column) -> Column:
-        return _codes_expr(v, cb_lit)
-
-    codes = emb.select("vec_id", codes_expr(F.col("v")).alias("codes"))
-
-    def lut_expr(v: Column) -> Column:
-        return _lut_expr(v, cb_lit)
+    # codes side = the session-staged IVF-PQ index (everything except
+    # the q157 new batch, already encoded with the identical expressions)
+    # plus the new-batch slice encoded per call — q68's r12 pattern;
+    # re-encoding the whole corpus per call repeated the index's work
+    index = ivfpq_index(spark, sf_dir)
+    codes = index.select("vec_id", "codes").unionByName(
+        emb.filter(_is_new_batch(F.col("vec_id"))).select(
+            "vec_id", _codes_expr(F.col("v"), cb_lit).alias("codes")
+        )
+    )
 
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        lut_expr(F.col("v")).alias("lut"),
+        _lut_expr(F.col("v"), cb_lit).alias("lut"),
     )
 
-    # ADC: codes-only scoring (the raw vector never enters this join)
+    # ADC: codes-only scoring (the raw vector never enters this join);
+    # project to (qid, vec_id, adc_raw) BEFORE the rank exchange (guide
+    # §2.3) — qv/qn re-attach to the top-k winners only, below
     adc = _adc_expr()
     w = Window.partitionBy("qid").orderBy(F.col("adc_raw").desc(), F.col("vec_id"))
     top = (
         codes.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
         .withColumn("adc_raw", adc)
+        .select("qid", "vec_id", "adc_raw")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= PQ_TOP_K)
-        .select("qid", "rn", "vec_id", "adc_raw", "qv", "qn")
     )
 
     # exact-cosine rerank columns for the winners only
-    exact = top.join(emb.select("vec_id", "v", "nrm"), "vec_id")
+    rerank = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    exact = top.join(emb.select("vec_id", "v", "nrm"), "vec_id").join(
+        F.broadcast(rerank), "qid"
+    )
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
     return exact.select(
         "qid",
@@ -288,7 +315,7 @@ def q68_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postfix_log_parser_spark.ext.similarity import _cell_scores
 
     emb = _with_norm(_emb(spark, sf_dir))
-    cb = _codebook(emb)
+    cb = _codebook_staged(spark, sf_dir, emb)
     if not cb[0]:  # empty table → no codebook; empty result, not a crash
         return spark.createDataFrame([], _PQ_EMPTY_SCHEMA)
     cb_lit = _cb_lit(cb)
@@ -316,10 +343,12 @@ def q68_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p2 = (F.array_position(masked, F.array_max(masked)) - 1).cast("int")
     q = base.filter(F.col("vec_id") % 100 == 0).withColumn("p2", p2)
+    # the probe side carries only what the ADC join needs (lut + cells);
+    # qv/qn re-attach to the top-k winners below (guide §2.3 — without
+    # the split every candidate row ships the 64-dim query vector
+    # through the rank Exchange)
     queries = q.select(
         F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
         _lut_expr(F.col("v"), cb_lit).alias("lut"),
         F.explode(F.array(F.col("cell"), F.col("p2"))).alias("probe_cell"),
     )
@@ -331,11 +360,18 @@ def q68_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("qid")),
         )
         .withColumn("adc_raw", _adc_expr())
+        .select("qid", "vec_id", "adc_raw")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= PQ_TOP_K)
-        .select("qid", "rn", "vec_id", "adc_raw", "qv", "qn")
     )
-    exact = top.join(emb.select("vec_id", "v", "nrm"), "vec_id")
+    rerank = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    exact = top.join(emb.select("vec_id", "v", "nrm"), "vec_id").join(
+        F.broadcast(rerank), "qid"
+    )
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
     return exact.select(
         "qid",
@@ -461,7 +497,7 @@ def ivfpq_index(spark: SparkSession, sf_dir: str):
     if staged is not None:
         return staged
     emb = _with_norm(_emb(spark, sf_dir))
-    cb = _codebook(emb)
+    cb = _codebook_staged(spark, sf_dir, emb)
     if not cb[0]:
         # never cache the miss: a corpus that is empty at first touch may
         # gain data later (the fingerprint key would change too, but a
@@ -503,7 +539,7 @@ def q157_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "new_id long, rn int, neighbor_id long, adc_dot double, cosine double"
         )
     emb = _with_norm(_emb(spark, sf_dir))
-    return probe_ivfpq(index, emb, _cb_lit(_codebook(emb)))
+    return probe_ivfpq(index, emb, _cb_lit(_codebook_staged(spark, sf_dir, emb)))
 
 
 def new_batch_queries(emb: DataFrame, cb_lit: Column) -> DataFrame:
@@ -536,18 +572,30 @@ def probe_ivfpq(index: DataFrame, emb: DataFrame, cb_lit: Column) -> DataFrame:
     set, exact-cosine rerank on the winners — q157's search, callable
     against ANY index representation (the staged session frame or
     q176's stream-maintained cell-partitioned table)."""
-    queries = new_batch_queries(emb, cb_lit)
+    # probe side sheds qv/qn before the ADC join — the rank Exchange
+    # carries (new_id, vec_id, adc_raw) only; winners re-attach the query
+    # vector via a broadcast join (guide §2.3)
+    queries = new_batch_queries(emb, cb_lit).select(
+        "new_id", "lut", "probe_cell"
+    )
     w = Window.partitionBy("new_id").orderBy(
         F.col("adc_raw").desc(), F.col("vec_id")
     )
     top = (
         index.join(F.broadcast(queries), F.col("cell") == F.col("probe_cell"))
         .withColumn("adc_raw", _adc_expr())
+        .select("new_id", "vec_id", "adc_raw")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= PQ_TOP_K)
-        .select("new_id", "rn", "vec_id", "adc_raw", "qv", "qn")
     )
-    exact = top.join(emb.select("vec_id", "v", "nrm"), "vec_id")
+    rerank = emb.filter(_is_new_batch(F.col("vec_id"))).select(
+        F.col("vec_id").alias("new_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    exact = top.join(emb.select("vec_id", "v", "nrm"), "vec_id").join(
+        F.broadcast(rerank), "new_id"
+    )
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
     return exact.select(
         "new_id",

@@ -74,9 +74,12 @@ def q25_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    # project BEFORE the rank exchange (guide §2.3): the window only
+    # needs (qid, vec_id, cos_raw) — without the select, every candidate
+    # pair ships both 64-dim vectors + norms through the Exchange+Sort
     return (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
-        .withColumn("cos_raw", cos)
+        .select("qid", "vec_id", cos.alias("cos_raw"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select(
@@ -142,7 +145,7 @@ def q26_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(queries),
             (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
         )
-        .withColumn("cos_raw", cos)
+        .select("qid", "vec_id", cos.alias("cos_raw"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(
@@ -254,7 +257,7 @@ def q33_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(queries),
             (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("qid")),
         )
-        .withColumn("cos_raw", cos)
+        .select("qid", "vec_id", cos.alias("cos_raw"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(

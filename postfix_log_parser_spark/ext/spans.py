@@ -75,13 +75,20 @@ def duplicated_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     grams = eligible.select(
         "doc_id", F.posexplode(hashes).alias("pos0", "h")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("p"), "h")
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
+    # dup test as ONE window over the fingerprint exchange (r13, guide
+    # §2.4): "h appears in >= 2 distinct docs" is exactly
+    # min(doc_id) != max(doc_id) over (partition by h) — O(1) window
+    # state, skew-safe, and the gram stream is scanned+shuffled ONCE
+    # (the old groupBy(h)+join-back re-ran the md5 scan and shuffled
+    # the grams a second time; same-process A/B 2.13 -> 1.08 s)
+    wh = Window.partitionBy("h")
+    hits = (
+        grams.withColumn(
+            "_dup", F.min("doc_id").over(wh) != F.max("doc_id").over(wh)
+        )
+        .filter(F.col("_dup"))
+        .select("doc_id", "p")
     )
-    hits = grams.join(dup, "h").select("doc_id", "p")
     by_doc = Window.partitionBy("doc_id").orderBy("p")
     prev = F.lag("p").over(by_doc)
     island = F.sum(
@@ -329,7 +336,11 @@ def _verify_regions(
         )
         .distinct()  # adjacent regions may overlap after expansion
         # pass-2 grams also feed a dup-test + probe pair; without this
-        # the whole pass-1 subtree re-executes inside both (r12)
+        # the whole pass-1 subtree re-executes inside both (r12).  The
+        # min/max-window rewrite (duplicated_spans, r13) was A/B'd here
+        # and REJECTED: this persist also shares the canonical-plan
+        # cache entry across invocations, which the single-exchange
+        # window form forfeits (same-process A/B 1.33 vs 2.44 s)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     track_persist(pass2)
@@ -410,7 +421,9 @@ def strided_spans(
         )
         .select("doc_id", "p", F.unhex("hx").alias("h"))
         # selected grams feed dup-test + probe: materialize the ~1/s
-        # selection once instead of two full-corpus md5 passes (r12)
+        # selection once instead of two full-corpus md5 passes (r12;
+        # the persist also shares the cache entry across invocations —
+        # see the pass-2 note on the rejected window rewrite)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     track_persist(sel)

@@ -740,6 +740,7 @@ def sessionize(
     fold: str = "partitioned",
     raw_lines: DataFrame | None = None,
     max_broadcast_dovecot: int = 500_000,
+    materialize_fold: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Sessionize a parsed-line DataFrame.
 
@@ -835,6 +836,15 @@ def sessionize(
         folded = feed.groupBy("queue_id").applyInPandas(_fold_group, FOLD_SCHEMA)
     else:  # pragma: no cover - guard
         raise ValueError(f"unknown fold strategy: {fold}")
+
+    if materialize_fold:
+        # callers that materialize all three outputs (eager checkpoints,
+        # multi-output sinks) otherwise execute the fold once PER OUTPUT
+        # — events, faults and state are all derived from ``folded``, so
+        # one eager checkpoint here turns the triple into narrow reads
+        # of the same materialized fold (r13; the fixture pipeline paid
+        # 3 full parse+fold executions per fill)
+        folded = folded.localCheckpoint(eager=True)
 
     # ---- J1: dovecot sieve correlation — applied to the folded sessions
     # (unless the fold already resolved it in-fold, the default path).
