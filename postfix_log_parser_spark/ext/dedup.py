@@ -578,7 +578,16 @@ def q23_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise stage here is a bounded all-pairs for the histogram; the
     SCALE path — band-prefix buckets, any pair within Hamming distance
     B-1 shares one of B band keys — is q164's banded-Hamming join."""
-    fp = _simhash_fp(_load_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+    from postfix_log_parser_spark.ext.staging import track_persist
+
+    # both self-join sides consume the fingerprints: materialize once
+    # (q164's r12 fix applied here too; the plan ran two full
+    # tokenize+bit-sum subtrees)
+    fp = track_persist(
+        _simhash_fp(
+            _load_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = fp.alias("a")
     b = fp.alias("b")
     return (

@@ -254,7 +254,9 @@ def q150_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5(F.col("canon").cast("binary")).alias("canon_md5"))
         .dropDuplicates(["canon_md5"])
     )
-    return _run_stream_to_memory(spark, out, "q150")
+    return _run_stream_to_memory(
+        spark, out, "q150", source_path=f"{sf_dir}/documents.parquet"
+    )
 
 
 _Q150_SQL = f"""
