@@ -1,9 +1,9 @@
-"""Dump .explain("formatted") for declared queries to plans/r12/.
+"""Dump .explain("formatted") for declared queries to plans/<round>/.
 
 Usage:
     python tools/dump_plans.py <suffix> [sf_dir] [query ...]
 
-Writes plans/r12/<query>_<suffix>.txt for each named query (default: all
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default r13) for each named query (default: all
 declared queries).  Suffix is typically "before" or "after".  Queries
 whose result is a staged localCheckpoint show ExistingRDD — that is the
 honest plan of what the bench times on repeat runs; the cold-path plans
@@ -32,7 +32,8 @@ def main() -> None:
 
     queries = entrymod.queries()
     names = sys.argv[3:] or list(queries)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    round_dir = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         fn = queries[name]
