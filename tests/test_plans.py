@@ -205,14 +205,20 @@ def test_q59_adc_join_is_broadcast_codes_only(spark):
     """PQ search: candidate scoring joins the 8-byte codes against the
     BROADCAST query LUTs (non-equi → BroadcastNestedLoopJoin with a
     constant-size broadcast side); the exact rerank is a broadcast hash
-    join; nothing sort-merges or goes cartesian."""
+    join; nothing sort-merges or goes cartesian.  Since r13 the codes
+    side is the session-staged IVF-PQ index (ExistingRDD — no full-
+    corpus re-encode) plus the per-call-encoded new-batch slice, and the
+    rank exchange carries (qid, vec_id, adc_raw) only — qv/qn re-attach
+    to the winners via a second broadcast hash join."""
     from postfix_log_parser_spark.ext.quantize import q59_ann_pq
 
     plan = _final_plan(q59_ann_pq(spark, SF_DIR))
     assert plan.count("BroadcastNestedLoopJoin") == 1  # tiny query side only
-    assert plan.count("BroadcastHashJoin") >= 1  # exact-cosine rerank
+    assert plan.count("BroadcastHashJoin") >= 2  # emb rerank + query rerank
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert plan.count("FileScan parquet") == 3  # codes, queries, rerank
+    assert "ExistingRDD" in plan  # staged index, not a corpus re-encode
+    # new-batch encode, queries LUT, rerank emb, rerank query side
+    assert plan.count("FileScan parquet") == 4
 
 
 def test_q60_stats_join_back_is_broadcast(spark):
@@ -355,7 +361,9 @@ def test_q157_incremental_ann_probes_persisted_index(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # probe-cell join + rerank
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("FileScan parquet") == 2  # new batch + rerank only
+    # new batch (probe), rerank emb lookup, rerank query side (r13: the
+    # rank exchange sheds qv/qn; winners re-attach them via broadcast)
+    assert plan.count("FileScan parquet") == 3
     # a second call probes the SAME staged index — no recompute
     before = IVF_STAGE_COMPUTES["n"]
     q157_ann_incremental(spark, SF_DIR).collect()
@@ -451,14 +459,16 @@ def test_q73_iterations_are_equi_joins(spark):
 
 
 def test_q74_chunk_join_is_broadcast_equi(spark):
-    """Dup-chunk marking must be a broadcast equi-join on the chunk hash
-    (the dup-key set is small relative to the corpus) — never a shuffle
-    of all chunks against all chunks."""
+    """Dup-chunk marking is ONE min/max window over the chunk-hash
+    exchange (r13) — no join of chunks against anything, and certainly
+    never an all-pairs compare: the chunk stream is scanned and
+    shuffled exactly once."""
     from postfix_log_parser_spark.ext.dedup import q74_passage_dedup
 
-    plan = _plan(q74_passage_dedup(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    plan = _final_plan(q74_passage_dedup(spark, SF_DIR))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("FileScan parquet") == 1  # one chunk scan
 
 
 def test_q76_blocking_join_is_equi(spark):

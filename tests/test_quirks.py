@@ -22,12 +22,24 @@ def _line(i, j, rest):
 
 class Both:
     """Run a fixture through ALL fold strategies (partitioned default,
-    catalyst-native, per-group pandas oracle) and check equivalence."""
+    catalyst-native, per-group pandas oracle) and check equivalence.
+
+    Default (driver) lane: partitioned vs pandas — the reference
+    transcription remains the per-quirk oracle.  The catalyst arm's
+    interpreted expression fold dominates these tests' runtime (~2/3 of
+    26 s per quirk) and its 3-way agreement is separately pinned by
+    ``test_fuzz.py::test_fuzz_fold_strategies_agree`` (default lane) and
+    by the full lane, where SPARK_GRAFT_FULL_TESTS=1 restores it here."""
 
     def __init__(self, spark, lines):
+        import os as _os
+
+        strategies = ("partitioned", "catalyst", "pandas") if _os.environ.get(
+            "SPARK_GRAFT_FULL_TESTS"
+        ) else ("partitioned", "pandas")
         lines = [ln for ln in lines if ln.strip()]
         results = {}
-        for strategy in ("partitioned", "catalyst", "pandas"):
+        for strategy in strategies:
             parsed = parse_lines(lines_df(spark, lines))
             ev, fa, st = sessionize(parsed, keep_order_columns=True, fold=strategy)
             results[strategy] = (
@@ -45,7 +57,7 @@ class Both:
                 e.pop("_start_seq", None)
                 e.pop("_removed_seq", None)
         ne, nf, ns = results["partitioned"]
-        for other in ("catalyst", "pandas"):
+        for other in [st for st in strategies if st != "partitioned"]:
             oe, of, os_ = results[other]
             assert ne == oe, f"events diverge vs {other}: {ne} vs {oe}"
             assert nf == of, f"faults diverge vs {other}: {nf} vs {of}"
